@@ -1,0 +1,607 @@
+"""Minimal PDF builder + parser.
+
+Scope mirrors the reference's equally-partial PDF support (SURVEY.md §7.3):
+flate-compressed content streams with ``BT/ET``, ``Tj``/``TJ``/``Td``/``TD``/
+``T*`` text operators, and 8-bit DeviceGray / DeviceRGB / ICCBased / DeviceCMYK
+image XObjects. Anything else raises and the caller quarantines the row.
+
+Reference semantics reproduced exactly (SURVEY.md §2.4):
+
+* E1  text layer first: if ``trim(text)`` is non-empty AND longer than 10
+  chars, return it with confidence 0.95 and skip OCR entirely
+  (`rust/src/engines/ocrs.rs:126-145`).
+* E2  otherwise scan **all** document objects; every stream with
+  ``/Subtype /Image`` is decoded; per-image failures are recorded as warnings
+  and skipped (`ocrs.rs:431-464`).
+* E3  raster decode by color space: DeviceGray (len >= w*h) -> gray;
+  DeviceRGB / ICCBased (len >= 3*w*h) -> RGB; DeviceCMYK (len >= 4*w*h) -> RGB
+  via r = (1-c)*(1-k)*255 etc.; BitsPerComponent defaults to 8; anything else
+  errors (`ocrs.rs:467-582`).
+* E4  ColorSpace resolution order: direct name, indirect reference, or array
+  head (e.g. ``[/ICCBased ref]``); default DeviceRGB (`ocrs.rs:585-624`).
+* E7  per-image OCR results in document order, empties dropped, joined with
+  ``"\\n\\n"`` (`ocrs.rs:161-178`).
+* E10 no text layer and no images -> text "", confidence 0.0, warning
+  ``"No text or images found in PDF"`` (`ocrs.rs:154-160`).
+* E11 the fallback path appends the warning
+  ``"PDF appears to be scanned/image-based, extracting images for OCR"``
+  (`ocrs.rs:148-150`).
+* E9  the alternate engine aggregates confidence as the mean of per-image
+  confidences over images that produced non-empty text, 0.0 if none
+  (`rust/src/engines/leptess.rs:156-183`); the default engine scores the
+  joined text with the C1 heuristic.
+
+Our text-layer assembly convention (the reference delegates to the
+``pdf_extract`` crate; we define and document ours): ``Tj``/``TJ`` strings
+append to the current line; ``Td``/``TD``/``T*``/``'`` after shown text start
+a new line; lines joined "\\n" within a page stream; page streams joined
+"\\n\\n"; result trimmed (C6).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+from .confidence import PDF_TEXT_LAYER_CONFIDENCE, calculate_confidence
+from .rasters import ocr_decode_image, rgb_to_gray
+
+SCANNED_PDF_WARNING = "PDF appears to be scanned/image-based, extracting images for OCR"
+EMPTY_PDF_WARNING = "No text or images found in PDF"
+TEXT_LAYER_MIN_CHARS = 10
+
+
+class PdfError(ValueError):
+    """Unparseable / unsupported PDF — caller quarantines as PROCESSING_ERROR."""
+
+
+# ---------------------------------------------------------------------------
+# builder (corpus generation + tests)
+# ---------------------------------------------------------------------------
+
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)").encode("latin-1", "replace")
+    )
+
+
+def build_text_pdf(pages: list[list[str]]) -> bytes:
+    """A PDF with one flate content stream per page of ``Tj`` text lines."""
+    objs: list[bytes] = []
+    page_refs = []
+    content_refs = []
+    next_id = 3 + 2 * len(pages)  # 1=catalog 2=pages, then page/content pairs
+    font_id = next_id
+    for pi, lines in enumerate(pages):
+        page_id = 3 + 2 * pi
+        content_id = page_id + 1
+        page_refs.append(page_id)
+        content_refs.append(content_id)
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for li, line in enumerate(lines):
+            if li > 0:
+                ops.append(b"0 -14 TD")
+            ops.append(b"(" + _esc(line) + b") Tj")
+        ops.append(b"ET")
+        stream = zlib.compress(b"\n".join(ops), 6)
+        objs.append(
+            (
+                page_id,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 "
+                + str(font_id).encode()
+                + b" 0 R >> >> /Contents "
+                + str(content_id).encode()
+                + b" 0 R >>",
+                None,
+            )
+        )
+        objs.append(
+            (
+                content_id,
+                b"<< /Length " + str(len(stream)).encode() + b" /Filter /FlateDecode >>",
+                stream,
+            )
+        )
+    objs.append((font_id, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None))
+    kids = b" ".join(str(r).encode() + b" 0 R" for r in page_refs)
+    header = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count " + str(len(pages)).encode() + b" >>", None),
+    ]
+    return _assemble(header + objs)
+
+
+def build_image_pdf(
+    images: list[tuple[np.ndarray, str]],
+    icc_indirect: bool = False,
+    corrupt_data: bool = False,
+) -> bytes:
+    """Image-only PDF (no text operators — same structure as the reference's
+    two fixture PDFs, SURVEY.md §5.1).
+
+    ``images``: (array, colorspace) with colorspace in
+    {"DeviceGray", "DeviceRGB", "DeviceCMYK", "ICCBased", "BogusSpace"}.
+    Arrays: gray (h,w) for DeviceGray; rgb (h,w,3) for DeviceRGB/ICCBased;
+    cmyk (h,w,4) for DeviceCMYK. ``corrupt_data`` truncates sample data to
+    force the per-image decode-failure path (E2).
+    """
+    objs: list[tuple[int, bytes, bytes | None]] = []
+    next_id = 3
+    img_entries = []
+    extra = []
+    for arr, cs in images:
+        img_id = next_id
+        next_id += 1
+        h, w = arr.shape[:2]
+        raw = arr.tobytes()
+        if corrupt_data:
+            raw = raw[: max(1, len(raw) // 4)]
+        stream = zlib.compress(raw, 6)
+        if cs == "ICCBased":
+            if icc_indirect:
+                icc_id = next_id
+                next_id += 1
+                icc_profile = zlib.compress(b"\x00" * 16, 6)
+                extra.append(
+                    (
+                        icc_id,
+                        b"<< /N 3 /Length " + str(len(icc_profile)).encode() + b" /Filter /FlateDecode >>",
+                        icc_profile,
+                    )
+                )
+                cs_token = b"[/ICCBased " + str(icc_id).encode() + b" 0 R]"
+            else:
+                cs_token = b"[/ICCBased]"
+        else:
+            cs_token = b"/" + cs.encode()
+        d = (
+            b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+            + b" /Height " + str(h).encode()
+            + b" /ColorSpace " + cs_token
+            + b" /BitsPerComponent 8 /Length " + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>"
+        )
+        objs.append((img_id, d, stream))
+        img_entries.append(img_id)
+    page_id = next_id
+    content_id = next_id + 1
+    xobj = b" ".join(
+        b"/Im" + str(i).encode() + b" " + str(ref).encode() + b" 0 R" for i, ref in enumerate(img_entries)
+    )
+    draw = b"\n".join(
+        b"q 468 0 0 648 72 72 cm /Im" + str(i).encode() + b" Do Q" for i in range(len(img_entries))
+    )
+    content = zlib.compress(draw, 6)
+    objs.append(
+        (
+            page_id,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /XObject << "
+            + xobj
+            + b" >> >> /Contents "
+            + str(content_id).encode()
+            + b" 0 R >>",
+            None,
+        )
+    )
+    objs.append(
+        (content_id, b"<< /Length " + str(len(content)).encode() + b" /Filter /FlateDecode >>", content)
+    )
+    header = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [" + str(page_id).encode() + b" 0 R] /Count 1 >>", None),
+    ]
+    return _assemble(header + objs + extra)
+
+
+def build_empty_pdf() -> bytes:
+    """A structurally valid PDF with no text operators and no images (E10)."""
+    empty = zlib.compress(b"q Q", 6)
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>", None),
+        (4, b"<< /Length " + str(len(empty)).encode() + b" /Filter /FlateDecode >>", empty),
+    ]
+    return _assemble(objs)
+
+
+def _assemble(objs: list[tuple[int, bytes, bytes | None]]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for oid, d, stream in sorted(objs):
+        offsets[oid] = len(out)
+        out += str(oid).encode() + b" 0 obj\n" + d + b"\n"
+        if stream is not None:
+            out += b"stream\n" + stream + b"\nendstream\n"
+        out += b"endobj\n"
+    xref_at = len(out)
+    maxid = max(offsets) if offsets else 0
+    out += b"xref\n0 " + str(maxid + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for i in range(1, maxid + 1):
+        off = offsets.get(i, 0)
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(maxid + 1).encode() + b" /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9.#_+\-]*)")
+_NUM_RE = re.compile(rb"[+-]?\d+(?:\.\d*)?|[+-]?\.\d+")
+_WS = b" \t\r\n\f\x00"
+
+
+class _Ref:
+    __slots__ = ("oid",)
+
+    def __init__(self, oid: int):
+        self.oid = oid
+
+    def __repr__(self):  # pragma: no cover
+        return f"Ref({self.oid})"
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos : pos + 1]
+        if c in (b" ", b"\t", b"\r", b"\n", b"\f", b"\x00"):
+            pos += 1
+        elif c == b"%":
+            nl = data.find(b"\n", pos)
+            pos = n if nl == -1 else nl + 1
+        else:
+            break
+    return pos
+
+
+def _parse_value(data: bytes, pos: int):
+    """Parse one PDF object value at pos -> (value, new_pos)."""
+    pos = _skip_ws(data, pos)
+    if data[pos : pos + 2] == b"<<":
+        return _parse_dict(data, pos)
+    c = data[pos : pos + 1]
+    if c == b"/":
+        m = _NAME_RE.match(data, pos)
+        return "/" + m.group(1).decode("latin-1"), m.end()
+    if c == b"[":
+        arr = []
+        pos += 1
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos : pos + 1] == b"]":
+                return arr, pos + 1
+            v, pos = _parse_value(data, pos)
+            arr.append(v)
+    if c == b"(":
+        s, pos = _parse_string(data, pos)
+        return s, pos
+    if c == b"<":  # hex string
+        end = data.find(b">", pos)
+        return bytes.fromhex(data[pos + 1 : end].replace(b" ", b"").decode("ascii")), end + 1
+    if data[pos : pos + 4] == b"true":
+        return True, pos + 4
+    if data[pos : pos + 5] == b"false":
+        return False, pos + 5
+    if data[pos : pos + 4] == b"null":
+        return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if m:
+        # lookahead for "gen R" -> indirect reference
+        tail = _skip_ws(data, m.end())
+        m2 = _NUM_RE.match(data, tail)
+        if m2 and b"." not in m.group(0):
+            tail2 = _skip_ws(data, m2.end())
+            if data[tail2 : tail2 + 1] == b"R" and not data[tail2 + 1 : tail2 + 2].isalnum():
+                return _Ref(int(m.group(0))), tail2 + 1
+        txt = m.group(0)
+        return (float(txt) if b"." in txt else int(txt)), m.end()
+    raise PdfError(f"unparseable PDF value at offset {pos}")
+
+
+def _parse_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    assert data[pos : pos + 1] == b"("
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            nxt = data[pos + 1 : pos + 2]
+            mapping = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+                       b"(": b"(", b")": b")", b"\\": b"\\"}
+            if nxt in mapping:
+                out += mapping[nxt]
+                pos += 2
+            elif nxt.isdigit():
+                oct_digits = data[pos + 1 : pos + 4]
+                k = 0
+                while k < 3 and k < len(oct_digits) and chr(oct_digits[k]) in "01234567":
+                    k += 1
+                out.append(int(oct_digits[:k], 8) & 0xFF)
+                pos += 1 + k
+            else:
+                pos += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise PdfError("unterminated PDF string")
+
+
+def _parse_dict(data: bytes, pos: int):
+    assert data[pos : pos + 2] == b"<<"
+    pos += 2
+    d = {}
+    while True:
+        pos = _skip_ws(data, pos)
+        if data[pos : pos + 2] == b">>":
+            return d, pos + 2
+        if data[pos : pos + 1] != b"/":
+            raise PdfError("malformed PDF dictionary")
+        m = _NAME_RE.match(data, pos)
+        key = "/" + m.group(1).decode("latin-1")
+        v, pos = _parse_value(data, m.end())
+        d[key] = v
+
+
+class PdfObject:
+    __slots__ = ("oid", "dict", "stream")
+
+    def __init__(self, oid: int, d: dict, stream: bytes | None):
+        self.oid = oid
+        self.dict = d
+        self.stream = stream
+
+
+def parse_objects(data: bytes) -> dict[int, PdfObject]:
+    """Scan all ``N G obj`` bodies (xref-free — robust to our builder output
+    and mildly damaged files). Raises PdfError if none found or the header is
+    missing."""
+    if data[:5] != b"%PDF-":
+        raise PdfError("missing %PDF- header")
+    objects: dict[int, PdfObject] = {}
+    for m in _OBJ_RE.finditer(data):
+        oid = int(m.group(1))
+        pos = _skip_ws(data, m.end())
+        if data[pos : pos + 2] != b"<<":
+            continue  # non-dict object (number etc.) — irrelevant to us
+        try:
+            d, pos = _parse_dict(data, pos)
+        except (PdfError, AssertionError, IndexError, ValueError):
+            continue
+        pos2 = _skip_ws(data, pos)
+        stream = None
+        if data[pos2 : pos2 + 6] == b"stream":
+            sp = pos2 + 6
+            if data[sp : sp + 2] == b"\r\n":
+                sp += 2
+            elif data[sp : sp + 1] == b"\n":
+                sp += 1
+            length = d.get("/Length")
+            if isinstance(length, _Ref):
+                length = None  # resolved after full scan if needed
+            if isinstance(length, int):
+                stream = data[sp : sp + length]
+            else:
+                endpos = data.find(b"endstream", sp)
+                if endpos == -1:
+                    raise PdfError("unterminated stream")
+                stream = data[sp:endpos].rstrip(b"\r\n")
+        objects[oid] = PdfObject(oid, d, stream)
+    if not objects:
+        raise PdfError("no objects found (truncated or invalid PDF)")
+    return objects
+
+
+def _decode_stream(obj: PdfObject) -> bytes:
+    filt = obj.dict.get("/Filter")
+    data = obj.stream or b""
+    if filt in (None,):
+        return data
+    if filt == "/FlateDecode" or (isinstance(filt, list) and filt == ["/FlateDecode"]):
+        try:
+            return zlib.decompress(data)
+        except zlib.error as e:
+            raise PdfError(f"bad FlateDecode stream: {e}") from e
+    raise PdfError(f"unsupported stream filter: {filt}")
+
+
+_TEXT_OP_RE = re.compile(rb"\(|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|'|\[|\]")
+
+
+def extract_stream_text(content: bytes) -> str:
+    """Tokenize one content stream's text operators into lines."""
+    lines: list[str] = []
+    cur: list[str] = []
+    pending: list[bytes] = []  # string operands awaiting their operator
+    pos = 0
+    n = len(content)
+    line_has_text = False
+    while pos < n:
+        m = _TEXT_OP_RE.search(content, pos)
+        if not m:
+            break
+        tok = m.group(0)
+        if tok == b"(":
+            s, pos = _parse_string(content, m.start())
+            pending.append(s)
+            continue
+        pos = m.end()
+        if tok in (b"Tj", b"TJ"):
+            for s in pending:
+                cur.append(s.decode("latin-1"))
+            pending.clear()
+            line_has_text = True
+        elif tok in (b"Td", b"TD", b"T*") or tok == b"'":
+            if line_has_text:
+                lines.append("".join(cur))
+                cur = []
+                line_has_text = False
+            if tok == b"'" and pending:
+                for s in pending:
+                    cur.append(s.decode("latin-1"))
+                line_has_text = True
+            pending.clear()
+        elif tok in (b"[", b"]", b"BT", b"ET"):
+            continue
+    if line_has_text:
+        lines.append("".join(cur))
+    return "\n".join(lines)
+
+
+def resolve_colorspace(cs, objects: dict[int, PdfObject]) -> str:
+    """E4 (`ocrs.rs:585-624`): direct name, indirect ref, or array head;
+    default DeviceRGB."""
+    if cs is None:
+        return "/DeviceRGB"
+    if isinstance(cs, _Ref):
+        target = objects.get(cs.oid)
+        if target is not None:
+            inner = target.dict.get("/ColorSpace", target.dict.get("/CS"))
+            if inner is not None:
+                return resolve_colorspace(inner, objects)
+        return "/DeviceRGB"
+    if isinstance(cs, list) and cs:
+        head = cs[0]
+        if isinstance(head, str):
+            return head
+        return "/DeviceRGB"
+    if isinstance(cs, str):
+        return cs
+    return "/DeviceRGB"
+
+
+def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.ndarray:
+    """E3 (`ocrs.rs:467-582`): decode an image XObject to grayscale uint8."""
+    d = obj.dict
+    w = d.get("/Width")
+    h = d.get("/Height")
+    if not isinstance(w, int) or not isinstance(h, int) or w <= 0 or h <= 0:
+        raise PdfError("image missing dimensions")
+    bpc = d.get("/BitsPerComponent", 8)
+    if bpc != 8:
+        raise PdfError(f"unsupported BitsPerComponent: {bpc}")
+    raw = _decode_stream(obj)
+    cs = resolve_colorspace(d.get("/ColorSpace"), objects)
+    if cs == "/DeviceGray":
+        if len(raw) < w * h:
+            raise PdfError("DeviceGray data too short")
+        return np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w).copy()
+    if cs in ("/DeviceRGB", "/ICCBased"):
+        if len(raw) < w * h * 3:
+            raise PdfError("DeviceRGB data too short")
+        rgb = np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+        return rgb_to_gray(rgb)
+    if cs == "/DeviceCMYK":
+        if len(raw) < w * h * 4:
+            raise PdfError("DeviceCMYK data too short")
+        cmyk = np.frombuffer(raw[: w * h * 4], dtype=np.uint8).reshape(h, w, 4).astype(np.float64) / 255.0
+        c, m_, y, k = cmyk[..., 0], cmyk[..., 1], cmyk[..., 2], cmyk[..., 3]
+        r = (1 - c) * (1 - k) * 255.0
+        g = (1 - m_) * (1 - k) * 255.0
+        b = (1 - y) * (1 - k) * 255.0
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+        return rgb_to_gray(rgb)
+    raise PdfError(f"unsupported color space: {cs}")
+
+
+def extract_pdf(
+    payload: bytes,
+    engine: str = "pixelocr",
+    preset: str = "minimal",
+) -> dict:
+    """Full PDF extraction (E1 -> E2-E7 -> E10). Returns a result dict:
+    {text, confidence, warnings, path} with path in
+    {"text_layer", "ocr_fallback", "empty"}.
+    """
+    from .preprocess import run_pipeline  # local import to avoid cycle
+
+    objects = parse_objects(payload)
+    warnings: list[str] = []
+
+    # E1: text layer first
+    page_texts: list[str] = []
+    for oid in sorted(objects):
+        obj = objects[oid]
+        if obj.stream is None or obj.dict.get("/Subtype") == "/Image":
+            continue
+        try:
+            content = _decode_stream(obj)
+        except PdfError:
+            continue
+        if b"BT" not in content:
+            continue
+        t = extract_stream_text(content)
+        if t:
+            page_texts.append(t)
+    text = "\n\n".join(page_texts).strip()
+    if text and len(text) > TEXT_LAYER_MIN_CHARS:
+        return {
+            "text": text,
+            "confidence": PDF_TEXT_LAYER_CONFIDENCE,
+            "warnings": warnings,
+            "path": "text_layer",
+        }
+
+    # E2: image XObject scan in document order
+    image_objs = [objects[oid] for oid in sorted(objects) if objects[oid].dict.get("/Subtype") == "/Image"]
+    if not image_objs:
+        return {
+            "text": "",
+            "confidence": 0.0,
+            "warnings": warnings + [EMPTY_PDF_WARNING],
+            "path": "empty",
+        }
+
+    warnings.append(SCANNED_PDF_WARNING)
+    texts: list[str] = []
+    confs: list[float] = []
+    decoded_any = False
+    for obj in image_objs:
+        try:
+            gray = decode_image_xobject(obj, objects)
+        except PdfError as e:
+            warnings.append(f"image {obj.oid} skipped: {e}")
+            continue
+        decoded_any = True
+        gray, _timings = run_pipeline(gray, preset)
+        t, w = ocr_decode_image(gray)
+        warnings.extend(w)
+        if t:
+            texts.append(t)
+            confs.append(calculate_confidence(t))
+    if not decoded_any:
+        raise PdfError("all PDF images failed to decode: " + "; ".join(warnings[1:]))
+    joined = "\n\n".join(texts)
+    if engine == "pixelocr-alt":
+        conf = sum(confs) / len(confs) if confs else 0.0  # E9
+    else:
+        conf = calculate_confidence(joined)
+    return {
+        "text": joined,
+        "confidence": conf,
+        "warnings": warnings,
+        "path": "ocr_fallback",
+    }

@@ -1,0 +1,584 @@
+"""Deterministic raster rendering, image codecs, and the OCR stand-in.
+
+The reference's ``ocrs`` engine is a neural text detector/recognizer
+(`rust/src/engines/ocrs.rs:81-101`: prepare_input -> detect_words ->
+find_text_lines -> recognize_text). Neural models cannot ship in this sandbox
+(SURVEY.md §2.4 E5), so the OCR stage here is a **deterministic stand-in**: a
+5x7 pixel-font renderer plus a 4-phase decoder with the same structure
+(prepare -> detect lines -> detect words/glyphs -> recognize), sharing one code
+path between golden generation and the Spark kernel.
+
+Text assembly preserves the reference's byte-identity separators
+(`ocrs.rs:103-113`): words joined with " ", lines joined with "\\n".
+
+Image containers (SURVEY.md §1.3: png/jpeg/gif/bmp/webp/tiff):
+
+* PNG  — real codec (8-bit grayscale, filter 0, zlib).
+* BMP  — real codec (24-bit BGR, bottom-up).
+* TIFF — real codec (8-bit gray, uncompressed, single strip, little-endian).
+* GIF  — real codec (GIF87a, 256-gray palette; encoder emits root codes with
+  periodic CLEAR — valid LZW — and the decoder is a full LZW decoder).
+* JPEG — STUB: correct JFIF magic/headers, but the raster travels in an APP15
+  segment (``ASOS`` tag + zlib raw gray). A real DCT codec is out of scope in
+  this container (task brief allows deterministic fakes for image decode); the
+  MIME sniff, routing, schema and batch plumbing around it are real.
+* WEBP — STUB: real RIFF/WEBP container with a custom ``GRAY`` chunk, same
+  rationale.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# 5x7 pixel font ("X" = ink). Every glyph is unique after blank-column trim.
+# --------------------------------------------------------------------------
+
+_FONT_ROWS: dict[str, tuple[str, ...]] = {
+    "A": (".XXX.", "X...X", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+    "B": ("XXXX.", "X...X", "X...X", "XXXX.", "X...X", "X...X", "XXXX."),
+    "C": (".XXXX", "X....", "X....", "X....", "X....", "X....", ".XXXX"),
+    "D": ("XXXX.", "X...X", "X...X", "X...X", "X...X", "X...X", "XXXX."),
+    "E": ("XXXXX", "X....", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+    "F": ("XXXXX", "X....", "X....", "XXXX.", "X....", "X....", "X...."),
+    "G": (".XXXX", "X....", "X....", "X.XXX", "X...X", "X...X", ".XXX."),
+    "H": ("X...X", "X...X", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+    "I": ("XXXXX", "..X..", "..X..", "..X..", "..X..", "..X..", "XXXXX"),
+    "J": ("....X", "....X", "....X", "....X", "....X", "X...X", ".XXX."),
+    "K": ("X...X", "X..X.", "X.X..", "XX...", "X.X..", "X..X.", "X...X"),
+    "L": ("X....", "X....", "X....", "X....", "X....", "X....", "XXXXX"),
+    "M": ("X...X", "XX.XX", "X.X.X", "X.X.X", "X...X", "X...X", "X...X"),
+    "N": ("X...X", "XX..X", "XX..X", "X.X.X", "X..XX", "X..XX", "X...X"),
+    "O": (".XXX.", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+    "P": ("XXXX.", "X...X", "X...X", "XXXX.", "X....", "X....", "X...."),
+    "Q": (".XXX.", "X...X", "X...X", "X...X", "X.X.X", "X..X.", ".XX.X"),
+    "R": ("XXXX.", "X...X", "X...X", "XXXX.", "X.X..", "X..X.", "X...X"),
+    "S": (".XXXX", "X....", "X....", ".XXX.", "....X", "....X", "XXXX."),
+    "T": ("XXXXX", "..X..", "..X..", "..X..", "..X..", "..X..", "..X.."),
+    "U": ("X...X", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+    "V": ("X...X", "X...X", "X...X", "X...X", "X...X", ".X.X.", "..X.."),
+    "W": ("X...X", "X...X", "X...X", "X.X.X", "X.X.X", "XX.XX", "X...X"),
+    "X": ("X...X", "X...X", ".X.X.", "..X..", ".X.X.", "X...X", "X...X"),
+    "Y": ("X...X", "X...X", ".X.X.", "..X..", "..X..", "..X..", "..X.."),
+    "Z": ("XXXXX", "....X", "...X.", "..X..", ".X...", "X....", "XXXXX"),
+    "0": (".XXX.", "X...X", "X..XX", "X.X.X", "XX..X", "X...X", ".XXX."),
+    "1": ("..X..", ".XX..", "..X..", "..X..", "..X..", "..X..", ".XXX."),
+    "2": (".XXX.", "X...X", "....X", "...X.", "..X..", ".X...", "XXXXX"),
+    "3": ("XXXXX", "...X.", "..X..", "...X.", "....X", "X...X", ".XXX."),
+    "4": ("...X.", "..XX.", ".X.X.", "X..X.", "XXXXX", "...X.", "...X."),
+    "5": ("XXXXX", "X....", "XXXX.", "....X", "....X", "X...X", ".XXX."),
+    "6": ("..XX.", ".X...", "X....", "XXXX.", "X...X", "X...X", ".XXX."),
+    "7": ("XXXXX", "....X", "...X.", "..X..", ".X...", ".X...", ".X..."),
+    "8": (".XXX.", "X...X", "X...X", ".XXX.", "X...X", "X...X", ".XXX."),
+    "9": (".XXX.", "X...X", "X...X", ".XXXX", "....X", "...X.", ".XX.."),
+    ".": (".....", ".....", ".....", ".....", ".....", ".XX..", ".XX.."),
+    ",": (".....", ".....", ".....", ".....", "..XX.", "..X..", ".X..."),
+    "-": (".....", ".....", ".....", "XXXXX", ".....", ".....", "....."),
+    "!": ("..X..", "..X..", "..X..", "..X..", "..X..", ".....", "..X.."),
+    "?": (".XXX.", "X...X", "....X", "..XX.", "..X..", ".....", "..X.."),
+    ":": (".....", ".XX..", ".XX..", ".....", ".XX..", ".XX..", "....."),
+    "'": ("..X..", "..X..", ".....", ".....", ".....", ".....", "....."),
+}
+
+FONT_CHARS = frozenset(_FONT_ROWS)
+GLYPH_H = 7
+GLYPH_W = 5
+CHAR_SPACING = 1  # blank columns between glyph cells (x scale)
+LINE_SPACING = 3  # blank rows between line bands (x scale)
+
+
+def _glyph_array(ch: str) -> np.ndarray:
+    rows = _FONT_ROWS[ch]
+    return np.array([[c == "X" for c in r] for r in rows], dtype=bool)
+
+
+def _trim_cols(g: np.ndarray) -> np.ndarray:
+    cols = np.flatnonzero(g.any(axis=0))
+    return g[:, cols[0] : cols[-1] + 1]
+
+
+_GLYPHS: dict[str, np.ndarray] = {ch: _glyph_array(ch) for ch in _FONT_ROWS}
+# recognition table: trimmed-bitmap bytes -> char
+_DECODE_TABLE: dict[bytes, str] = {}
+for _ch, _g in _GLYPHS.items():
+    _key = _trim_cols(_g).tobytes() + bytes([_trim_cols(_g).shape[1]])
+    if _key in _DECODE_TABLE:  # pragma: no cover - guarded by tests
+        raise AssertionError(f"font collision: {_ch} vs {_DECODE_TABLE[_key]}")
+    _DECODE_TABLE[_key] = _ch
+
+
+def normalize_renderable(text: str) -> str:
+    """Map arbitrary text onto the renderable charset (uppercase; unsupported
+    chars -> '?'). The corpus generator emits renderable text already; this is
+    a guard for ad-hoc use."""
+    out = []
+    for ch in text.upper():
+        if ch in FONT_CHARS or ch in (" ", "\n"):
+            out.append(ch)
+        else:
+            out.append("?")
+    return "".join(out)
+
+
+def render_text(text: str, scale: int = 2, margin: int = 4) -> np.ndarray:
+    """Render text into a uint8 grayscale image (ink=0, paper=255).
+
+    Layout: glyph cells 5x7 at ``scale``, 1*scale blank cols between cells,
+    space = one blank cell, 3*scale blank rows between lines, ``margin``
+    pixels of paper on every side.
+    """
+    lines = normalize_renderable(text).split("\n")
+    cell_w = (GLYPH_W + CHAR_SPACING) * scale
+    line_h = GLYPH_H * scale
+    width = max((len(ln) * cell_w - CHAR_SPACING * scale) for ln in lines) if lines else 0
+    width = max(width, scale)
+    height = len(lines) * line_h + (len(lines) - 1) * LINE_SPACING * scale
+    img = np.full((height + 2 * margin, width + 2 * margin), 255, dtype=np.uint8)
+    y = margin
+    for ln in lines:
+        x = margin
+        for ch in ln:
+            if ch != " ":
+                g = np.kron(_GLYPHS[ch], np.ones((scale, scale), dtype=bool))
+                img[y : y + line_h, x : x + GLYPH_W * scale][g] = 0
+            x += cell_w
+        y += line_h + LINE_SPACING * scale
+    return img
+
+
+def to_rgb(gray: np.ndarray) -> np.ndarray:
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma, matching the reference grayscale step
+    (`rust/src/preprocessing/steps/grayscale.rs:6-8`)."""
+    f = rgb.astype(np.float64)
+    luma = f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# OCR stand-in: 4-phase deterministic decode (E5 structure)
+# --------------------------------------------------------------------------
+
+
+def _segments(mask: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous True runs in a 1-D bool array -> [(start, end_exclusive)]."""
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate(([idx[0]], idx[breaks + 1]))
+    ends = np.concatenate((idx[breaks] + 1, [idx[-1] + 1]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def ocr_decode_image(gray: np.ndarray) -> tuple[str, list[str]]:
+    """Decode a rendered raster back to text. Returns (text, warnings).
+
+    Phases mirror `ocrs.rs:81-101`: (1) prepare: binarize at <128;
+    (2) detect text lines: contiguous dark-row bands; (3) detect words/glyphs:
+    column runs, gap > 3*scale => word break; (4) recognize: trimmed-bitmap
+    match against the font table. Words joined " ", lines "\\n" (E6).
+    """
+    warnings: list[str] = []
+    if gray.ndim == 3:
+        gray = rgb_to_gray(gray)
+    dark = gray < 128
+    if not dark.any():
+        return "", warnings
+    lines_out: list[str] = []
+    for r0, r1 in _segments(dark.any(axis=1)):
+        band = dark[r0:r1, :]
+        h = r1 - r0
+        scale = max(1, round(h / GLYPH_H))
+        runs = _segments(band.any(axis=0))
+        if not runs:
+            continue
+        words: list[list[str]] = [[]]
+        prev_end: int | None = None
+        for c0, c1 in runs:
+            if prev_end is not None and (c0 - prev_end) > 3 * scale:
+                words.append([])
+            prev_end = c1
+            glyph = band[:, c0:c1]
+            ch = _match_glyph(glyph, scale)
+            if ch is None:
+                warnings.append("unrecognized glyph")
+                ch = "?"
+            words[-1].append(ch)
+        lines_out.append(" ".join("".join(w) for w in words if w))
+    return "\n".join(lines_out), warnings
+
+
+def _match_glyph(glyph: np.ndarray, scale: int) -> str | None:
+    h, w = glyph.shape
+    gh = GLYPH_H
+    gw = max(1, round(w / scale))
+    if h < gh or gh * scale != h:
+        return None
+    # block-majority downsample to gh x gw
+    ys = (np.arange(gh + 1) * h // gh).astype(int)
+    xs = (np.arange(gw + 1) * w // gw).astype(int)
+    cells = np.zeros((gh, gw), dtype=bool)
+    for i in range(gh):
+        for j in range(gw):
+            block = glyph[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+            cells[i, j] = block.mean() >= 0.5
+    key = cells.tobytes() + bytes([gw])
+    return _DECODE_TABLE.get(key)
+
+
+# --------------------------------------------------------------------------
+# Image codecs
+# --------------------------------------------------------------------------
+
+
+def encode_png(gray: np.ndarray) -> bytes:
+    h, w = gray.shape
+    raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or bit_depth != 8 or color_type != 0:
+        raise ValueError("unsupported PNG (need 8-bit grayscale)")
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    if len(raw) < stride * h:
+        raise ValueError("truncated PNG data")
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        ftype, scan = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        if ftype == 0:
+            line = scan.copy()
+        elif ftype == 2:  # Up
+            line = (scan.astype(np.int32) + prev).astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        out[r] = line
+        prev = line
+    return out
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    h, w = gray.shape
+    rgb = to_rgb(gray)
+    row_size = (w * 3 + 3) & ~3
+    pixel_bytes = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[r][:, ::-1].tobytes()  # BGR
+        pixel_bytes += row + b"\x00" * (row_size - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + info + bytes(pixel_bytes)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    hdr_size, w, h, _planes, bpp = struct.unpack("<IiiHH", data[14:30])
+    if bpp != 24:
+        raise ValueError("unsupported BMP bpp")
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((abs(h), w, 3), dtype=np.uint8)
+    flip = h > 0
+    h = abs(h)
+    for r in range(h):
+        row = np.frombuffer(data[offset + r * row_size : offset + r * row_size + w * 3], dtype=np.uint8)
+        out[h - 1 - r if flip else r] = row.reshape(w, 3)[:, ::-1]
+    return rgb_to_gray(out)
+
+
+def encode_tiff(gray: np.ndarray) -> bytes:
+    h, w = gray.shape
+    strip = gray.tobytes()
+    # header(8) + strip + IFD
+    strip_off = 8
+    ifd_off = strip_off + len(strip)
+    entries = [
+        (256, 3, 1, w),  # ImageWidth
+        (257, 3, 1, h),  # ImageLength
+        (258, 3, 1, 8),  # BitsPerSample
+        (259, 3, 1, 1),  # Compression = none
+        (262, 3, 1, 1),  # Photometric = BlackIsZero
+        (273, 4, 1, strip_off),  # StripOffsets
+        (277, 3, 1, 1),  # SamplesPerPixel
+        (278, 3, 1, h),  # RowsPerStrip
+        (279, 4, 1, len(strip)),  # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    return struct.pack("<2sHI", b"II", 42, ifd_off) + strip + ifd
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    if data[:4] != b"II*\x00":
+        raise ValueError("unsupported TIFF (need little-endian)")
+    (ifd_off,) = struct.unpack("<I", data[4:8])
+    (n,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt, val = struct.unpack("<HHII", data[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12])
+        tags[tag] = val
+    w, h = tags[256], tags[257]
+    if tags.get(259, 1) != 1 or tags.get(258, 8) != 8:
+        raise ValueError("unsupported TIFF encoding")
+    off, cnt = tags[273], tags[279]
+    return np.frombuffer(data[off : off + cnt], dtype=np.uint8).reshape(h, w).copy()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Full GIF LZW decoder."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def encode_gif(gray: np.ndarray) -> bytes:
+    """GIF87a, 256-entry gray palette. The LZW stream emits root codes with a
+    CLEAR before every 254-code run — valid (uncompressed-style) LZW."""
+    h, w = gray.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 colors
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    min_code = 8
+    clear, end = 256, 257
+    codes: list[int] = []
+    px = gray.flatten().tolist()
+    for i, p in enumerate(px):
+        if i % 254 == 0:
+            codes.append(clear)
+        codes.append(p)
+    codes.append(end)
+    # pack 9-bit codes LSB-first
+    buf = 0
+    nbits = 0
+    stream = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(buf & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        sub = stream[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    if data[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    w, h, flags = struct.unpack("<HHB", data[6:11])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = np.frombuffer(data[pos : pos + size * 3], dtype=np.uint8).reshape(size, 3)
+        pos += size * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x2C:  # image descriptor
+            _x, _y, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x80:
+                size = 2 << (iflags & 0x07)
+                palette = np.frombuffer(data[pos : pos + size * 3], dtype=np.uint8).reshape(size, 3)
+                pos += size * 3
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(_gif_lzw_decode(bytes(lzw), min_code)[: iw * ih], dtype=np.uint8)
+            rgb = palette[idx].reshape(ih, iw, 3)
+            return rgb_to_gray(rgb)
+        elif b == 0x21:  # extension
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError("corrupt GIF")
+    raise ValueError("no image in GIF")
+
+
+_STUB_TAG = b"ASOS"  # marks the embedded deterministic raster in stub formats
+
+
+def encode_jpeg_stub(gray: np.ndarray) -> bytes:
+    """Deterministic JPEG STUB (see module docstring)."""
+    h, w = gray.shape
+    payload = _STUB_TAG + struct.pack(">II", w, h) + zlib.compress(gray.tobytes(), 6)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out = bytearray(b"\xff\xd8" + app0)
+    for i in range(0, len(payload), 60000):
+        part = payload[i : i + 60000]
+        out += b"\xff\xef" + struct.pack(">H", len(part) + 2) + part
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_stub(data: bytes) -> np.ndarray:
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    pos = 2
+    payload = bytearray()
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xEF:
+            payload += data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+    if payload[:4] != _STUB_TAG:
+        raise ValueError("real JPEG decode not supported in this sandbox (stub rasters only)")
+    w, h = struct.unpack(">II", payload[4:12])
+    return np.frombuffer(zlib.decompress(bytes(payload[12:])), dtype=np.uint8).reshape(h, w).copy()
+
+
+def encode_webp_stub(gray: np.ndarray) -> bytes:
+    """Deterministic WEBP STUB (see module docstring)."""
+    h, w = gray.shape
+    body = _STUB_TAG + struct.pack(">II", w, h) + zlib.compress(gray.tobytes(), 6)
+    chunk = b"GRAY" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def decode_webp_stub(data: bytes) -> np.ndarray:
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"GRAY" and body[:4] == _STUB_TAG:
+            w, h = struct.unpack(">II", body[4:12])
+            return np.frombuffer(zlib.decompress(body[12:]), dtype=np.uint8).reshape(h, w).copy()
+        pos += 8 + ln + (ln % 2)
+    raise ValueError("real WEBP decode not supported in this sandbox (stub rasters only)")
+
+
+_DECODERS = {
+    "image/png": decode_png,
+    "image/bmp": decode_bmp,
+    "image/tiff": decode_tiff,
+    "image/gif": decode_gif,
+    "image/jpeg": decode_jpeg_stub,
+    "image/webp": decode_webp_stub,
+}
+
+_ENCODERS = {
+    "image/png": encode_png,
+    "image/bmp": encode_bmp,
+    "image/tiff": encode_tiff,
+    "image/gif": encode_gif,
+    "image/jpeg": encode_jpeg_stub,
+    "image/webp": encode_webp_stub,
+}
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Decode a supported container to a uint8 grayscale array.
+
+    Analog of the reference's ``image::load_from_memory``
+    (`rust/src/server.rs:237-238`); raises ValueError on corrupt input (the
+    caller quarantines, it never crashes the job)."""
+    dec = _DECODERS.get(mime)
+    if dec is None:
+        raise ValueError(f"unsupported image mime: {mime}")
+    return dec(payload)
+
+
+def encode_image(gray: np.ndarray, mime: str) -> bytes:
+    enc = _ENCODERS.get(mime)
+    if enc is None:
+        raise ValueError(f"unsupported image mime: {mime}")
+    return enc(gray)

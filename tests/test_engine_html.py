@@ -1,0 +1,110 @@
+"""Unit tests: HTML main-content extraction (the graft branch — text-density +
+link-density boilerplate strip per BASELINE.json north_star)."""
+
+from activestorage_ocr_spark.engine import htmlx
+
+
+PAGE = b"""<!DOCTYPE html>
+<html><head><title>T</title><meta charset="utf-8">
+<style>body { color: red }</style>
+<script>var x = "<p>not content</p>";</script>
+</head>
+<body>
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">More</a></nav>
+<div class="sidebar"><p>This sidebar paragraph is long enough to pass length rules.</p></div>
+<main>
+  <h1>Article Title</h1>
+  <p>This is the first real paragraph of the article body with plenty of text.</p>
+  <p>Second paragraph here, also containing a healthy amount of content text.</p>
+  <ul><li>A list item with enough characters to be kept as content.</li>
+  <li>short</li></ul>
+</main>
+<div class="ad-banner"><p>Buy things now with this very long advertisement text!</p></div>
+<footer><p>Copyright 2025 Example Corp. All rights reserved worldwide today.</p></footer>
+</body></html>"""
+
+
+class TestExtraction:
+    def test_main_content_kept_boilerplate_dropped(self):
+        text, spans = htmlx.extract_main_content(PAGE)
+        assert "first real paragraph" in text
+        assert "Second paragraph" in text
+        assert "Article Title" in text
+        assert "A list item with enough characters" in text
+        # dropped: nav links, sidebar, ad, footer, script/style payloads
+        assert "Home" not in text
+        assert "sidebar paragraph" not in text
+        assert "advertisement" not in text
+        assert "Copyright" not in text
+        assert "color: red" not in text
+        assert "not content" not in text
+        # short li dropped by length rule
+        assert "short" not in text
+
+    def test_blocks_joined_with_newline(self):
+        text, _ = htmlx.extract_main_content(PAGE)
+        lines = text.split("\n")
+        assert lines[0] == "Article Title"
+        assert lines[1].startswith("This is the first real paragraph")
+
+    def test_spans_cover_text_exactly(self):
+        text, spans = htmlx.extract_main_content(PAGE)
+        assert spans, "expected spans"
+        for start, end, kind in spans:
+            assert 0 <= start <= end <= len(text)
+            assert kind in ("heading", "block")
+            assert text[start:end] == text[start:end].strip()
+        # spans tile the text: gaps are exactly the "\n" separators
+        assert spans[0][0] == 0
+        for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+            assert s2 == e1 + 1
+        assert spans[-1][1] == len(text)
+        # the first span is the heading
+        assert spans[0][2] == "heading"
+        assert text[spans[0][0] : spans[0][1]] == "Article Title"
+
+    def test_link_density_drops_linky_blocks(self):
+        page = (
+            b"<html><body><p><a href='/x'>Click here for more links and stuff"
+            b" and even more link text</a> y</p>"
+            b"<p>A normal paragraph with no links at all, plenty of words here.</p>"
+            b"</body></html>"
+        )
+        text, _ = htmlx.extract_main_content(page)
+        assert "Click here" not in text
+        assert "normal paragraph" in text
+
+    def test_entities_decoded(self):
+        page = b"<html><body><p>Fish &amp; chips &lt;cost&gt; &#163;5 &#x41;lways tasty here.</p></body></html>"
+        text, _ = htmlx.extract_main_content(page)
+        assert "Fish & chips <cost> \xa35 Always tasty here." == text
+
+    def test_whitespace_collapsed_and_trimmed(self):
+        page = b"<html><body><p>  spaced   out\n\n  text   that is long enough to keep  </p></body></html>"
+        text, _ = htmlx.extract_main_content(page)
+        assert text == "spaced out text that is long enough to keep"
+
+    def test_charset_sniff_latin1(self):
+        body = "<html><head><meta charset=\"latin-1\"></head><body><p>Caf\xe9 au lait menu costs very little money.</p></body></html>"
+        text, _ = htmlx.extract_main_content(body.encode("latin-1"))
+        assert "Café au lait" in text
+
+    def test_empty_and_textless_pages(self):
+        assert htmlx.extract_main_content(b"<html><body></body></html>") == ("", [])
+        text, spans = htmlx.extract_main_content(b"<html><body><p>tiny</p></body></html>")
+        assert text == "" and spans == []
+
+    def test_deterministic(self):
+        a = htmlx.extract_main_content(PAGE)
+        b = htmlx.extract_main_content(PAGE)
+        assert a == b
+
+    def test_nested_boilerplate_subtree_fully_dropped(self):
+        page = (
+            b"<html><body><div class='footer'><div><p>Deep footer text that is"
+            b" definitely long enough to pass.</p></div></div>"
+            b"<p>Real content paragraph that should certainly be preserved here.</p></body></html>"
+        )
+        text, _ = htmlx.extract_main_content(page)
+        assert "Deep footer" not in text
+        assert "Real content" in text

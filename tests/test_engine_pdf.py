@@ -1,0 +1,136 @@
+"""Unit tests: PDF build/parse — E1-E11 semantics (SURVEY.md §2.4)."""
+
+import numpy as np
+import pytest
+
+from activestorage_ocr_spark.engine import pdfx, rasters
+from activestorage_ocr_spark.engine.confidence import calculate_confidence
+
+
+def _gray(text="HELLO WORLD\nOCR 12345", scale=2):
+    return rasters.render_text(text, scale=scale)
+
+
+class TestTextLayer:
+    def test_single_page_lines(self):
+        pdf = pdfx.build_text_pdf([["Hello World", "Second line 12345"]])
+        r = pdfx.extract_pdf(pdf)
+        assert r["path"] == "text_layer"
+        assert r["text"] == "Hello World\nSecond line 12345"
+        assert r["confidence"] == 0.95  # ocrs.rs:142
+        assert r["warnings"] == []
+
+    def test_multi_page_double_newline(self):
+        pdf = pdfx.build_text_pdf([["Page one text"], ["Page two text"]])
+        r = pdfx.extract_pdf(pdf)
+        assert r["text"] == "Page one text\n\nPage two text"
+
+    def test_gate_short_text_falls_through(self):
+        # trim(text) <= 10 chars -> text layer rejected (ocrs.rs:134-145);
+        # no images either -> empty terminal (E10)
+        pdf = pdfx.build_text_pdf([["tiny"]])
+        r = pdfx.extract_pdf(pdf)
+        assert r["path"] == "empty"
+        assert r["text"] == ""
+        assert r["confidence"] == 0.0
+        assert r["warnings"] == [pdfx.EMPTY_PDF_WARNING]
+
+    def test_gate_exactly_10_chars_rejected(self):
+        pdf = pdfx.build_text_pdf([["0123456789"]])  # len == 10, not > 10
+        assert pdfx.extract_pdf(pdf)["path"] == "empty"
+        pdf = pdfx.build_text_pdf([["0123456789a"]])  # len == 11
+        assert pdfx.extract_pdf(pdf)["path"] == "text_layer"
+
+    def test_text_is_trimmed(self):
+        # C6: trim before the gate and before return
+        pdf = pdfx.build_text_pdf([["   padded line here   "]])
+        r = pdfx.extract_pdf(pdf)
+        assert r["text"] == "padded line here"
+
+    def test_escaped_parens(self):
+        pdf = pdfx.build_text_pdf([["with (parens) and \\ backslash"]])
+        r = pdfx.extract_pdf(pdf)
+        assert r["text"] == "with (parens) and \\ backslash"
+
+
+class TestImageFallback:
+    def test_scanned_gray_pdf(self):
+        img = _gray()
+        pdf = pdfx.build_image_pdf([(img, "DeviceGray")])
+        r = pdfx.extract_pdf(pdf)
+        assert r["path"] == "ocr_fallback"
+        assert r["text"] == "HELLO WORLD\nOCR 12345"
+        assert r["warnings"][0] == pdfx.SCANNED_PDF_WARNING  # E11 exact string
+        assert r["confidence"] == pytest.approx(calculate_confidence(r["text"]))
+
+    def test_rgb_and_cmyk_color_spaces(self):
+        gray = _gray("RGB TEST")
+        rgb = rasters.to_rgb(gray)
+        # CMYK with K = 255-gray, C=M=Y=0 reproduces the gray under
+        # r=(1-c)(1-k)*255 (ocrs.rs:467-582 math)
+        k = (255 - gray).astype(np.uint8)
+        cmyk = np.zeros((*gray.shape, 4), dtype=np.uint8)
+        cmyk[..., 3] = k
+        pdf = pdfx.build_image_pdf([(rgb, "DeviceRGB"), (cmyk, "DeviceCMYK")])
+        r = pdfx.extract_pdf(pdf)
+        # E7: per-image results joined with "\n\n" in document order
+        assert r["text"] == "RGB TEST\n\nRGB TEST"
+
+    def test_iccbased_treated_as_rgb(self):
+        rgb = rasters.to_rgb(_gray("ICC 42"))
+        pdf = pdfx.build_image_pdf([(rgb, "ICCBased")], icc_indirect=True)
+        r = pdfx.extract_pdf(pdf)
+        assert r["text"] == "ICC 42"
+
+    def test_unsupported_colorspace_skipped_with_warning(self):
+        ok = _gray("KEPT IMAGE")
+        bad = rasters.to_rgb(_gray("DROPPED"))
+        pdf = pdfx.build_image_pdf([(bad, "BogusSpace"), (ok, "DeviceGray")])
+        r = pdfx.extract_pdf(pdf)
+        # E2: per-image failures logged and skipped
+        assert r["text"] == "KEPT IMAGE"
+        assert any("unsupported color space" in w for w in r["warnings"])
+
+    def test_all_images_fail_raises(self):
+        bad = rasters.to_rgb(_gray("X"))
+        pdf = pdfx.build_image_pdf([(bad, "BogusSpace")])
+        with pytest.raises(pdfx.PdfError, match="all PDF images failed"):
+            pdfx.extract_pdf(pdf)
+
+    def test_truncated_image_data_skipped(self):
+        ok = _gray("SURVIVOR 7")
+        pdf = pdfx.build_image_pdf([(ok, "DeviceGray")], corrupt_data=True)
+        with pytest.raises(pdfx.PdfError):
+            pdfx.extract_pdf(pdf)
+
+    def test_alt_engine_mean_confidence(self):
+        # E9: leptess-analog averages per-image confidences
+        a, b = _gray("FIRST IMAGE WORDS"), _gray("SECOND ONE")
+        pdf = pdfx.build_image_pdf([(a, "DeviceGray"), (b, "DeviceGray")])
+        r = pdfx.extract_pdf(pdf, engine="pixelocr-alt")
+        expect = (calculate_confidence("FIRST IMAGE WORDS") + calculate_confidence("SECOND ONE")) / 2
+        assert r["confidence"] == pytest.approx(expect)
+
+    def test_default_engine_joined_confidence(self):
+        a, b = _gray("FIRST IMAGE WORDS"), _gray("SECOND ONE")
+        pdf = pdfx.build_image_pdf([(a, "DeviceGray"), (b, "DeviceGray")])
+        r = pdfx.extract_pdf(pdf, engine="pixelocr")
+        assert r["confidence"] == pytest.approx(
+            calculate_confidence("FIRST IMAGE WORDS\n\nSECOND ONE")
+        )
+
+
+class TestErrors:
+    def test_not_a_pdf(self):
+        with pytest.raises(pdfx.PdfError, match="header"):
+            pdfx.extract_pdf(b"not a pdf at all")
+
+    def test_truncated_pdf(self):
+        pdf = pdfx.build_text_pdf([["Hello World extended line"]])
+        with pytest.raises(pdfx.PdfError):
+            pdfx.extract_pdf(pdf[:40])
+
+    def test_empty_pdf_terminal(self):
+        r = pdfx.extract_pdf(pdfx.build_empty_pdf())
+        assert r["path"] == "empty"
+        assert r["warnings"] == [pdfx.EMPTY_PDF_WARNING]  # E10 exact string
