@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline over the deterministic
+synthetic page corpus at sf0.001 scale. ``queries()`` / ``oracle_sql()`` pairs
+live in ``activestorage_ocr_spark.plans.queries`` — one entry per implemented
+operator from SURVEY.md §2, each oracle runnable by DuckDB on the
+/root/testdata parquet views.
 """
 
 from __future__ import annotations
@@ -13,26 +13,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: docs at sf0.001 (documents table has 500 rows there; FIXTURES.md §4)
+ENTRY_CORPUS_DOCS = 500
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: MIME-routed main-content extraction over the synthetic
+    Common-Crawl-style pages table (north rule), sf0.001 scale."""
+    from activestorage_ocr_spark.fixtures.gen_corpus import TEST_MAX_BYTES, ensure_corpus
+    from activestorage_ocr_spark.operators.extraction import extract_pages
+
+    corpus = ensure_corpus(ENTRY_CORPUS_DOCS)
+    pages = spark.read.parquet(f"{corpus}/pages.parquet")
+    return extract_pages(pages, max_bytes=TEST_MAX_BYTES).select(
+        "url", "mime", "extracted_text", "confidence", "engine", "status", "warnings"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from activestorage_ocr_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from activestorage_ocr_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard, all as compositions of built-in DataFrame ops
+(explode / groupBy / join / higher-order functions). No Python UDFs: every
+hash is md5-based so the DuckDB oracle can reproduce results bit-for-bit.
+
+Scale notes (the point of each design):
+
+* exact: one hash-groupBy — a single shuffle on an md5 key, near-uniform by
+  construction (no skew).
+* MinHash+LSH: signatures are per-doc aggregates over exploded shingles
+  (map-side combinable); candidate generation joins docs only within an LSH
+  band bucket, so the pair blow-up is bounded by bucket sizes rather than
+  O(n^2). At 10^12 docs the band join is the only shuffle that matters; the
+  bucket key is an md5 so it hash-partitions evenly, and giant buckets (all
+  docs sharing a template) are exactly the near-duplicate clusters we want.
+* SimHash: a fixed-width bit signature per doc; banding the bit-string prefix
+  gives the same bounded-join property.
+* n-gram Jaccard: exact pairwise verification — used downstream of a
+  candidate generator, never standalone at scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .textstats import fingerprint
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of whitespace-tokenized text."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
+    )
+    return F.array_distinct(
+        F.when(n >= k, shingles).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup on the normalized fingerprint.
+    Returns (fp, keeper_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").cast("long").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 8) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min over shingles of
+    md5(s || ':' || shingle) — the lexicographic min of an md5 hex string is a
+    valid uniform min-hash and is engine-portable. Returns
+    (id, mh_0..mh_{n-1})."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"mh_{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature (rows_per_band =
+    n_hashes/bands), bucket-join docs sharing any band bucket. Returns
+    distinct (id_a, id_b) with id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, k, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts).cast("binary")).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over whitespace tokens. Bit i of a token is the
+    parity class of hex digit i of md5(token) (>= '8'); bit i of the doc is
+    the sign of the sum of (+1/-1) votes. Returns (id, simhash string of
+    '0'/'1' x16) — engine-portable (md5-based)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.md5(F.col("tok").cast("binary"))
+    votes = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v_{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(SIMHASH_BITS)]
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidate-bounded by
+    banding the bit string into (max_hamming+1) segments (pigeonhole: any pair
+    within max_hamming shares at least one exact segment)."""
+    sig = simhash_bits(df, id_col, text_col)
+    n_bands = max_hamming + 1
+    seg = SIMHASH_BITS // n_bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("simhash", b * seg + 1, seg if b < n_bands - 1 else SIMHASH_BITS - b * seg).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select(id_col, "simhash", F.explode(band_arr).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    # hamming via per-position compare of the 16-char bit strings
+    positions = F.sequence(F.lit(1), F.lit(SIMHASH_BITS))
+    hamming = F.size(
+        F.filter(
+            F.transform(
+                positions,
+                lambda i: F.substring(F.col("sh_a"), i, 1) == F.substring(F.col("sh_b"), i, 1),
+            ),
+            lambda eq: ~eq,
+        )
+    ).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-word shingles for every pair sharing at
+    least one shingle: |A∩B| / (|A| + |B| - |A∩B|). The intersection count
+    comes from a shingle self-join; set sizes from a per-doc aggregate
+    broadcast back in. Returns (id_a, id_b, jaccard rounded to 9)."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.round(jac, 9))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,212 @@
+"""The extraction pipeline operator — the Spark mapping of the reference's
+whole request path (SURVEY.md §3.1 "Spark equivalent"):
+
+    scan (url, warc_ts, html, lang)
+      -> size/byte-length skew binning + repartition        [one shuffle]
+      -> mapInArrow(extract_kernel)                          [map-only]
+      -> ok/quarantine split, lineage manifest, sinks
+
+Physical-plan posture (SURVEY.md §4.2): exactly one shuffle (the skew
+repartition, skippable for pre-bucketed inputs); the extraction itself is
+map-only; Catalyst prunes the scan to the four needed columns because the
+kernel is declared over an explicit projection.
+
+Skew handling: a 50 MB page next to 2 KB pages makes task runtimes bimodal and
+can blow Python-worker memory when many giants land in one Arrow batch. We
+bucket rows by log2(byte length) and hash-repartition on (len_bin, salt) so
+each task sees pages of one size class; inside the kernel, incoming Arrow
+batches are re-sliced to a byte budget (zero-copy) before extraction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+SPANS_TYPE = "array<struct<start:bigint,end:bigint,kind:string>>"
+STEPS_TYPE = "array<struct<name:string,time_ms:bigint>>"
+
+#: Output schema of the extraction kernel. Timing fields are excluded from
+#: byte-identity comparison (FIXTURES.md §2).
+EXTRACTED_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, mime string, "
+    "extracted_text string, confidence double, engine string, status string, "
+    f"error_code string, warnings array<string>, spans {SPANS_TYPE}, "
+    "n_bytes bigint, chars_out bigint, processing_time_ms bigint, "
+    f"preset string, step_timings {STEPS_TYPE}, partition_id int"
+)
+
+OK_STATUSES = ("ok", "empty")
+
+#: kernel re-slices incoming Arrow batches so one slice never exceeds this
+#: many payload bytes (giant-page memory guard; SURVEY.md §7.3).
+KERNEL_SLICE_BYTES = 64 * 1024 * 1024
+
+
+def _arrow_output_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+            pa.field("lang", pa.string()),
+            pa.field("mime", pa.string()),
+            pa.field("extracted_text", pa.string()),
+            pa.field("confidence", pa.float64()),
+            pa.field("engine", pa.string()),
+            pa.field("status", pa.string()),
+            pa.field("error_code", pa.string()),
+            pa.field("warnings", pa.list_(pa.string())),
+            pa.field(
+                "spans",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field("start", pa.int64()),
+                            pa.field("end", pa.int64()),
+                            pa.field("kind", pa.string()),
+                        ]
+                    )
+                ),
+            ),
+            pa.field("n_bytes", pa.int64()),
+            pa.field("chars_out", pa.int64()),
+            pa.field("processing_time_ms", pa.int64()),
+            pa.field("preset", pa.string()),
+            pa.field(
+                "step_timings",
+                pa.list_(
+                    pa.struct([pa.field("name", pa.string()), pa.field("time_ms", pa.int64())])
+                ),
+            ),
+            pa.field("partition_id", pa.int32()),
+        ]
+    )
+
+
+def make_extract_kernel(engine: str, preset: str, max_bytes: int):
+    """Build the mapInArrow kernel. All per-document work happens in
+    `engine.extract.extract_document` — the same function the golden oracle
+    runs, so byte-identity is structural (SURVEY.md §7.3). The heavy imports
+    happen once per Python worker at first batch (model-warm-once analog,
+    `rust/src/engines/ocrs.rs:30-62`)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # per-worker init (amortized across batches)
+        from pyspark import TaskContext
+
+        from ..engine.extract import extract_document
+
+        out_schema = _arrow_output_schema()
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+
+        for batch in batches:
+            for sub in _slice_by_bytes(batch, KERNEL_SLICE_BYTES):
+                urls = sub.column("url").to_pylist()
+                ts = sub.column("warc_ts")
+                langs = sub.column("lang").to_pylist()
+                payloads = sub.column("html").to_pylist()
+                rows: dict[str, list[Any]] = {f.name: [] for f in out_schema}
+                for u, lg, payload in zip(urls, langs, payloads):
+                    r = extract_document(payload, engine=engine, preset=preset, max_bytes=max_bytes)
+                    rows["url"].append(u)
+                    rows["lang"].append(lg)
+                    rows["mime"].append(r["mime"])
+                    rows["extracted_text"].append(r["extracted_text"])
+                    rows["confidence"].append(r["confidence"])
+                    rows["engine"].append(r["engine"])
+                    rows["status"].append(r["status"])
+                    rows["error_code"].append(r["error_code"])
+                    rows["warnings"].append(r["warnings"])
+                    rows["spans"].append(
+                        [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]]
+                    )
+                    rows["n_bytes"].append(len(payload) if payload is not None else 0)
+                    rows["chars_out"].append(len(r["extracted_text"]))
+                    rows["processing_time_ms"].append(r["processing_time_ms"])
+                    rows["preset"].append(r["preset"])
+                    rows["step_timings"].append(
+                        [{"name": n, "time_ms": t} for n, t in r["step_timings"]]
+                    )
+                    rows["partition_id"].append(pid)
+                arrays = []
+                for f in out_schema:
+                    if f.name == "warc_ts":
+                        arrays.append(ts.cast(f.type))
+                    else:
+                        arrays.append(pa.array(rows[f.name], type=f.type))
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return kernel
+
+
+def _slice_by_bytes(batch: pa.RecordBatch, budget: int) -> Iterator[pa.RecordBatch]:
+    """Zero-copy re-slice of an Arrow batch so each slice's payload bytes stay
+    under ``budget`` (giant-page guard)."""
+    if batch.num_rows == 0:
+        return
+    col = batch.column(batch.schema.get_field_index("html"))
+    try:
+        import pyarrow.compute as pc
+
+        sizes = pc.binary_length(col).fill_null(0).to_numpy(zero_copy_only=False).astype("int64")
+    except Exception:
+        yield batch
+        return
+    start = 0
+    acc = 0
+    for i in range(batch.num_rows):
+        acc += int(sizes[i])
+        if acc > budget and i > start:
+            yield batch.slice(start, i - start)
+            start = i
+            acc = int(sizes[i])
+    if start < batch.num_rows:
+        yield batch.slice(start, batch.num_rows - start)
+
+
+def with_length_bins(df: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Byte-length-binned skew columns: ``len_bin`` = log2 bucket of payload
+    size, ``salt`` = url-hash bucket (north rule: salted, url-hash-bucketed)."""
+    return df.withColumn("len_bin", F.ceil(F.log2(F.length("html") + F.lit(2)))).withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    )
+
+
+def extract_pages(
+    df: DataFrame,
+    *,
+    engine: str = "pixelocr",
+    preset: str = "minimal",
+    max_bytes: int = 52_428_800,
+    repartition: int | None = None,
+    salt_buckets: int = 16,
+    skew_handling: bool = True,
+) -> DataFrame:
+    """Run the extraction pipeline over a pages DataFrame.
+
+    Input: (url, warc_ts, html, lang, ...). Output: EXTRACTED_SCHEMA. The
+    explicit ``select`` keeps the scan pruned to 4 columns regardless of the
+    input table's width.
+    """
+    proj = df.select("url", "warc_ts", "html", "lang")
+    if skew_handling:
+        n = repartition or df.sparkSession.sparkContext.defaultParallelism
+        proj = (
+            with_length_bins(proj, salt_buckets)
+            .repartition(n, "len_bin", "salt")
+            .drop("len_bin", "salt")
+        )
+    kernel = make_extract_kernel(engine, preset, max_bytes)
+    return proj.mapInArrow(kernel, EXTRACTED_SCHEMA)
+
+
+def split_quarantine(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """P7/O7: ok+empty rows -> main stream; error rows -> quarantine side
+    table (every input row is accounted for in exactly one of the two)."""
+    ok = extracted.filter(F.col("status").isin(*OK_STATUSES))
+    quarantined = extracted.filter(~F.col("status").isin(*OK_STATUSES))
+    return ok, quarantined

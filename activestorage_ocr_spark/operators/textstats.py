@@ -1,0 +1,229 @@
+"""Text-analysis operators over document tables — pure ``pyspark.sql.functions``
+column expressions (JVM-side, whole-stage-codegen; no Python in the hot path).
+
+These re-express the reference's scalar scoring stack (SURVEY.md §2.5 C1-C5)
+as Catalyst expressions so the DuckDB oracle can verify them, plus the
+training-data-pipeline text ops (token counting, quality scoring, language ID,
+fingerprinting). The in-kernel (per-document) versions live in
+``engine.confidence`` — both implement the same formulas; these SQL variants
+are documented as ASCII-class approximations of the kernel's Unicode classes
+(fine for the ASCII documents corpus; SURVEY.md §7.3 flags the divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+# ASCII character-class regexes shared with the DuckDB oracle SQL (RE2- and
+# Java-regex-compatible spellings).
+LETTERS_RE = "[^A-Za-z]"
+# remove alnum + whitespace + ASCII punctuation; what's left is "special" (C2)
+NON_SPECIAL_RE = r"[A-Za-z0-9\s!-/:-@\[-`{-~]"
+WS_RE = r"\s"
+
+
+def _total(col: Column) -> Column:
+    return F.length(col).cast("double")
+
+
+def char_frequency_score(text: Column) -> Column:
+    """C2 (`ocrs.rs:306-327`) as a Catalyst expression."""
+    total = _total(text)
+    letters = F.length(F.regexp_replace(text, LETTERS_RE, "")).cast("double")
+    specials = F.length(F.regexp_replace(text, NON_SPECIAL_RE, "")).cast("double")
+    special_penalty = F.lit(1.0) - F.least(specials / total * 10.0, F.lit(1.0))
+    letter_score = F.least(letters / total * 1.5, F.lit(1.0))
+    return F.when(F.length(text) == 0, 0.0).otherwise(
+        special_penalty * 0.6 + letter_score * 0.4
+    )
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_lengths_score(text: Column) -> Column:
+    """C3 (`ocrs.rs:332-356`) as a Catalyst expression."""
+    words = _words(text)
+    n = F.size(words).cast("double")
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    ).cast("double")
+    avg_bucket = F.floor(total_len / n)
+    base = (
+        F.when(avg_bucket <= 1, 0.3)
+        .when(avg_bucket <= 3, 0.7)
+        .when(avg_bucket <= 8, 1.0)
+        .when(avg_bucket <= 12, 0.8)
+        .otherwise(0.4)
+    )
+    singles = F.size(F.filter(words, lambda w: F.length(w) == 1)).cast("double")
+    penalty = F.lit(1.0) - F.least(singles / n * 1.5, F.lit(0.5))
+    return F.when(F.length(F.trim(text)) == 0, 0.5).otherwise(base * penalty)
+
+
+def whitespace_score(text: Column) -> Column:
+    """C4 (`ocrs.rs:361-377`) as a Catalyst expression."""
+    total = _total(text)
+    ws = (F.length(text) - F.length(F.regexp_replace(text, WS_RE, ""))).cast("double")
+    pct = F.floor(ws / total * 100.0)
+    return (
+        F.when(F.length(text) == 0, 0.0)
+        .when(pct <= 5, 0.5)
+        .when(pct <= 10, 0.8)
+        .when(pct <= 25, 1.0)
+        .when(pct <= 40, 0.7)
+        .otherwise(0.3)
+    )
+
+
+def repetition_run_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C5 (`ocrs.rs:382-403`): longest run of identical consecutive
+    non-whitespace characters, per document — the gaps-and-islands pattern
+    (posexplode -> window row_number -> group). Returns (id, longest_run).
+
+    Whitespace "resets" runs for free: islands use the *original* character
+    position, so removing whitespace rows breaks positional consecutiveness
+    exactly where a whitespace character sat.
+    """
+    chars = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "")).alias("i", "ch")
+    ).filter((F.col("ch") != "") & ~F.col("ch").rlike(r"^\s$"))
+    w = Window.partitionBy(id_col, "ch").orderBy("i")
+    runs = (
+        chars.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy(id_col, "ch", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy(id_col)
+        .agg(F.max("run_len").cast("long").alias("longest_run"))
+    )
+    return df.select(id_col).join(runs, id_col, "left").select(
+        F.col(id_col), F.coalesce("longest_run", F.lit(0)).cast("long").alias("longest_run")
+    )
+
+
+def repetition_score_from_run(run: Column) -> Column:
+    return (
+        F.when(run <= 3, 1.0).when(run <= 5, 0.8).when(run <= 10, 0.5).otherwise(0.2)
+    )
+
+
+def combined_confidence(char_s: Column, word_s: Column, ws_s: Column, rep_s: Column, text: Column) -> Column:
+    """C1 (`ocrs.rs:284-301`): guards + weighted sum + clamp."""
+    conf = char_s * 0.4 + word_s * 0.3 + ws_s * 0.15 + rep_s * 0.15
+    clamped = F.least(F.greatest(conf, F.lit(0.0)), F.lit(1.0))
+    return (
+        F.when(F.length(text) == 0, 0.0)
+        .when(F.length(text) < 5, 0.5)
+        .otherwise(clamped)
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data text ops
+# --------------------------------------------------------------------------
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic (deterministic; padded-with-spaces occurrence counting).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+
+def occurrence_count(text: Column, token: str) -> Column:
+    """Count of ``token`` as a whitespace-delimited word, via the
+    length-difference trick (identical semantics in Spark and DuckDB —
+    regexp-free so both engines agree bytewise)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (training-data token accounting)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(_words(text))
+    ).cast("long")
+
+
+def bpe_ish_piece_count(text: Column) -> Column:
+    """A BPE-ish sub-token estimate: alnum runs + punctuation marks each count
+    as one piece, long alnum runs count ceil(len/4) pieces (a deterministic
+    stand-in for a real tokenizer, which cannot ship here)."""
+    pieces = F.split(F.trim(text), r"[^A-Za-z0-9]+")
+    alnum = F.aggregate(
+        F.transform(pieces, lambda p: F.ceil(F.length(p) / F.lit(4.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("long")
+    return (alnum + punct).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Document quality heuristic: mean of three [0,1] components —
+    length score (min(len/500, 1)), alpha ratio, stopword hit score
+    (min(stopword_hits/10, 1)). Deterministic and SQL-expressible."""
+    length_score = F.least(F.length(text) / 500.0, F.lit(1.0))
+    alpha_ratio = F.length(F.regexp_replace(text, LETTERS_RE, "")) / _total(text)
+    stop_hits = sum(occurrence_count(F.lower(text), t) for t in LANG_MARKERS["en"])
+    stop_score = F.least(stop_hits / 10.0, F.lit(1.0))
+    return F.when(F.length(text) == 0, 0.0).otherwise(
+        (length_score + alpha_ratio + stop_score) / 3.0
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-normalized text
+    (exact-dedup key)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")).cast("binary"))
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    lowered = F.lower(text)
+    return {
+        lang: sum(occurrence_count(lowered, t) for t in toks).cast("long")
+        for lang, toks in LANG_MARKERS.items()
+    }
+
+
+def langid_label(text: Column) -> Column:
+    """argmax language by stopword hits; ties -> lexicographic language order;
+    zero hits -> 'und'."""
+    scores = langid_scores(text)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang")) for lang in sorted(scores)]
+    )
+    max_score = F.array_max(F.transform(pairs, lambda p: p["score"]))
+    # ties pick the lexicographically-first language (pairs are lang-sorted)
+    first_best = F.filter(pairs, lambda p: p["score"] == max_score)[0]["lang"]
+    return F.when(max_score <= 0, F.lit("und")).otherwise(first_best)
+
+
+def documents_with_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full C1 confidence over the documents table: all four components as
+    native Catalyst expressions + the islands sub-plan for repetition."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    runs = repetition_run_lengths(docs, "doc_id", "text")
+    t = F.col("text")
+    joined = docs.join(runs, "doc_id")
+    char_s = char_frequency_score(t)
+    word_s = word_lengths_score(t)
+    ws_s = whitespace_score(t)
+    rep_s = repetition_score_from_run(F.col("longest_run"))
+    return joined.select(
+        "doc_id",
+        F.round(char_s, 9).alias("char_score"),
+        F.round(word_s, 9).alias("word_score"),
+        F.round(ws_s, 9).alias("ws_score"),
+        F.col("longest_run"),
+        F.round(rep_s, 9).alias("rep_score"),
+        F.round(combined_confidence(char_s, word_s, ws_s, rep_s, t), 9).alias("confidence"),
+    )

@@ -1,0 +1,649 @@
+"""The driver-contract query registry: every implemented operator from
+SURVEY.md §2 gets a ``QUERIES[name]`` entry (a ``(spark, sf_dir) ->
+DataFrame`` callable) and — when SQL-expressible — an ``ORACLES[name]`` ANSI
+SQL string DuckDB runs on the same parquet tables.
+
+Determinism rules for oracle parity (both engines must hash identically):
+
+* no floating-point *aggregation*: money/value sums are integerized per row
+  (``round(x*100) -> bigint``) before summing — exact and order-independent;
+  per-row double arithmetic is IEEE-identical across engines;
+* doubles that reach the output are ``round(x, 9)``-ed on both sides;
+* every ORDER-dependent result (top-k, window ranks) carries a unique
+  tiebreaker key;
+* timestamps are formatted to strings (Spark session is UTC; DuckDB is
+  UTC-naive).
+
+Queries over the synthetic pages corpus (extraction, multimodal) have no
+DuckDB oracle — the driver records rows-only checks for them; their strong
+correctness gate is the byte-identity pytest suite (tests/test_spark_*).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from ..operators import textstats as ts
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """Integerize money per row: exact, order-independent aggregation."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _corpus_docs_for(sf_dir: str) -> int:
+    if "sf0.1" in sf_dir:
+        return 20_000
+    if "sf0.01" in sf_dir:
+        return 2_000
+    return 500
+
+
+def _corpus_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures.gen_corpus import ensure_corpus
+
+    d = ensure_corpus(_corpus_docs_for(sf_dir))
+    return spark.read.parquet(f"{d}/pages.parquet")
+
+
+# shared DuckDB CTE: longest identical-char run per doc (C5 gaps-and-islands)
+_RUNS_CTE = r"""
+chars AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch,
+           generate_subscripts(regexp_split_to_array(text, ''), 1) AS i
+    FROM documents
+),
+nonws AS (
+    SELECT doc_id, ch, i FROM chars
+    WHERE ch <> '' AND NOT regexp_matches(ch, '^\s$')
+),
+islands AS (
+    SELECT doc_id, ch,
+           i - row_number() OVER (PARTITION BY doc_id, ch ORDER BY i) AS grp
+    FROM nonws
+),
+run_counts AS (
+    SELECT doc_id, ch, grp, count(*) AS run_len FROM islands GROUP BY 1, 2, 3
+),
+longest AS (
+    SELECT d.doc_id,
+           coalesce(r.longest_run, 0)::BIGINT AS longest_run
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, max(run_len) AS longest_run FROM run_counts GROUP BY 1) r
+      USING (doc_id)
+)
+"""
+
+# the C2/C3/C4 component expressions as DuckDB SQL (ASCII classes — the same
+# regexes the Spark side uses; see operators/textstats.py)
+_CHAR_SCORE_SQL = r"""(
+    (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s!-/:-@\[-`{-~]', '', 'g'))::DOUBLE
+                 / length(text) * 10.0, 1.0)) * 0.6
+  + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / length(text) * 1.5, 1.0) * 0.4
+)"""
+
+_WORD_SCORE_SQL = r"""(
+    (CASE
+       WHEN floor(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+                  / len(regexp_split_to_array(trim(text), '\s+'))) <= 1 THEN 0.3
+       WHEN floor(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+                  / len(regexp_split_to_array(trim(text), '\s+'))) <= 3 THEN 0.7
+       WHEN floor(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+                  / len(regexp_split_to_array(trim(text), '\s+'))) <= 8 THEN 1.0
+       WHEN floor(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+                  / len(regexp_split_to_array(trim(text), '\s+'))) <= 12 THEN 0.8
+       ELSE 0.4
+     END)
+  * (1.0 - least(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) = 1))::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\s+')) * 1.5, 0.5))
+)"""
+
+_WS_SCORE_SQL = r"""(
+    CASE
+      WHEN floor((length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE
+                 / length(text) * 100.0) <= 5 THEN 0.5
+      WHEN floor((length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE
+                 / length(text) * 100.0) <= 10 THEN 0.8
+      WHEN floor((length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE
+                 / length(text) * 100.0) <= 25 THEN 1.0
+      WHEN floor((length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE
+                 / length(text) * 100.0) <= 40 THEN 0.7
+      ELSE 0.3
+    END
+)"""
+
+_REP_SCORE_SQL = """(
+    CASE WHEN longest_run <= 3 THEN 1.0
+         WHEN longest_run <= 5 THEN 0.8
+         WHEN longest_run <= 10 THEN 0.5
+         ELSE 0.2 END
+)"""
+
+
+def _stop_count_sql(token: str, expr: str = "lower(text)") -> str:
+    needle = f" {token} "
+    return (
+        f"cast((length(' ' || {expr} || ' ') - "
+        f"length(replace(' ' || {expr} || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# confidence / scalar-function queries (SURVEY.md §2.5, C1-C5)
+# ---------------------------------------------------------------------------
+
+
+def q_conf_char_frequency(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(ts.char_frequency_score(F.col("text")), 9).alias("char_score")
+    )
+
+
+def q_conf_word_lengths(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(ts.word_lengths_score(F.col("text")), 9).alias("word_score")
+    )
+
+
+def q_conf_whitespace(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(ts.whitespace_score(F.col("text")), 9).alias("ws_score")
+    )
+
+
+def q_conf_repetition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    runs = ts.repetition_run_lengths(docs, "doc_id", "text")
+    return runs.select(
+        "doc_id",
+        "longest_run",
+        F.round(ts.repetition_score_from_run(F.col("longest_run")), 9).alias("rep_score"),
+    )
+
+
+def q_conf_full(spark, sf_dir):
+    return ts.documents_with_confidence(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# training-data text ops
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        ts.bpe_ish_piece_count(F.col("text")).alias("n_pieces"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(ts.quality_score(F.col("text")), 9).alias("quality")
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scores = ts.langid_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        ts.langid_label(F.col("text")).alias("lang_pred"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint, keep the
+    lowest doc_id (training-data dedup op #1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").cast("long").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (SURVEY.md §2.6 category table)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """Hash aggregation, partial+final (TPC-H Q1 shape). Money integerized."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc)).alias("sum_disc_cents"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_join_broadcast_revenue(spark, sf_dir):
+    """Broadcast hash join: small dims (nation, customer) broadcast into
+    orders (engine-comparison join analog, SURVEY.md §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+def q_join_anti_resume(spark, sf_dir):
+    """Left-anti join — the checkpoint/resume primitive (SURVEY.md §2.6
+    semi/anti row): customers with no orders = 'pending work'."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    """Left-semi join: nations that have at least one supplier with positive
+    account balance."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    return nation.join(
+        supp, nation.n_nationkey == supp.s_nationkey, "left_semi"
+    ).select("n_nationkey", "n_name")
+
+
+def q_window_top_order_per_customer(spark, sf_dir):
+    """Window function: row_number per customer, deterministic tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            _cents(F.col("o_totalprice")).alias("top_price_cents"),
+        )
+    )
+
+
+def q_minmax_by_event_type(spark, sf_dir):
+    """min_by/max_by aggregates — the rake `compare` summary analog
+    (`lib/activestorage/ocr/railtie.rb:133-137`): per event_type, the event id
+    with min/max value (unique (value, event_id) tiebreak)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.min_by("event_id", key).alias("min_event_id"),
+        F.max_by("event_id", key).alias("max_event_id"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_cube_doc_metrics(spark, sf_dir):
+    """CUBE grouping sets — the job-metrics report shape (SURVEY.md §2.6)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q_set_ops_docs(spark, sf_dir):
+    """UNION DISTINCT then EXCEPT DISTINCT (quarantine/lineage merge shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") == "src1").select("doc_id")
+    b = docs.filter(F.col("source") == "src2").select("doc_id")
+    c = docs.filter(F.col("n_chars") < 150).select("doc_id")
+    return a.union(b).distinct().subtract(c)
+
+
+def q_sort_topk_docs(spark, sf_dir):
+    """Global sort + limit with unique tiebreak (top-k report shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming hourly
+    rollup): counts + integerized value sums per hour x event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum(_cents(F.col("value"))).alias("value_cents"))
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Session windows (gap > 30 min) via lag + running sum — the stateful
+    sessionization pattern in batch form."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = sess.withColumn("session_no", F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction-domain queries (rows-only: pages corpus is not a DuckDB view;
+# the byte-identity pytest suite is their correctness gate)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_flagship(spark, sf_dir):
+    from ..fixtures.gen_corpus import TEST_MAX_BYTES
+    from ..operators.extraction import extract_pages
+
+    pages = _corpus_pages(spark, sf_dir)
+    return extract_pages(pages, max_bytes=TEST_MAX_BYTES).select(
+        "url", "mime", "extracted_text", "confidence", "engine", "status"
+    )
+
+
+def q_extract_quarantine(spark, sf_dir):
+    from ..fixtures.gen_corpus import TEST_MAX_BYTES
+    from ..operators.extraction import extract_pages, split_quarantine
+
+    pages = _corpus_pages(spark, sf_dir)
+    _, quarantined = split_quarantine(extract_pages(pages, max_bytes=TEST_MAX_BYTES))
+    return quarantined.select("url", "mime", "status", "error_code", "warnings")
+
+
+def q_extract_metrics(spark, sf_dir):
+    from ..fixtures.gen_corpus import TEST_MAX_BYTES
+    from ..operators.extraction import extract_pages
+
+    pages = _corpus_pages(spark, sf_dir)
+    out = extract_pages(pages, max_bytes=TEST_MAX_BYTES)
+    return out.groupBy("mime", "status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars_out").alias("sum_chars"),
+        F.sum("n_bytes").alias("sum_bytes"),
+    )
+
+
+def q_extract_compare_engines(spark, sf_dir):
+    """Entry point C (SURVEY.md §3.3): run both engines, join on url,
+    min_by/max_by summary."""
+    from ..fixtures.gen_corpus import TEST_MAX_BYTES
+    from ..operators.extraction import extract_pages
+
+    pages = _corpus_pages(spark, sf_dir)
+    a = extract_pages(pages, engine="pixelocr", max_bytes=TEST_MAX_BYTES).select(
+        "url", F.col("confidence").alias("conf_default"), F.col("status").alias("status_default")
+    )
+    b = extract_pages(pages, engine="pixelocr-alt", max_bytes=TEST_MAX_BYTES).select(
+        "url", F.col("confidence").alias("conf_alt"), F.col("status").alias("status_alt")
+    )
+    return (
+        a.join(b, "url")
+        .withColumn("agree", (F.col("status_default") == F.col("status_alt")).cast("int"))
+        .groupBy("status_default")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("agree").alias("n_agree"),
+            F.round(F.avg("conf_default"), 6).alias("avg_conf_default"),
+            F.round(F.avg("conf_alt"), 6).alias("avg_conf_alt"),
+        )
+    )
+
+
+QUERIES = {
+    "conf_char_frequency": q_conf_char_frequency,
+    "conf_word_lengths": q_conf_word_lengths,
+    "conf_whitespace": q_conf_whitespace,
+    "conf_repetition": q_conf_repetition,
+    "conf_full": q_conf_full,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_broadcast_revenue": q_join_broadcast_revenue,
+    "join_anti_resume": q_join_anti_resume,
+    "join_semi": q_join_semi,
+    "window_top_order_per_customer": q_window_top_order_per_customer,
+    "minmax_by_event_type": q_minmax_by_event_type,
+    "cube_doc_metrics": q_cube_doc_metrics,
+    "set_ops_docs": q_set_ops_docs,
+    "sort_topk_docs": q_sort_topk_docs,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "extract_flagship": q_extract_flagship,
+    "extract_quarantine": q_extract_quarantine,
+    "extract_metrics": q_extract_metrics,
+    "extract_compare_engines": q_extract_compare_engines,
+}
+
+
+ORACLES = {
+    "conf_char_frequency": f"""
+        SELECT doc_id, round({_CHAR_SCORE_SQL}::DOUBLE, 9) AS char_score FROM documents
+    """,
+    "conf_word_lengths": f"""
+        SELECT doc_id, round({_WORD_SCORE_SQL}::DOUBLE, 9) AS word_score FROM documents
+    """,
+    "conf_whitespace": f"""
+        SELECT doc_id, round({_WS_SCORE_SQL}::DOUBLE, 9) AS ws_score FROM documents
+    """,
+    "conf_repetition": f"""
+        WITH {_RUNS_CTE}
+        SELECT doc_id, longest_run,
+               round({_REP_SCORE_SQL}::DOUBLE, 9) AS rep_score
+        FROM longest
+    """,
+    "conf_full": f"""
+        WITH {_RUNS_CTE},
+        parts AS (
+            SELECT d.doc_id,
+                   {_CHAR_SCORE_SQL}::DOUBLE AS char_s,
+                   {_WORD_SCORE_SQL}::DOUBLE AS word_s,
+                   {_WS_SCORE_SQL}::DOUBLE AS ws_s,
+                   l.longest_run,
+                   {_REP_SCORE_SQL}::DOUBLE AS rep_s,
+                   length(d.text) AS n
+            FROM documents d JOIN longest l USING (doc_id)
+        )
+        SELECT doc_id,
+               round(char_s, 9) AS char_score,
+               round(word_s, 9) AS word_score,
+               round(ws_s, 9) AS ws_score,
+               longest_run,
+               round(rep_s, 9) AS rep_score,
+               round(CASE WHEN n = 0 THEN 0.0
+                          WHEN n < 5 THEN 0.5
+                          ELSE least(greatest(char_s * 0.4 + word_s * 0.3 + ws_s * 0.15 + rep_s * 0.15, 0.0), 1.0)
+                     END, 9) AS confidence
+        FROM parts
+    """,
+    "text_tokens": r"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+               (list_sum(list_transform(regexp_split_to_array(trim(text), '[^A-Za-z0-9]+'),
+                                        x -> cast(ceil(length(x) / 4.0) AS BIGINT)))
+                + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')))::BIGINT AS n_pieces,
+               length(text)::BIGINT AS n_chars_actual
+        FROM documents
+    """,
+    "text_quality": rf"""
+        SELECT doc_id,
+               round(CASE WHEN length(text) = 0 THEN 0.0 ELSE (
+                   least(length(text) / 500.0, 1.0)
+                 + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)::DOUBLE
+                 + least(({_stop_count_sql('the')} + {_stop_count_sql('and')} + {_stop_count_sql('of')}
+                          + {_stop_count_sql('to')} + {_stop_count_sql('in')}) / 10.0, 1.0)
+               ) / 3.0 END::DOUBLE, 9) AS quality
+        FROM documents
+    """,
+    "text_langid": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   ({_stop_count_sql('der')} + {_stop_count_sql('die')} + {_stop_count_sql('und')}
+                    + {_stop_count_sql('das')} + {_stop_count_sql('ist')})::BIGINT AS score_de,
+                   ({_stop_count_sql('the')} + {_stop_count_sql('and')} + {_stop_count_sql('of')}
+                    + {_stop_count_sql('to')} + {_stop_count_sql('in')})::BIGINT AS score_en,
+                   ({_stop_count_sql('el')} + {_stop_count_sql('la', 'lower(text)')} + {_stop_count_sql('los')}
+                    + {_stop_count_sql('que')} + {_stop_count_sql('es')})::BIGINT AS score_es,
+                   ({_stop_count_sql('le')} + {_stop_count_sql('la', 'lower(text)')} + {_stop_count_sql('les')}
+                    + {_stop_count_sql('et')} + {_stop_count_sql('est')})::BIGINT AS score_fr
+            FROM documents
+        )
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+                    WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    """,
+    "text_fingerprint": r"""
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    "dedup_exact": r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keeper_id, count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(cast(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+               sum(cast(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS sum_base_cents,
+               sum(cast(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT))::BIGINT AS sum_disc_cents,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "join_broadcast_revenue": """
+        SELECT c_mktsegment, n_name, count(*) AS n_orders,
+               sum(cast(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS total_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
+    "join_anti_resume": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_semi": """
+        SELECT n_nationkey, n_name FROM nation
+        WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey AND s_acctbal > 0)
+    """,
+    "window_top_order_per_customer": """
+        SELECT o_custkey, o_orderkey AS top_orderkey,
+               cast(round(o_totalprice * 100, 0) AS BIGINT) AS top_price_cents
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "minmax_by_event_type": """
+        WITH ranked AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn_min,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn_max,
+                   count(*) OVER (PARTITION BY event_type) AS n_events
+            FROM events
+        )
+        SELECT event_type,
+               max(CASE WHEN rn_min = 1 THEN event_id END) AS min_event_id,
+               max(CASE WHEN rn_max = 1 THEN event_id END) AS max_event_id,
+               max(n_events)::BIGINT AS n_events
+        FROM ranked GROUP BY 1
+    """,
+    "cube_doc_metrics": """
+        SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY CUBE (lang, source)
+    """,
+    "set_ops_docs": """
+        (SELECT doc_id FROM documents WHERE source = 'src1'
+         UNION
+         SELECT doc_id FROM documents WHERE source = 'src2')
+        EXCEPT
+        SELECT doc_id FROM documents WHERE n_chars < 150
+    """,
+    "sort_topk_docs": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """,
+    "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+               count(*) AS n,
+               sum(cast(round(value * 100, 0) AS BIGINT))::BIGINT AS value_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+            FROM gaps
+        )
+        SELECT user_id, session_no, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec
+        FROM sess GROUP BY 1, 2
+    """,
+}

@@ -1,0 +1,49 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+Defaults chosen for the 100 TB target (SURVEY.md §4.2), applied identically in
+tests/bench so measured plans match shipped plans:
+
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+* Arrow execution on, ``maxRecordsPerBatch`` kept small because page rows are
+  MB-sized (a 10k-row default batch of 50 MB pages would be 500 GB);
+* session timezone pinned UTC (DuckDB oracle comparison; pyspark guide
+  pitfall);
+* shuffle partitions sized to cores for local runs — on a real cluster this
+  is set to ~2-3x total cores via spark-submit conf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    master: str = "local[*]",
+    app_name: str = "activestorage-ocr-spark",
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = 256,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if shuffle_partitions is None:
+        # local[N] -> N; local[*] / cluster -> leave for AQE to coalesce
+        shuffle_partitions = 0
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = int(master[6:-1])
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,104 @@
+"""End-to-end byte-identity test: Spark pipeline output == single-node oracle
+goldens, per url, bytewise (the north-rule invariant; BASELINE.json:6)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from activestorage_ocr_spark.operators.extraction import (
+    extract_pages,
+    split_quarantine,
+)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, corpus_dir_200):
+    pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
+    out = extract_pages(pages, max_bytes=262_144, repartition=8).cache()
+    yield out
+    out.unpersist()
+
+
+class TestByteIdentity:
+    def test_every_url_exactly_once(self, extracted, spark, corpus_dir_200):
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
+        assert extracted.count() == pages.count() == 200
+        assert extracted.select("url").distinct().count() == 200
+
+    def test_byte_identical_text_per_url(self, extracted, spark, corpus_dir_200):
+        golden = spark.read.parquet(f"{corpus_dir_200}/goldens.parquet")
+        joined = (
+            extracted.alias("e")
+            .join(F.broadcast(golden.alias("g")), "url", "inner")
+            .select(
+                "url",
+                F.col("e.extracted_text").alias("got"),
+                F.col("g.extracted_text").alias("want"),
+            )
+        )
+        assert joined.count() == 200
+        mismatches = joined.filter(
+            ~(F.col("got").eqNullSafe(F.col("want")))
+        ).collect()
+        assert mismatches == [], f"text mismatch for urls: {[r.url for r in mismatches][:5]}"
+
+    def test_full_row_identity_excluding_timings(self, extracted, spark, corpus_dir_200):
+        golden = spark.read.parquet(f"{corpus_dir_200}/goldens.parquet")
+        cols = ["mime", "extracted_text", "confidence", "engine", "status", "error_code", "warnings", "spans"]
+        e = extracted.select("url", *cols)
+        g = golden.select("url", *cols)
+        # exceptAll both ways == empty -> exact multiset identity
+        assert e.exceptAll(g).count() == 0
+        assert g.exceptAll(e).count() == 0
+
+    def test_quarantine_split_accounts_for_all_rows(self, extracted):
+        ok, quarantined = split_quarantine(extracted)
+        assert ok.count() + quarantined.count() == 200
+        bad = {r.status for r in quarantined.select("status").distinct().collect()}
+        assert bad <= {"PROCESSING_ERROR", "IMAGE_TOO_LARGE", "UNSUPPORTED_FORMAT", "INVALID_REQUEST"}
+        assert quarantined.filter(F.col("error_code").isNull()).count() == 0
+
+    def test_statuses_cover_error_corpus(self, extracted):
+        statuses = {r.status for r in extracted.select("status").distinct().collect()}
+        assert {"ok", "empty", "PROCESSING_ERROR", "IMAGE_TOO_LARGE", "UNSUPPORTED_FORMAT", "INVALID_REQUEST"} <= statuses
+
+    def test_all_mimes_routed(self, extracted):
+        mimes = {r.mime for r in extracted.select("mime").distinct().collect()}
+        assert {"text/html", "application/pdf", "image/png", "image/jpeg", "image/gif",
+                "image/bmp", "image/webp", "image/tiff"} <= mimes
+
+    def test_lineage_columns_present(self, extracted):
+        row = extracted.filter(F.col("status") == "ok").select("partition_id", "n_bytes", "chars_out").first()
+        assert row.partition_id >= 0
+        assert row.n_bytes > 0
+        assert row.chars_out > 0
+
+    def test_determinism_two_runs(self, spark, corpus_dir_200):
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
+        a = extract_pages(pages, max_bytes=262_144, repartition=4)
+        b = extract_pages(pages, max_bytes=262_144, repartition=8)  # different layout
+        cols = ["url", "extracted_text", "confidence", "status"]
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+
+
+class TestPlanShape:
+    def test_scan_prunes_to_needed_columns(self, spark, corpus_dir_200):
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
+        plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+        # the parquet scan must not read the unused `text` column
+        assert "ReadSchema" in plan
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert read_cols == {"url", "warc_ts", "html", "lang"}
+
+    def test_exactly_one_shuffle(self, spark, corpus_dir_200):
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
+        plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+    def test_no_shuffle_when_skew_handling_off(self, spark, corpus_dir_200):
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
+        plan = extract_pages(pages, skew_handling=False)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
