@@ -1,0 +1,75 @@
+"""Multimodal column plumbing: treat image payloads as opaque binary with
+typed metadata, decoded inside Arrow-batched kernels (the task-brief pattern
+for image/audio/video at 100 TB: schema + partitioning + batch shape are real;
+codecs that can't ship in this sandbox are clearly-marked stubs).
+
+Decoders: PNG/BMP/TIFF/GIF are real pure-Python codecs; JPEG/WEBP carry the
+raster in a documented stub container (engine/rasters.py). A payload a real
+crawler would hold (true DCT JPEG) lands in the ``decode_error`` column rather
+than killing the job — same quarantine posture as the extraction pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+IMAGE_META_SCHEMA = (
+    "url string, mime string, width int, height int, n_pixels bigint, "
+    "ink_ratio double, decoder string, decode_error string"
+)
+
+_STUB_MIMES = {"image/jpeg", "image/webp"}
+
+
+def _meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from ..engine import mime as mimex, rasters
+
+    out_schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("mime", pa.string()),
+            pa.field("width", pa.int32()),
+            pa.field("height", pa.int32()),
+            pa.field("n_pixels", pa.int64()),
+            pa.field("ink_ratio", pa.float64()),
+            pa.field("decoder", pa.string()),
+            pa.field("decode_error", pa.string()),
+        ]
+    )
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        rows = {f.name: [] for f in out_schema}
+        for u, payload in zip(urls, payloads):
+            m = mimex.sniff_mime(payload or b"")
+            if m not in mimex.IMAGE_MIMES:
+                continue
+            rows["url"].append(u)
+            rows["mime"].append(m)
+            rows["decoder"].append("stub" if m in _STUB_MIMES else "real")
+            try:
+                gray = rasters.decode_image(payload, m)
+                h, w = gray.shape
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["ink_ratio"].append(round(float((gray < 128).mean()), 6))
+                rows["decode_error"].append(None)
+            except (ValueError, Exception) as e:  # noqa: BLE001 quarantine posture
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["n_pixels"].append(None)
+                rows["ink_ratio"].append(None)
+                rows["decode_error"].append(f"{type(e).__name__}: {e}")
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(rows[f.name], type=f.type) for f in out_schema], schema=out_schema
+        )
+
+
+def image_metadata(pages: DataFrame) -> DataFrame:
+    """(url, html) -> typed image metadata for image-sniffed payloads."""
+    proj = pages.select("url", "html")
+    return proj.mapInArrow(_meta_kernel, IMAGE_META_SCHEMA)

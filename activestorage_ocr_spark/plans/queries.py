@@ -647,3 +647,245 @@ ORACLES = {
         FROM sess GROUP BY 1, 2
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# batch 2: dedup (MinHash/LSH, SimHash, Jaccard) + similarity search
+# ---------------------------------------------------------------------------
+
+from ..operators import dedup as dd  # noqa: E402
+from ..operators import similarity as sim  # noqa: E402
+
+#: deterministic near-duplicate injection so dedup operators demonstrably
+#: fire on the random-text documents corpus: docs with doc_id < 50 get a
+#: mutated copy (one appended token) at doc_id + 1_000_000.
+_NEARDUP_SQL_CTE = """
+docs_nd AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+    FROM documents WHERE doc_id < 50
+)
+"""
+
+
+def _docs_with_neardups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        )
+    )
+    return docs.unionByName(mutated)
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures (k=3 word shingles, 4 md5 min-hashes)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.minhash_signature(docs, "doc_id", "text", k=3, n_hashes=4)
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (2 bands x 2 rows) over the corpus with
+    injected near-duplicates — the scale path for fuzzy dedup."""
+    return dd.lsh_candidate_pairs(
+        _docs_with_neardups(spark, sf_dir), "doc_id", "text", k=3, n_hashes=4, bands=2
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """Per-doc 16-bit SimHash signature."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.simhash_bits(docs, "doc_id", "text")
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verification over the near-dup-injected corpus."""
+    return dd.ngram_jaccard_pairs(
+        _docs_with_neardups(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    )
+
+
+def q_emb_norms(spark, sf_dir):
+    """Embedding feature stats (dim, L2 norm, mean) via higher-order fns."""
+    return sim.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for probe vectors (vec_id < 10)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-3 for the same probes (the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_bucketed_topk(emb, F.col("vec_id") < 10, k=3)
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    """Embedding cosine near-dup pairs (threshold 0.4 — exact verifier)."""
+    return sim.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), 0.4)
+
+
+def q_multimodal_image_meta(spark, sf_dir):
+    """Multimodal plumbing: decode image payloads to typed metadata
+    (width/height/n_pixels) inside the Arrow kernel. Real decoders for
+    PNG/BMP/TIFF/GIF; documented stubs for JPEG/WEBP (rows-only check)."""
+    from ..operators.multimodal import image_metadata
+
+    pages = _corpus_pages(spark, sf_dir)
+    return image_metadata(pages)
+
+
+QUERIES.update(
+    {
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "emb_norms": q_emb_norms,
+        "sim_topk": q_sim_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "emb_neardup_pairs": q_emb_neardup_pairs,
+        "multimodal_image_meta": q_multimodal_image_meta,
+    }
+)
+
+# shared shingle CTE (k=3, distinct) over a docs relation named in `rel`
+def _shingle_cte(rel: str) -> str:
+    return rf"""
+words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM {rel}),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+                ELSE array_to_string(w, ' ') END AS shingle
+    FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+)
+"""
+
+
+_MINHASH_AGG = ", ".join(
+    f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(4)
+)
+
+_SIMHASH_VOTES = ", ".join(
+    "sum(CASE WHEN substr(md5(tok), {i}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS v_{j}".format(i=i + 1, j=i)
+    for i in range(16)
+)
+_SIMHASH_BITS = " || ".join(
+    f"CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
+)
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+)
+
+_LSH_BUCKET_SQL = " || ".join(
+    f"CASE WHEN {{v}}[{(i * 7) % 64 + 1}] > {{v}}[{(i * 13 + 1) % 64 + 1}] THEN '1' ELSE '0' END"
+    for i in range(6)
+)
+
+
+ORACLES.update(
+    {
+        "dedup_minhash_sig": f"""
+            WITH {_shingle_cte('documents')}
+            SELECT doc_id, {_MINHASH_AGG} FROM sh GROUP BY doc_id
+        """,
+        "dedup_lsh_pairs": f"""
+            WITH {_NEARDUP_SQL_CTE}, {_shingle_cte('docs_nd')},
+            sig AS (SELECT doc_id, {_MINHASH_AGG} FROM sh GROUP BY doc_id),
+            buckets AS (
+                SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ),
+            votes AS (
+                SELECT doc_id, {_SIMHASH_VOTES}
+                FROM toks WHERE tok <> '' GROUP BY doc_id
+            )
+            SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM votes
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH {_NEARDUP_SQL_CTE}, {_shingle_cte('docs_nd')},
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter::DOUBLE / (sa.n_shingles + sb.n_shingles - n_inter), 9) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(n_inter::DOUBLE / (sa.n_shingles + sb.n_shingles - n_inter), 9) >= 0.5
+        """,
+        "emb_norms": f"""
+            SELECT vec_id, len(embedding)::BIGINT AS dim,
+                   round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                         i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 6) AS l2_norm,
+                   round(list_sum(list_transform(generate_series(1, len(embedding)),
+                         i -> embedding[i]::DOUBLE)) / len(embedding), 6) AS mean_val
+            FROM embeddings
+        """,
+        "sim_topk": f"""
+            WITH sims AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                       round({_COS_SQL.format(a='p.embedding', b='c.embedding')}, 6) AS cos_sim
+                FROM embeddings p, embeddings c
+                WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM sims
+            )
+            SELECT probe_id, neighbor_id, rank::BIGINT AS rank, cos_sim
+            FROM ranked WHERE rank <= 5
+        """,
+        "sim_ann_lsh": f"""
+            WITH wb AS (
+                SELECT vec_id, embedding,
+                       {_LSH_BUCKET_SQL.format(v='embedding')} AS bucket
+                FROM embeddings
+            ),
+            sims AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                       round({_COS_SQL.format(a='p.embedding', b='c.embedding')}, 6) AS cos_sim
+                FROM wb p JOIN wb c ON p.bucket = c.bucket
+                WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM sims
+            )
+            SELECT probe_id, neighbor_id, rank::BIGINT AS rank, cos_sim
+            FROM ranked WHERE rank <= 3
+        """,
+        "emb_neardup_pairs": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+        """,
+    }
+)

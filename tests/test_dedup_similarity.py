@@ -1,0 +1,147 @@
+"""Unit tests: dedup operators (exact / MinHash+LSH / SimHash / Jaccard) and
+similarity search (brute-force + LSH-bucketed) on controlled fixtures."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from activestorage_ocr_spark.operators import dedup as dd
+from activestorage_ocr_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup of 1
+        (4, "completely different text about spark shuffle partitions and skew handling"),
+        (5, "another unrelated document mentioning arrow batches and kernels only"),
+        (6, "  the   quick brown fox jumps over the lazy dog near the river bank today "),  # ws-variant dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_exact_groups(self, docs):
+        out = dd.exact_duplicates(docs, "doc_id", "text").collect()
+        by_keeper = {r.keeper_id: r.n_copies for r in out}
+        # 1, 2 and the whitespace-variant 6 share a normalized fingerprint
+        assert by_keeper[1] == 3
+        assert by_keeper[3] == 1
+        assert by_keeper[4] == 1
+
+
+class TestMinHashLSH:
+    def test_signature_shape_and_determinism(self, docs):
+        sig = dd.minhash_signature(docs, "doc_id", "text", n_hashes=8)
+        rows = {r.doc_id: r for r in sig.collect()}
+        assert len(rows) == 6
+        # exact dups share full signatures
+        for i in range(8):
+            assert rows[1][f"mh_{i}"] == rows[2][f"mh_{i}"]
+        # md5 hex strings
+        assert len(rows[1]["mh_0"]) == 32
+
+    def test_lsh_finds_near_dups_not_unrelated(self, docs):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in dd.lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4).collect()
+        }
+        assert (1, 2) in pairs  # exact dup always a candidate
+        assert (1, 3) in pairs  # near dup shares most shingles -> some band
+        assert (4, 5) not in pairs  # unrelated docs do not collide
+
+
+class TestSimHash:
+    def test_bits_shape(self, docs):
+        rows = {r.doc_id: r.simhash for r in dd.simhash_bits(docs, "doc_id", "text").collect()}
+        assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in rows.values())
+        assert rows[1] == rows[2]
+
+    def test_near_pairs_by_hamming(self, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=2).collect()}
+        assert pairs[(1, 2)] == 0
+        assert (4, 5) not in pairs
+
+
+class TestJaccard:
+    def test_jaccard_values(self, docs):
+        out = {(r.id_a, r.id_b): r.jaccard for r in
+               dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+        assert out[(1, 2)] == 1.0
+        assert 0.5 < out[(1, 3)] < 1.0
+        assert (4, 5) not in out
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        # clusters of 4 nearly-identical vectors around 10 distinct centroids
+        base = [math.sin(0.1 * (i // 4 + 1) * (d + 1)) for d in range(8)]
+        jitter = [(1e-3 if (i % 4) else 0.0) * ((d + i) % 3) for d in range(8)]
+        rows.append((i, [float(b + j) for b, j in zip(base, jitter)], i % 4))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+class TestSimilarity:
+    def test_norms(self, vectors):
+        out = sim.embedding_norms(vectors).collect()
+        assert all(r.dim == 8 for r in out)
+        assert all(r.l2_norm >= 0 for r in out)
+
+    def test_brute_force_finds_cluster_mates(self, vectors):
+        top = sim.brute_force_topk(vectors, F.col("vec_id") < 4, k=3)
+        by_probe = {}
+        for r in top.collect():
+            by_probe.setdefault(r.probe_id, []).append(r.neighbor_id)
+        # probes 0-3 are one cluster; top-3 neighbors are the other cluster members
+        for p, neigh in by_probe.items():
+            assert set(neigh) == {x for x in range(4) if x != p}
+            assert len(neigh) == 3
+
+    def test_rank_deterministic(self, vectors):
+        a = sim.brute_force_topk(vectors, F.col("vec_id") < 4, k=3).collect()
+        b = sim.brute_force_topk(vectors, F.col("vec_id") < 4, k=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_lsh_bucketed_is_ordered_and_bounded(self, vectors):
+        out = sim.lsh_bucketed_topk(vectors, F.col("vec_id") < 8, k=3).collect()
+        assert out, "expected at least one bucketed neighbor"
+        by_probe = {}
+        for r in out:
+            by_probe.setdefault(r.probe_id, []).append((r.rank, r.cos_sim, r.neighbor_id))
+        brute = {
+            (r.probe_id, r.neighbor_id): r.cos_sim
+            for r in sim.brute_force_topk(vectors, F.col("vec_id") < 8, k=39).collect()
+        }
+        for p, rows in by_probe.items():
+            rows.sort()
+            assert len(rows) <= 3
+            sims = [s for _, s, _ in rows]
+            assert sims == sorted(sims, reverse=True)  # ranked desc
+            # every ANN sim agrees with the exact brute-force sim for that pair
+            for _, s, n in rows:
+                assert brute[(p, n)] == s
+
+    def test_near_dup_pairs_threshold(self, vectors):
+        pairs = sim.cosine_near_dup_pairs(vectors, 0.99999)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        # all intra-cluster pairs are near-identical
+        assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= got
+
+    def test_zero_vector_does_not_kill_job(self, spark):
+        # a degenerate (all-zero) embedding must produce sim 0.0, not a
+        # DIVIDE_BY_ZERO job failure (Spark 4 ANSI mode)
+        df = spark.createDataFrame(
+            [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 1e-6, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = sim.brute_force_topk(df, F.col("vec_id") == 0, k=2).collect()
+        assert [r.cos_sim for r in out] == [0.0, 0.0]
+        pairs = {(r.id_a, r.id_b): r.cos_sim for r in sim.cosine_near_dup_pairs(df, 0.5).collect()}
+        assert (1, 2) in pairs and (0, 1) not in pairs
