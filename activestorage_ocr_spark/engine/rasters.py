@@ -221,14 +221,18 @@ def _match_glyph(glyph: np.ndarray, scale: int) -> str | None:
     gw = max(1, round(w / scale))
     if h < gh or gh * scale != h:
         return None
-    # block-majority downsample to gh x gw
-    ys = (np.arange(gh + 1) * h // gh).astype(int)
-    xs = (np.arange(gw + 1) * w // gw).astype(int)
-    cells = np.zeros((gh, gw), dtype=bool)
-    for i in range(gh):
-        for j in range(gw):
-            block = glyph[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
-            cells[i, j] = block.mean() >= 0.5
+    if gw * scale == w:
+        # exact-multiple fast path: one vectorized block-mean (hot path —
+        # the per-cell loop was ~1200 numpy calls per glyph run)
+        cells = glyph.reshape(gh, scale, gw, scale).mean(axis=(1, 3)) >= 0.5
+    else:
+        ys = (np.arange(gh + 1) * h // gh).astype(int)
+        xs = (np.arange(gw + 1) * w // gw).astype(int)
+        cells = np.zeros((gh, gw), dtype=bool)
+        for i in range(gh):
+            for j in range(gw):
+                block = glyph[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+                cells[i, j] = block.mean() >= 0.5
     key = cells.tobytes() + bytes([gw])
     return _DECODE_TABLE.get(key)
 

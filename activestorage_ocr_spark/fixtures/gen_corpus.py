@@ -275,6 +275,57 @@ def generate_goldens(
     return pa.Table.from_pylist(rows, schema=GOLDEN_SCHEMA)
 
 
+def _chunk_rows(args: tuple) -> tuple[list[dict], list[dict]]:
+    """Worker: pages rows + golden rows for i in [lo, hi) (process-pool unit)."""
+    lo, hi, seed, max_bytes, engine, preset = args
+    pages = []
+    goldens = []
+    for i in range(lo, hi):
+        pages.append(make_row(seed, i, max_bytes))
+        payload = make_payload(seed, i, max_bytes)
+        r = extract_document(payload, engine=engine, preset=preset, max_bytes=max_bytes)
+        goldens.append(
+            {
+                "url": doc_url(seed, i),
+                "mime": r["mime"],
+                "extracted_text": r["extracted_text"],
+                "confidence": r["confidence"],
+                "engine": r["engine"],
+                "status": r["status"],
+                "error_code": r["error_code"],
+                "warnings": r["warnings"],
+                "spans": [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]],
+            }
+        )
+    return pages, goldens
+
+
+def generate_corpus_parallel(
+    n: int,
+    seed: int = 42,
+    max_bytes: int = TEST_MAX_BYTES,
+    engine: str = "pixelocr",
+    preset: str = "minimal",
+    workers: int = 16,
+) -> tuple[pa.Table, pa.Table]:
+    """Deterministic corpus generation fanned out over a process pool (every
+    row is a pure function of (seed, i), so chunking changes nothing)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    step = max(64, (n + workers - 1) // workers)
+    chunks = [(lo, min(lo + step, n), seed, max_bytes, engine, preset) for lo in range(0, n, step)]
+    pages_rows: list[dict] = []
+    golden_rows: list[dict] = []
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        for pages, goldens in pool.map(_chunk_rows, chunks):
+            pages_rows.extend(pages)
+            golden_rows.extend(goldens)
+    return (
+        pa.Table.from_pylist(pages_rows, schema=PAGES_SCHEMA),
+        pa.Table.from_pylist(golden_rows, schema=GOLDEN_SCHEMA),
+    )
+
+
 def corpus_dir(
     n: int,
     seed: int = 42,
@@ -293,8 +344,11 @@ def ensure_corpus(
     engine: str = "pixelocr",
     preset: str = "minimal",
     base: str = "/tmp/asos_spark_corpus",
+    workers: int | None = None,
 ) -> str:
-    """Write (once, cached) pages.parquet + goldens.parquet; returns the dir."""
+    """Write (once, cached) pages.parquet + goldens.parquet; returns the dir.
+    ``workers`` fans generation out over a process pool (identical output —
+    every row is a pure function of (seed, i))."""
     d = corpus_dir(n, seed, max_bytes, engine, preset, base)
     pages_path = os.path.join(d, "pages.parquet")
     goldens_path = os.path.join(d, "goldens.parquet")
@@ -302,8 +356,30 @@ def ensure_corpus(
     if os.path.exists(done):
         return d
     os.makedirs(d, exist_ok=True)
-    pq.write_table(generate_pages(n, seed, max_bytes), pages_path, compression="zstd")
-    pq.write_table(generate_goldens(n, seed, max_bytes, engine, preset), goldens_path, compression="zstd")
+    if workers is None and n >= 2000:
+        workers = min(16, os.cpu_count() or 1)
+    if workers:
+        pages_tbl, goldens_tbl = generate_corpus_parallel(n, seed, max_bytes, engine, preset, workers)
+    else:
+        pages_tbl = generate_pages(n, seed, max_bytes)
+        goldens_tbl = generate_goldens(n, seed, max_bytes, engine, preset)
+    # pages is written as a DIRECTORY of part files with small row groups —
+    # the realistic Common-Crawl layout. A single-file single-row-group table
+    # scans as ONE Spark task and serializes the pipeline's first stage
+    # (measured: scaling efficiency 0.33 until fixed).
+    n_files = max(1, min(64, n // 1000))
+    os.makedirs(pages_path, exist_ok=True)
+    step = (pages_tbl.num_rows + n_files - 1) // n_files
+    for k in range(n_files):
+        part = pages_tbl.slice(k * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                os.path.join(pages_path, f"part-{k:05d}.parquet"),
+                compression="zstd",
+                row_group_size=256,
+            )
+    pq.write_table(goldens_tbl, goldens_path, compression="zstd", row_group_size=2048)
     with open(done, "w") as f:
         f.write("ok")
     return d

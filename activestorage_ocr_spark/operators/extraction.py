@@ -176,6 +176,11 @@ def with_length_bins(df: DataFrame, salt_buckets: int = 16) -> DataFrame:
     )
 
 
+#: documents larger than this take the shuffled giant path (~p99 of a
+#: Common-Crawl-style size distribution at our synthetic scale).
+GIANT_BYTES = 64 * 1024
+
+
 def extract_pages(
     df: DataFrame,
     *,
@@ -183,25 +188,60 @@ def extract_pages(
     preset: str = "minimal",
     max_bytes: int = 52_428_800,
     repartition: int | None = None,
-    salt_buckets: int = 16,
-    skew_handling: bool = True,
+    salt_buckets: int = 64,
+    skew_handling: bool | str = "giants",
+    giant_bytes: int = GIANT_BYTES,
 ) -> DataFrame:
     """Run the extraction pipeline over a pages DataFrame.
 
     Input: (url, warc_ts, html, lang, ...). Output: EXTRACTED_SCHEMA. The
     explicit ``select`` keeps the scan pruned to 4 columns regardless of the
     input table's width.
+
+    ``skew_handling``:
+
+    * ``"giants"`` (default) — only rows above ``giant_bytes`` are salted and
+      repartitioned across the cluster; everything else maps directly over
+      scan partitions. At 10^12-document scale this shuffles the ~1-2% giant
+      tail instead of the whole table (a 100 TB input shuffles ~2 TB), while
+      still guaranteeing no task accumulates many giants. In-kernel Arrow
+      batch re-slicing (KERNEL_SLICE_BYTES) guards worker memory on both
+      paths.
+    * ``"full"`` / ``True`` — byte-length-bin + salt repartition of every
+      row (for inputs with pathological layout, e.g. sorted by size).
+    * ``"off"`` / ``False`` — map directly over scan partitions.
+
+    Giant-path partition count defaults to 4x parallelism: per-document cost
+    varies ~50x between payload kinds, so finer tasks let the scheduler
+    rebalance stragglers.
     """
     proj = df.select("url", "warc_ts", "html", "lang")
-    if skew_handling:
-        n = repartition or df.sparkSession.sparkContext.defaultParallelism
-        proj = (
+    kernel = make_extract_kernel(engine, preset, max_bytes)
+    mode = {True: "full", False: "off"}.get(skew_handling, skew_handling)
+    n = repartition or df.sparkSession.sparkContext.defaultParallelism * 4
+
+    if mode == "off":
+        return proj.mapInArrow(kernel, EXTRACTED_SCHEMA)
+    if mode == "full":
+        binned = (
             with_length_bins(proj, salt_buckets)
             .repartition(n, "len_bin", "salt")
             .drop("len_bin", "salt")
         )
-    kernel = make_extract_kernel(engine, preset, max_bytes)
-    return proj.mapInArrow(kernel, EXTRACTED_SCHEMA)
+        return binned.mapInArrow(kernel, EXTRACTED_SCHEMA)
+    if mode != "giants":
+        raise ValueError(f"unknown skew_handling mode: {skew_handling!r}")
+
+    is_giant = F.length("html") > giant_bytes
+    normal = proj.filter(~is_giant).mapInArrow(kernel, EXTRACTED_SCHEMA)
+    giants = (
+        proj.filter(is_giant)
+        .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+        .repartition(n, "salt")
+        .drop("salt")
+        .mapInArrow(kernel, EXTRACTED_SCHEMA)
+    )
+    return normal.unionByName(giants)
 
 
 def split_quarantine(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -39,6 +39,11 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # binary page rows are MB-scale and zstd compresses them ~7x: default
+        # 128 MB *compressed* splits give far too few scan tasks for the
+        # CPU-heavy extraction stage; 4 MB keeps all cores fed
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
     )

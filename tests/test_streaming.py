@@ -1,0 +1,70 @@
+"""Streaming ingestion tests: file source -> extraction kernel -> parquet
+sink, exactly-once across restarts; watermarked hourly rollup."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from activestorage_ocr_spark.streaming import ingest
+
+
+@pytest.fixture()
+def landing(spark, corpus_dir_200, tmp_path):
+    """Landing dir seeded with the corpus split into two file drops."""
+    pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
+    d = str(tmp_path / "landing")
+    pages.filter(F.xxhash64("url") % 2 == 0).coalesce(1).write.parquet(d)
+    return d, pages
+
+
+class TestStreamingExtraction:
+    def test_available_now_processes_all_files(self, spark, landing, tmp_path, corpus_dir_200):
+        d, pages = landing
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        q = ingest.start_extraction_stream(spark, d, out, ck, max_bytes=262_144)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        n_in = spark.read.parquet(d).count()
+        assert got.count() == n_in
+        # same kernel => byte-identity against goldens holds on the stream too
+        golden = spark.read.parquet(f"{corpus_dir_200}/goldens.parquet")
+        j = got.join(golden.select("url", F.col("extracted_text").alias("want")), "url")
+        assert j.filter(~F.col("extracted_text").eqNullSafe(F.col("want"))).count() == 0
+
+    def test_restart_is_exactly_once(self, spark, landing, tmp_path):
+        d, pages = landing
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        q = ingest.start_extraction_stream(spark, d, out, ck, max_bytes=262_144)
+        q.awaitTermination(120)
+        n_first = spark.read.parquet(out).count()
+
+        # drop the second half of the corpus into the landing dir, restart
+        second = pages.filter(F.xxhash64("url") % 2 != 0)
+        second.coalesce(1).write.mode("append").parquet(d)
+        q2 = ingest.start_extraction_stream(spark, d, out, ck, max_bytes=262_144)
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        assert got.count() == 200  # first drop NOT reprocessed
+        assert got.select("url").distinct().count() == 200
+        assert n_first < 200
+
+    def test_hourly_metrics_watermarked(self, spark, landing, tmp_path):
+        d, _ = landing
+        out = str(tmp_path / "metrics")
+        ck = str(tmp_path / "ck_m")
+        q = ingest.start_hourly_metrics_stream(spark, d, out, ck, max_bytes=262_144)
+        q.awaitTermination(120)
+        m = spark.read.parquet(out)
+        # warc_ts spacing is 37 s -> 200 docs span ~2 h; append mode emits
+        # only windows the watermark has passed (the final window is held
+        # back, so totals are <= input count but > 0)
+        assert m.count() > 0
+        total = m.agg(F.sum("n_docs")).first()[0]
+        assert 0 < total <= 200
+        row = m.first()
+        assert row.window_end > row.window_start
