@@ -101,6 +101,11 @@ def _trim_cols(g: np.ndarray) -> np.ndarray:
 
 
 _GLYPHS: dict[str, np.ndarray] = {ch: _glyph_array(ch) for ch in _FONT_ROWS}
+#: trimmed float patterns grouped by trimmed width (fractional-scale matching)
+_GLYPHS_BY_WIDTH: dict[int, list[tuple[str, np.ndarray]]] = {}
+for _ch, _g in _GLYPHS.items():
+    _t = _trim_cols(_g).astype(np.float64)
+    _GLYPHS_BY_WIDTH.setdefault(_t.shape[1], []).append((_ch, _t))
 # recognition table: trimmed-bitmap bytes -> char
 _DECODE_TABLE: dict[bytes, str] = {}
 for _ch, _g in _GLYPHS.items():
@@ -215,26 +220,55 @@ def ocr_decode_image(gray: np.ndarray) -> tuple[str, list[str]]:
     return "\n".join(lines_out), warnings
 
 
+def _grid_means(glyph: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Block-mean downsample to a gh x gw float grid, tolerating fractional
+    cell sizes (needed after non-integer resizes, e.g. the 300/72 preset)."""
+    h, w = glyph.shape
+    ys = np.floor(np.linspace(0, h, gh + 1)).astype(int)
+    xs = np.floor(np.linspace(0, w, gw + 1)).astype(int)
+    # prefix sums give O(1) block means without per-cell slicing
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = glyph.cumsum(axis=0).cumsum(axis=1)
+    s = ii[ys[1:]][:, xs[1:]] - ii[ys[:-1]][:, xs[1:]] - ii[ys[1:]][:, xs[:-1]] + ii[ys[:-1]][:, xs[:-1]]
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    area = np.maximum(area, 1)
+    return s / area
+
+
+def _grid_cells(glyph: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    return _grid_means(glyph, gh, gw) >= 0.5
+
+
 def _match_glyph(glyph: np.ndarray, scale: int) -> str | None:
     h, w = glyph.shape
     gh = GLYPH_H
-    gw = max(1, round(w / scale))
-    if h < gh or gh * scale != h:
+    if h < gh:
         return None
-    if gw * scale == w:
-        # exact-multiple fast path: one vectorized block-mean (hot path —
-        # the per-cell loop was ~1200 numpy calls per glyph run)
-        cells = glyph.reshape(gh, scale, gw, scale).mean(axis=(1, 3)) >= 0.5
-    else:
-        ys = (np.arange(gh + 1) * h // gh).astype(int)
-        xs = (np.arange(gw + 1) * w // gw).astype(int)
-        cells = np.zeros((gh, gw), dtype=bool)
-        for i in range(gh):
-            for j in range(gw):
-                block = glyph[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
-                cells[i, j] = block.mean() >= 0.5
-    key = cells.tobytes() + bytes([gw])
-    return _DECODE_TABLE.get(key)
+    if gh * scale == h:
+        gw = max(1, round(w / scale))
+        if gw * scale == w:
+            # exact-multiple fast path: one vectorized block-mean
+            cells = glyph.reshape(gh, scale, gw, scale).mean(axis=(1, 3)) >= 0.5
+        else:
+            cells = _grid_cells(glyph.astype(np.int8), gh, gw)
+        got = _DECODE_TABLE.get(cells.tobytes() + bytes([gw]))
+        if got is not None:
+            return got
+    # fractional-scale fallback (images resampled by a non-integer and
+    # possibly anisotropic factor — the 300/72 resize clamps min-dim to 300,
+    # which can stretch one axis): nearest-neighbor match of the
+    # fractional-grid ink means against every trimmed font width
+    g8 = glyph.astype(np.int8)
+    best: tuple[float, str] | None = None
+    for gw, glyphs in _GLYPHS_BY_WIDTH.items():
+        means = _grid_means(g8, gh, gw)
+        for ch, pattern in glyphs:
+            d = float(np.abs(means - pattern).mean())
+            if best is None or d < best[0]:
+                best = (d, ch)
+    if best is not None and best[0] <= 0.3:
+        return best[1]
+    return None
 
 
 # --------------------------------------------------------------------------

@@ -334,7 +334,7 @@ def corpus_dir(
     preset: str = "minimal",
     base: str = "/tmp/asos_spark_corpus",
 ) -> str:
-    return os.path.join(base, f"n{n}_seed{seed}_max{max_bytes}_{engine}_{preset}_v1")
+    return os.path.join(base, f"n{n}_seed{seed}_max{max_bytes}_{engine}_{preset}_v2")
 
 
 def ensure_corpus(

@@ -109,9 +109,15 @@ def make_extract_kernel(engine: str, preset: str, max_bytes: int):
                 ts = sub.column("warc_ts")
                 langs = sub.column("lang").to_pylist()
                 payloads = sub.column("html").to_pylist()
+                # P5 per-request preset override (`rust/src/server.rs:201-213`):
+                # an optional `preset` input column overrides the job default
+                if "preset" in sub.schema.names:
+                    presets = [p or preset for p in sub.column("preset").to_pylist()]
+                else:
+                    presets = [preset] * len(urls)
                 rows: dict[str, list[Any]] = {f.name: [] for f in out_schema}
-                for u, lg, payload in zip(urls, langs, payloads):
-                    r = extract_document(payload, engine=engine, preset=preset, max_bytes=max_bytes)
+                for u, lg, payload, row_preset in zip(urls, langs, payloads, presets):
+                    r = extract_document(payload, engine=engine, preset=row_preset, max_bytes=max_bytes)
                     rows["url"].append(u)
                     rows["lang"].append(lg)
                     rows["mime"].append(r["mime"])
@@ -214,8 +220,15 @@ def extract_pages(
     Giant-path partition count defaults to 4x parallelism: per-document cost
     varies ~50x between payload kinds, so finer tasks let the scheduler
     rebalance stragglers.
+
+    If the input carries a ``preset`` column it overrides the job-level
+    preset per row (P5, the reference's per-request ``?preprocess=`` query
+    parameter).
     """
-    proj = df.select("url", "warc_ts", "html", "lang")
+    cols = ["url", "warc_ts", "html", "lang"]
+    if "preset" in df.columns:
+        cols.append("preset")
+    proj = df.select(*cols)
     kernel = make_extract_kernel(engine, preset, max_bytes)
     mode = {True: "full", False: "off"}.get(skew_handling, skew_handling)
     n = repartition or df.sparkSession.sparkContext.defaultParallelism * 4

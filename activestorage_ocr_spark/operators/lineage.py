@@ -106,7 +106,12 @@ def run_extraction_job(
                 "n_rows": 0,
             }
 
-        ok, quarantined = split_quarantine(out)
+        # C7 (`lib/activestorage/ocr/result.rb:103`): stamp the persisted rows
+        # once per run (excluded from byte-identity like all timing fields)
+        stamped = out.withColumn("processed_at", F.current_timestamp()).withColumn(
+            "run_id", F.lit(run_id)
+        )
+        ok, quarantined = split_quarantine(stamped)
         writer_conf = {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
         old = {k: spark.conf.get(k, None) for k in writer_conf}
         for k, v in writer_conf.items():

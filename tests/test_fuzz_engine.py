@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis): the kernel's total-function contract.
+
+O7 (`analyzer.rb:52-55`): no payload may ever raise — a 10^12-row job cannot
+die on one document. Plus invariants: confidence in [0,1], mime vocabulary
+closed, spans well-formed, determinism."""
+
+from hypothesis import given, settings, strategies as st
+
+from activestorage_ocr_spark.engine import mime as mimex
+from activestorage_ocr_spark.engine.confidence import calculate_confidence
+from activestorage_ocr_spark.engine.extract import extract_document
+from activestorage_ocr_spark.engine.htmlx import extract_main_content
+
+MAGIC_PREFIXES = [
+    b"%PDF-", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a",
+    b"BM", b"RIFF1234WEBP", b"II*\x00", b"MM\x00*", b"<html>", b"",
+]
+
+payloads = st.one_of(
+    st.binary(max_size=4096),
+    st.tuples(st.sampled_from(MAGIC_PREFIXES), st.binary(max_size=4096)).map(
+        lambda t: t[0] + t[1]
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads)
+def test_extract_never_raises_and_invariants(payload):
+    r = extract_document(payload, max_bytes=8192)
+    assert 0.0 <= r["confidence"] <= 1.0
+    assert r["mime"] in mimex.SUPPORTED_MIMES | {mimex.MIME_OCTET}
+    assert r["status"] in (
+        "ok", "empty", "PROCESSING_ERROR", "IMAGE_TOO_LARGE",
+        "UNSUPPORTED_FORMAT", "INVALID_REQUEST", "PREPROCESSING_ERROR", "INTERNAL",
+    )
+    text = r["extracted_text"]
+    for start, end, kind in r["spans"]:
+        assert 0 <= start <= end <= len(text)
+    # determinism (excluding timing fields)
+    r2 = extract_document(payload, max_bytes=8192)
+    for k in ("mime", "extracted_text", "confidence", "status", "warnings", "spans"):
+        assert r[k] == r2[k]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_confidence_bounded(text):
+    assert 0.0 <= calculate_confidence(text) <= 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_html_extractor_total(payload):
+    text, spans = extract_main_content(payload)
+    assert isinstance(text, str)
+    prev_end = -1
+    for start, end, _ in spans:
+        assert 0 <= start <= end <= len(text)
+        assert start > prev_end
+        prev_end = end
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=64))
+def test_sniff_total_and_stable(payload):
+    m = mimex.sniff_mime(payload)
+    assert m in mimex.SUPPORTED_MIMES | {mimex.MIME_OCTET}
+    assert mimex.sniff_mime(payload) == m

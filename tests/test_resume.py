@@ -82,6 +82,14 @@ class TestResume:
         )
         assert got.count() == got.distinct().count() == 200
 
+    def test_output_carries_processed_at_and_run_id(self, spark, pages, tmp_path):
+        out = str(tmp_path / "out")
+        ln.run_extraction_job(spark, pages, out, run_id="stamp", n_parts=N_PARTS, max_bytes=MAX_BYTES)
+        got = ln.read_output(spark, out)
+        assert "processed_at" in got.columns  # C7 ISO stamp analog
+        assert got.filter(F.col("processed_at").isNull()).count() == 0
+        assert {r.run_id for r in got.select("run_id").distinct().collect()} == {"stamp"}
+
     def test_manifest_lineage_metrics(self, spark, pages, tmp_path):
         out = str(tmp_path / "out")
         ln.run_extraction_job(spark, pages, out, run_id="m", n_parts=N_PARTS, max_bytes=MAX_BYTES)

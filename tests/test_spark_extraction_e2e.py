@@ -80,6 +80,28 @@ class TestByteIdentity:
         assert a.select(cols).exceptAll(b.select(cols)).count() == 0
 
 
+class TestPresetColumn:
+    def test_per_row_preset_override(self, spark, corpus_dir_200):
+        """P5: an input `preset` column overrides the job default per row
+        (the reference's per-request ?preprocess= parameter)."""
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
+        imgs = pages.filter(F.length("html") > 0).limit(50)
+        with_preset = imgs.withColumn(
+            "preset", F.when(F.xxhash64("url") % 2 == 0, F.lit("none")).otherwise(F.lit("minimal"))
+        )
+        out = extract_pages(with_preset, max_bytes=262_144)
+        got = {r.url: r.preset for r in out.select("url", "preset").collect()}
+        want = {r.url: r.preset for r in with_preset.select("url", "preset").collect()}
+        # routes that run the preprocessing pipeline echo the row's preset
+        assert got == {u: want[u] for u in got}
+
+    def test_invalid_per_row_preset_quarantined(self, spark, corpus_dir_200):
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet").limit(5)
+        bad = pages.withColumn("preset", F.lit("turbo"))
+        out = extract_pages(bad, max_bytes=262_144)
+        assert {r.status for r in out.select("status").collect()} == {"INVALID_REQUEST"}
+
+
 class TestPlanShape:
     def test_scan_prunes_to_needed_columns(self, spark, corpus_dir_200):
         pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet")
