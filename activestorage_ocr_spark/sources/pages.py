@@ -1,0 +1,66 @@
+"""Pages-table reader/writer facade (SURVEY.md §2.1 S1/S4).
+
+At production scale the input is a salted, url-hash-bucketed **Iceberg** table
+(north rule); this sandbox ships no Iceberg jars, so the facade tries the
+Iceberg source first and falls back to parquet with identical semantics
+(SURVEY.md §7.1 M4: "parquet + manifest fallback — same commit semantics").
+Readers push column pruning and partition predicates down either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def _looks_like_table_ident(source: str) -> bool:
+    return "/" not in source and "\\" not in source and not source.startswith("file:")
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Read a pages table from an Iceberg table identifier or a parquet path."""
+    if _looks_like_table_ident(source):
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception:
+            return spark.table(source)
+    try:
+        return spark.read.format("iceberg").load(source)
+    except Exception:
+        return spark.read.parquet(source)
+
+
+def read_pages_pruned(
+    spark: SparkSession,
+    source: str,
+    *,
+    since=None,
+    until=None,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Scan with pushable predicates: `warc_ts` range and `lang` membership
+    push into the parquet/Iceberg scan (P3's size predicate cannot — payload
+    length is not a column statistic — so the size gate stays in the kernel
+    per the reference's order of checks)."""
+    df = read_pages(spark, source)
+    if since is not None:
+        df = df.filter(F.col("warc_ts") >= F.lit(since))
+    if until is not None:
+        df = df.filter(F.col("warc_ts") < F.lit(until))
+    if langs:
+        df = df.filter(F.col("lang").isin(langs))
+    return df
+
+
+def write_extracted(df: DataFrame, target: str, mode: str = "append") -> None:
+    """Write the typed extraction output. Iceberg `writeTo(...).append()` when
+    the catalog resolves the identifier; parquet path otherwise."""
+    if _looks_like_table_ident(target):
+        try:
+            df.writeTo(target).append()
+            return
+        except Exception:
+            pass
+    df.write.mode(mode).parquet(target)
