@@ -289,6 +289,8 @@ def _parse_value(data: bytes, pos: int):
         return s, pos
     if c == b"<":  # hex string
         end = data.find(b">", pos)
+        if end == -1:
+            raise PdfError("unterminated hex string")
         return bytes.fromhex(data[pos + 1 : end].replace(b" ", b"").decode("ascii")), end + 1
     if data[pos : pos + 4] == b"true":
         return True, pos + 4
@@ -367,12 +369,13 @@ def _parse_dict(data: bytes, pos: int):
 
 
 class PdfObject:
-    __slots__ = ("oid", "dict", "stream")
+    __slots__ = ("oid", "dict", "stream", "value")
 
-    def __init__(self, oid: int, d: dict, stream: bytes | None):
+    def __init__(self, oid: int, d: dict, stream: bytes | None, value=None):
         self.oid = oid
         self.dict = d
         self.stream = stream
+        self.value = value  # non-dict body (array, number, ...) if any
 
 
 def parse_objects(data: bytes) -> dict[int, PdfObject]:
@@ -386,7 +389,14 @@ def parse_objects(data: bytes) -> dict[int, PdfObject]:
         oid = int(m.group(1))
         pos = _skip_ws(data, m.end())
         if data[pos : pos + 2] != b"<<":
-            continue  # non-dict object (number etc.) — irrelevant to us
+            # non-dict object (array / number / name) — color spaces and
+            # stream lengths are often indirect array/number objects
+            try:
+                v, _ = _parse_value(data, pos)
+            except (PdfError, AssertionError, IndexError, ValueError):
+                continue
+            objects[oid] = PdfObject(oid, {}, None, value=v)
+            continue
         try:
             d, pos = _parse_dict(data, pos)
         except (PdfError, AssertionError, IndexError, ValueError):
@@ -471,26 +481,59 @@ def extract_stream_text(content: bytes) -> str:
     return "\n".join(lines)
 
 
+def _deref(value, objects: dict[int, PdfObject], depth: int = 0):
+    """Follow indirect references to the referenced object's body (array /
+    number / name), or its dict-level /ColorSpace when it's a dict object."""
+    while isinstance(value, _Ref) and depth < 8:
+        target = objects.get(value.oid)
+        if target is None:
+            return None
+        if target.value is not None:
+            value = target.value
+        elif target.dict:
+            inner = target.dict.get("/ColorSpace", target.dict.get("/CS"))
+            if inner is None:
+                return target  # a stream object (e.g. Indexed lookup table)
+            value = inner
+        else:
+            return target
+        depth += 1
+    return value
+
+
 def resolve_colorspace(cs, objects: dict[int, PdfObject]) -> str:
     """E4 (`ocrs.rs:585-624`): direct name, indirect ref, or array head;
     default DeviceRGB."""
-    if cs is None:
-        return "/DeviceRGB"
-    if isinstance(cs, _Ref):
-        target = objects.get(cs.oid)
-        if target is not None:
-            inner = target.dict.get("/ColorSpace", target.dict.get("/CS"))
-            if inner is not None:
-                return resolve_colorspace(inner, objects)
-        return "/DeviceRGB"
+    cs = _deref(cs, objects)
     if isinstance(cs, list) and cs:
-        head = cs[0]
+        head = _deref(cs[0], objects)
         if isinstance(head, str):
             return head
         return "/DeviceRGB"
     if isinstance(cs, str):
         return cs
     return "/DeviceRGB"
+
+
+def _indexed_palette(cs: list, objects: dict[int, PdfObject]) -> tuple[str, np.ndarray]:
+    """Resolve an /Indexed color space array: [/Indexed base hival lookup].
+    Returns (base_space_name, palette array of shape (hival+1, n_components))."""
+    if len(cs) < 4:
+        raise PdfError("malformed /Indexed color space")
+    base = resolve_colorspace(cs[1], objects)
+    hival = _deref(cs[2], objects)
+    lookup = _deref(cs[3], objects)
+    if isinstance(lookup, PdfObject):
+        lookup = _decode_stream(lookup)
+    if not isinstance(lookup, (bytes, bytearray)) or not isinstance(hival, int):
+        raise PdfError("unsupported /Indexed lookup table")
+    ncomp = {"/DeviceGray": 1, "/DeviceRGB": 3, "/ICCBased": 3, "/DeviceCMYK": 4}.get(base)
+    if ncomp is None:
+        raise PdfError(f"unsupported /Indexed base space: {base}")
+    need = (hival + 1) * ncomp
+    if len(lookup) < need:
+        raise PdfError("Indexed lookup table too short")
+    return base, np.frombuffer(bytes(lookup[:need]), dtype=np.uint8).reshape(hival + 1, ncomp)
 
 
 def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.ndarray:
@@ -504,6 +547,18 @@ def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.nd
     if bpc != 8:
         raise PdfError(f"unsupported BitsPerComponent: {bpc}")
     raw = _decode_stream(obj)
+    raw_cs = _deref(d.get("/ColorSpace"), objects)
+    if isinstance(raw_cs, list) and raw_cs and _deref(raw_cs[0], objects) == "/Indexed":
+        base, palette = _indexed_palette(raw_cs, objects)
+        if len(raw) < w * h:
+            raise PdfError("Indexed data too short")
+        idx = np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
+        px = palette[np.minimum(idx, len(palette) - 1)]
+        if palette.shape[1] == 1:
+            return px[..., 0].copy()
+        if palette.shape[1] == 3:
+            return rgb_to_gray(px)
+        raise PdfError("unsupported Indexed base components")
     cs = resolve_colorspace(d.get("/ColorSpace"), objects)
     if cs == "/DeviceGray":
         if len(raw) < w * h:

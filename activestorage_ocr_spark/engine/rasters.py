@@ -321,10 +321,26 @@ def decode_png(data: bytes) -> np.ndarray:
     for r in range(h):
         row = raw[r * stride : (r + 1) * stride]
         ftype, scan = row[0], np.frombuffer(row[1:], dtype=np.uint8)
-        if ftype == 0:
+        if ftype == 0:  # None
             line = scan.copy()
         elif ftype == 2:  # Up
             line = (scan.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth (bpp = 1 for gray8)
+            line = np.empty(w, dtype=np.uint8)
+            a = 0
+            for x in range(w):
+                b_ = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b_) // 2
+                else:
+                    c = int(prev[x - 1]) if x > 0 else 0
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                a = (int(scan[x]) + pred) & 0xFF
+                line[x] = a
         else:
             raise ValueError(f"unsupported PNG filter {ftype}")
         out[r] = line
@@ -345,21 +361,74 @@ def encode_bmp(gray: np.ndarray) -> bytes:
     return header + info + bytes(pixel_bytes)
 
 
+def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """RLE8-compressed 8-bit BMP pixel data -> (h, w) palette indices."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        count, val = data[pos], data[pos + 1]
+        pos += 2
+        if count > 0:  # run
+            out[y, x : min(x + count, w)] = val
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: `val` literal pixels, word-aligned
+            lit = data[pos : pos + val]
+            out[y, x : min(x + val, w)] = np.frombuffer(lit[: max(0, min(val, w - x))], dtype=np.uint8)
+            x += val
+            pos += val + (val & 1)
+    return out
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (offset,) = struct.unpack("<I", data[10:14])
     hdr_size, w, h, _planes, bpp = struct.unpack("<IiiHH", data[14:30])
-    if bpp != 24:
-        raise ValueError("unsupported BMP bpp")
-    row_size = (w * 3 + 3) & ~3
-    out = np.empty((abs(h), w, 3), dtype=np.uint8)
+    (compression,) = struct.unpack("<I", data[30:34])
     flip = h > 0
     h = abs(h)
-    for r in range(h):
-        row = np.frombuffer(data[offset + r * row_size : offset + r * row_size + w * 3], dtype=np.uint8)
-        out[h - 1 - r if flip else r] = row.reshape(w, 3)[:, ::-1]
-    return rgb_to_gray(out)
+    if bpp == 24 and compression == 0:
+        row_size = (w * 3 + 3) & ~3
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for r in range(h):
+            row = np.frombuffer(data[offset + r * row_size : offset + r * row_size + w * 3], dtype=np.uint8)
+            out[h - 1 - r if flip else r] = row.reshape(w, 3)[:, ::-1]
+        return rgb_to_gray(out)
+    if bpp == 8:
+        # palette follows the info header (BGRX quads)
+        (n_colors,) = struct.unpack("<I", data[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data[pal_off : pal_off + n_colors * 4], dtype=np.uint8).reshape(-1, 4)
+        rgb_pal = pal[:, [2, 1, 0]]
+        if compression == 1:  # RLE8
+            idx = _bmp_rle8(data[offset:], w, h)
+        elif compression == 0:
+            row_size = (w + 3) & ~3
+            idx = np.stack(
+                [
+                    np.frombuffer(data[offset + r * row_size : offset + r * row_size + w], dtype=np.uint8)
+                    for r in range(h)
+                ]
+            )
+        else:
+            raise ValueError(f"unsupported BMP compression {compression}")
+        if flip:
+            idx = idx[::-1]
+        rgb = rgb_pal[np.minimum(idx, len(rgb_pal) - 1)]
+        return rgb_to_gray(rgb)
+    raise ValueError(f"unsupported BMP bpp {bpp} / compression {compression}")
 
 
 def encode_tiff(gray: np.ndarray) -> bytes:

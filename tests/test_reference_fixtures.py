@@ -1,0 +1,80 @@
+"""Behavior parity against the reference's own fixture corpus
+(`/root/reference/rust/tests/fixtures/`, read-only; SURVEY.md §5.1).
+
+The reference's integration tests assert routing + token containment on these
+files. Our deterministic OCR stand-in cannot ship the neural recognizer, so
+full text parity is out of scope by design — but the *container decode*,
+*routing*, *fallback paths*, and *exact warning strings* are pinned here:
+
+* real PNG (filters 0-4), 8-bit RLE8 BMP, GIF (LZW), TIFF: decode + OCR ok;
+* both fixture PDFs are image-only with an /Indexed color space behind an
+  indirect array object: text-layer miss -> XObject scan -> Indexed palette
+  decode -> OCR, with the reference's exact scanned-PDF warning (E11);
+* real DCT JPEG / VP8 WEBP: quarantined with a clear stub error (the task
+  brief's allowed decode stubs), never a crash.
+"""
+
+import os
+
+import pytest
+
+from activestorage_ocr_spark.engine.extract import extract_document
+
+FIXTURES = "/root/reference/rust/tests/fixtures"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference fixtures not present"
+)
+
+
+def _extract(name):
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return extract_document(f.read())
+
+
+@pytest.mark.parametrize(
+    "name,mime",
+    [
+        ("sample_text.png", "image/png"),
+        ("sample_text.bmp", "image/bmp"),
+        ("sample_text.gif", "image/gif"),
+        ("sample_text.tiff", "image/tiff"),
+    ],
+)
+def test_real_rasters_decode_and_ocr(name, mime):
+    r = _extract(name)
+    assert r["mime"] == mime
+    assert r["status"] == "ok"
+    # the stand-in recognizer reads the rendered glyphs structurally: same
+    # line/word segmentation as the reference text "Hello World / OCR ..."
+    lines = r["extracted_text"].split("\n")
+    assert len(lines) == 2
+    assert len(lines[0].split(" ")) == 2  # "Hello World"
+    assert 0 < r["confidence"] <= 1
+
+
+@pytest.mark.parametrize("name", ["sample_text.pdf", "scanned_document.pdf"])
+def test_image_only_pdfs_take_ocr_fallback(name):
+    # both fixture PDFs have no text operators (verified in SURVEY.md §5.1):
+    # must route text-layer-miss -> image-XObject scan -> Indexed decode
+    r = _extract(name)
+    assert r["mime"] == "application/pdf"
+    assert r["status"] == "ok"
+    assert r["warnings"][0] == "PDF appears to be scanned/image-based, extracting images for OCR"
+    assert r["extracted_text"] != ""
+
+
+@pytest.mark.parametrize(
+    "name,err_token",
+    [("sample_text.jpg", "JPEG"), ("sample_text.webp", "WEBP")],
+)
+def test_real_dct_vp8_quarantined_with_stub_error(name, err_token):
+    r = _extract(name)
+    assert r["status"] == "PROCESSING_ERROR"
+    assert any(err_token.lower() in w.lower() or "stub" in w for w in r["warnings"])
+
+
+def test_all_fixtures_never_crash():
+    for name in os.listdir(FIXTURES):
+        r = _extract(name)
+        assert r["status"] in ("ok", "PROCESSING_ERROR")
