@@ -149,10 +149,12 @@ def extract_blocks(html: str) -> list[Block]:
         nonlocal cur
         if drop_depth or not raw:
             return
-        text = _ENTITY_RE.sub(_decode_entity, raw)
+        text = _ENTITY_RE.sub(_decode_entity, raw) if "&" in raw else raw
         if cur is not None:
             cur.parts.append(text)
-            solid = len(_WS_RE.sub("", text))
+            # non-whitespace char count via C-level str.count (hot path —
+            # a regex sub here dominated giant-page profiles)
+            solid = len(text) - sum(text.count(c) for c in " \t\n\r\x0c")
             cur.total_chars += solid
             if link_depth > 0:
                 cur.link_chars += solid

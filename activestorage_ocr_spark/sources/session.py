@@ -4,8 +4,10 @@ Defaults chosen for the 100 TB target (SURVEY.md §4.2), applied identically in
 tests/bench so measured plans match shipped plans:
 
 * AQE on (runtime re-plan, skew-join splitting, partition coalescing);
-* Arrow execution on, ``maxRecordsPerBatch`` kept small because page rows are
-  MB-sized (a 10k-row default batch of 50 MB pages would be 500 GB);
+* Arrow execution on, ``maxRecordsPerBatch`` bounded (1024) because page rows
+  can be MB-sized; the kernel additionally re-slices batches to a byte budget
+  (KERNEL_SLICE_BYTES), so the record cap is a first-line bound, not the only
+  memory guard;
 * session timezone pinned UTC (DuckDB oracle comparison; pyspark guide
   pitfall);
 * shuffle partitions sized to cores for local runs — on a real cluster this
@@ -21,7 +23,7 @@ def build_session(
     master: str = "local[*]",
     app_name: str = "activestorage-ocr-spark",
     shuffle_partitions: int | None = None,
-    arrow_max_records: int = 256,
+    arrow_max_records: int = 1024,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     if shuffle_partitions is None:

@@ -68,6 +68,14 @@ def start_extraction_stream(
     )
 
 
+def dedup_pages_stream(pages: DataFrame, late_threshold: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup on url: recrawls of a url arriving within the
+    watermark horizon are dropped (Structured Streaming keeps per-key state;
+    the watermark bounds state size — the streaming twin of the batch
+    ``dropDuplicates`` in SURVEY.md §2.6)."""
+    return pages.withWatermark("warc_ts", late_threshold).dropDuplicates(["url"])
+
+
 def hourly_metrics_stream(
     extracted: DataFrame, late_threshold: str = "1 hour"
 ) -> DataFrame:

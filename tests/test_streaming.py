@@ -53,6 +53,29 @@ class TestStreamingExtraction:
         assert got.select("url").distinct().count() == 200
         assert n_first < 200
 
+    def test_streaming_dedup_drops_recrawls(self, spark, landing, tmp_path):
+        d, pages = landing
+        # drop the SAME files again: every url arrives twice
+        first = spark.read.parquet(d)
+        first.coalesce(1).write.mode("append").parquet(d)
+        out = str(tmp_path / "dedup_out")
+        ck = str(tmp_path / "dedup_ck")
+        stream = ingest.read_pages_stream(spark, d)
+        deduped = ingest.dedup_pages_stream(stream).select("url", "warc_ts")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        n_unique = first.select("url").distinct().count()
+        assert got.count() == n_unique
+        assert got.select("url").distinct().count() == n_unique
+
     def test_hourly_metrics_watermarked(self, spark, landing, tmp_path):
         d, _ = landing
         out = str(tmp_path / "metrics")
