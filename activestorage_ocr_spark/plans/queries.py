@@ -889,3 +889,114 @@ ORACLES.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# batch 3: as-of join, rollup, pivot-style conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_join_asof_events(spark, sf_dir):
+    """As-of join (time-series primitive the reference lacks, SURVEY.md §2.6
+    range/as-of row): for each 'click' event, the most recent prior 'view'
+    event of the same user. Expressed as a union + window last_value scan —
+    shuffle-once, no range explosion."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    # tag + merge-sort per user: carry the last seen view forward
+    tagged = clicks.select(
+        "user_id", F.col("click_ts").alias("ts"), F.col("click_id").alias("cid"),
+        F.lit(None).cast("long").alias("vid"),
+    ).unionByName(
+        views.select(
+            "user_id", F.col("view_ts").alias("ts"), F.lit(None).cast("long").alias("cid"),
+            F.col("view_id").alias("vid"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.coalesce("vid", F.lit(-1)).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn("last_view_id", F.last("vid", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("cid").isNotNull())
+        .select(
+            "user_id",
+            F.col("cid").alias("click_id"),
+            F.col("last_view_id").alias("asof_view_id"),
+        )
+    )
+
+
+def q_rollup_order_priority(spark, sf_dir):
+    """ROLLUP grouping sets over orders (status x priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+
+
+def q_events_pivot_daily(spark, sf_dir):
+    """Pivot-style conditional aggregation: per user, daily counts by event
+    type as columns (portable form of PIVOT both engines compute alike)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return ev.groupBy(day.alias("day"), "user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("n_view"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_click"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
+        F.count("*").alias("n_total"),
+    )
+
+
+QUERIES.update(
+    {
+        "join_asof_events": q_join_asof_events,
+        "rollup_order_priority": q_rollup_order_priority,
+        "events_pivot_daily": q_events_pivot_daily,
+    }
+)
+
+ORACLES.update(
+    {
+        "join_asof_events": """
+            WITH tagged AS (
+                SELECT user_id, ts, event_id AS cid, NULL::BIGINT AS vid
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, NULL::BIGINT AS cid, event_id AS vid
+                FROM events WHERE event_type = 'view'
+            ),
+            carried AS (
+                SELECT user_id, cid,
+                       last_value(vid IGNORE NULLS) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, coalesce(vid, -1) ASC
+                           ROWS UNBOUNDED PRECEDING) AS last_view_id
+                FROM tagged
+            )
+            SELECT user_id, cid AS click_id, last_view_id AS asof_view_id
+            FROM carried WHERE cid IS NOT NULL
+        """,
+        "rollup_order_priority": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   sum(cast(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS total_cents
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "events_pivot_daily": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   count(*) AS n_total
+            FROM events GROUP BY 1, 2
+        """,
+    }
+)

@@ -16,7 +16,12 @@ tests/bench so measured plans match shipped plans:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+
+#: repo root (the package's parent) — exported to Python workers below
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_session(
@@ -26,6 +31,15 @@ def build_session(
     arrow_max_records: int = 1024,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Python workers unpickle the Arrow kernels by importing this package, so
+    # it must be on the *worker* PYTHONPATH even when the driver runs from
+    # another cwd. Local-mode workers inherit the driver environment (set
+    # before the JVM starts); on a real cluster `--py-files
+    # dist/activestorage_ocr_spark.zip` (jobs/package.py) does this instead.
+    pypath = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{_PKG_ROOT}{os.pathsep}{pypath}" if pypath else _PKG_ROOT
+
     if shuffle_partitions is None:
         # local[N] -> N; local[*] / cluster -> leave for AQE to coalesce
         shuffle_partitions = 0
