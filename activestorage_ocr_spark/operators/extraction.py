@@ -45,6 +45,36 @@ OK_STATUSES = ("ok", "empty")
 #: many payload bytes (giant-page memory guard; SURVEY.md §7.3).
 KERNEL_SLICE_BYTES = 64 * 1024 * 1024
 
+_PYFILES_SESSIONS: set[int] = set()
+
+
+def ensure_workers_can_import(spark) -> None:
+    """Ship the package zip to Python workers via ``addPyFile`` (idempotent
+    per session). Kernels are unpickled *by import* in the workers, so the
+    package must be importable there even when the driver session was built
+    by an external harness from an arbitrary cwd. On clusters this is the
+    ``--py-files`` zip; locally we build and add it on demand."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SESSIONS:
+        return
+    try:
+        import sys
+
+        sys.path.insert(0, _repo_root()) if _repo_root() not in sys.path else None
+        from jobs.package import build  # noqa: PLC0415
+
+        spark.sparkContext.addPyFile(build())
+    except Exception:
+        # best effort — PYTHONPATH (sources/session.py) usually covers it
+        pass
+    _PYFILES_SESSIONS.add(key)
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _arrow_output_schema() -> pa.Schema:
     return pa.schema(
@@ -225,6 +255,7 @@ def extract_pages(
     preset per row (P5, the reference's per-request ``?preprocess=`` query
     parameter).
     """
+    ensure_workers_can_import(df.sparkSession)
     cols = ["url", "warc_ts", "html", "lang"]
     if "preset" in df.columns:
         cols.append("preset")

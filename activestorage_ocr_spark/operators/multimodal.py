@@ -71,5 +71,8 @@ def _meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 
 def image_metadata(pages: DataFrame) -> DataFrame:
     """(url, html) -> typed image metadata for image-sniffed payloads."""
+    from .extraction import ensure_workers_can_import
+
+    ensure_workers_can_import(pages.sparkSession)
     proj = pages.select("url", "html")
     return proj.mapInArrow(_meta_kernel, IMAGE_META_SCHEMA)

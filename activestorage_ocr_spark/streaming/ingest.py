@@ -43,6 +43,9 @@ def extract_pages_stream(
     """Streaming variant of the extraction pipeline: same kernel, map-only
     (no repartition — a streaming micro-batch is one file group; the
     in-kernel byte-budget slicing still guards memory)."""
+    from ..operators.extraction import ensure_workers_can_import
+
+    ensure_workers_can_import(pages.sparkSession)
     proj = pages.select("url", "warc_ts", "html", "lang")
     kernel = make_extract_kernel(engine, preset, max_bytes)
     return proj.mapInArrow(kernel, EXTRACTED_SCHEMA)
