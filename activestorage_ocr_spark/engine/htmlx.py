@@ -76,7 +76,10 @@ def _decode_entity(m: re.Match) -> str:
     if body.startswith("#"):
         try:
             cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
-            if 0 < cp <= 0x10FFFF:
+            # exclude surrogates: a lone surrogate in extracted_text is not
+            # UTF-8-encodable and would kill the Arrow serialization of the
+            # whole task (outside the kernel's quarantine try/except)
+            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
                 return chr(cp)
         except ValueError:
             pass

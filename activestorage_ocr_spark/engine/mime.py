@@ -29,9 +29,13 @@ SUPPORTED_MIMES = frozenset(
 
 IMAGE_MIMES = frozenset({MIME_PNG, MIME_JPEG, MIME_GIF, MIME_BMP, MIME_WEBP, MIME_TIFF})
 
-# Markers that make a payload "look like HTML" once lowercased. Checked within
-# the first 1024 bytes after whitespace/BOM strip.
-_HTML_MARKERS = (b"<!doctype html", b"<html", b"<head", b"<body", b"<main", b"<div", b"<p>", b"<article")
+# Markers that make a payload "look like HTML" once lowercased. Strong
+# markers count anywhere in the head; weak (generic tag) markers only count
+# when the payload itself *starts* with a tag — otherwise a JS bundle or JSON
+# document containing '<p>' in a string literal would route to the HTML
+# branch instead of UNSUPPORTED_FORMAT quarantine.
+_HTML_STRONG_MARKERS = (b"<!doctype html", b"<html")
+_HTML_WEAK_MARKERS = (b"<head", b"<body", b"<main", b"<div", b"<p>", b"<article")
 
 
 def sniff_mime(payload: bytes) -> str:
@@ -57,6 +61,8 @@ def sniff_mime(payload: bytes) -> str:
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return MIME_TIFF
     head = payload[:1024].lstrip(b"\xef\xbb\xbf \t\r\n").lower()
-    if any(m in head for m in _HTML_MARKERS):
+    if any(m in head for m in _HTML_STRONG_MARKERS):
+        return MIME_HTML
+    if head.startswith(b"<") and any(m in head for m in _HTML_WEAK_MARKERS):
         return MIME_HTML
     return MIME_OCTET

@@ -385,17 +385,26 @@ def parse_objects(data: bytes) -> dict[int, PdfObject]:
     if data[:5] != b"%PDF-":
         raise PdfError("missing %PDF- header")
     objects: dict[int, PdfObject] = {}
-    for m in _OBJ_RE.finditer(data):
+    scan_pos = 0
+    while True:
+        # sequential scan that skips past each object's body (especially
+        # stream payloads): compressed stream bytes can contain spurious
+        # "N G obj" patterns that would otherwise register bogus objects
+        m = _OBJ_RE.search(data, scan_pos)
+        if m is None:
+            break
+        scan_pos = m.end()
         oid = int(m.group(1))
         pos = _skip_ws(data, m.end())
         if data[pos : pos + 2] != b"<<":
             # non-dict object (array / number / name) — color spaces and
             # stream lengths are often indirect array/number objects
             try:
-                v, _ = _parse_value(data, pos)
+                v, vend = _parse_value(data, pos)
             except (PdfError, AssertionError, IndexError, ValueError):
                 continue
             objects[oid] = PdfObject(oid, {}, None, value=v)
+            scan_pos = max(scan_pos, vend)
             continue
         try:
             d, pos = _parse_dict(data, pos)
@@ -414,11 +423,16 @@ def parse_objects(data: bytes) -> dict[int, PdfObject]:
                 length = None  # resolved after full scan if needed
             if isinstance(length, int):
                 stream = data[sp : sp + length]
+                stream_end = sp + length
             else:
                 endpos = data.find(b"endstream", sp)
                 if endpos == -1:
                     raise PdfError("unterminated stream")
                 stream = data[sp:endpos].rstrip(b"\r\n")
+                stream_end = endpos
+            scan_pos = max(scan_pos, stream_end)
+        else:
+            scan_pos = max(scan_pos, pos)
         objects[oid] = PdfObject(oid, d, stream)
     if not objects:
         raise PdfError("no objects found (truncated or invalid PDF)")

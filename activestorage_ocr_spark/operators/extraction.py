@@ -276,7 +276,9 @@ def extract_pages(
     if mode != "giants":
         raise ValueError(f"unknown skew_handling mode: {skew_handling!r}")
 
-    is_giant = F.length("html") > giant_bytes
+    # NULL payloads must not vanish: length(NULL) is NULL and would fail BOTH
+    # branch filters (three-valued logic), silently dropping the row
+    is_giant = F.coalesce(F.length("html"), F.lit(0)) > giant_bytes
     normal = proj.filter(~is_giant).mapInArrow(kernel, EXTRACTED_SCHEMA)
     giants = (
         proj.filter(is_giant)

@@ -113,6 +113,9 @@ def run_extraction_job(
         )
         ok, quarantined = split_quarantine(stamped)
         writer_conf = {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        # conf.get(k, None) is None when the conf was never explicitly set;
+        # restoring must then UNSET it, not leave 'dynamic' leaking into the
+        # caller's session (it changes overwrite semantics globally)
         old = {k: spark.conf.get(k, None) for k in writer_conf}
         for k, v in writer_conf.items():
             spark.conf.set(k, v)
@@ -128,6 +131,8 @@ def run_extraction_job(
             for k, v in old.items():
                 if v is not None:
                     spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
 
         # manifest commit happens only after the data commit succeeded
         is_ok = F.col("status").isin("ok", "empty")

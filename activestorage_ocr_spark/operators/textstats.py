@@ -135,10 +135,13 @@ LANG_MARKERS = {
 
 
 def occurrence_count(text: Column, token: str) -> Column:
-    """Count of ``token`` as a whitespace-delimited word, via the
+    """Count of ``token`` as a space-delimited word, via the
     length-difference trick (identical semantics in Spark and DuckDB —
-    regexp-free so both engines agree bytewise)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    regexp-free so both engines agree bytewise). Internal spaces are doubled
+    first so adjacent occurrences ("the the the") don't share a delimiter
+    and get undercounted by non-overlapping replace."""
+    doubled = F.replace(text, F.lit(" "), F.lit("  "))
+    padded = F.concat(F.lit(" "), doubled, F.lit(" "))
     needle = f" {token} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))

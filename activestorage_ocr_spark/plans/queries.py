@@ -86,14 +86,14 @@ longest AS (
 
 # the C2/C3/C4 component expressions as DuckDB SQL (ASCII classes — the same
 # regexes the Spark side uses; see operators/textstats.py)
-_CHAR_SCORE_SQL = r"""(
+_CHAR_SCORE_SQL = r"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
     (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s!-/:-@\[-`{-~]', '', 'g'))::DOUBLE
                  / length(text) * 10.0, 1.0)) * 0.6
   + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
           / length(text) * 1.5, 1.0) * 0.4
-)"""
+END)"""
 
-_WORD_SCORE_SQL = r"""(
+_WORD_SCORE_SQL = r"""(CASE WHEN length(trim(text)) = 0 THEN 0.5 ELSE
     (CASE
        WHEN floor(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
                   / len(regexp_split_to_array(trim(text), '\s+'))) <= 1 THEN 0.3
@@ -107,9 +107,9 @@ _WORD_SCORE_SQL = r"""(
      END)
   * (1.0 - least(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) = 1))::DOUBLE
                  / len(regexp_split_to_array(trim(text), '\s+')) * 1.5, 0.5))
-)"""
+END)"""
 
-_WS_SCORE_SQL = r"""(
+_WS_SCORE_SQL = r"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
     CASE
       WHEN floor((length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE
                  / length(text) * 100.0) <= 5 THEN 0.5
@@ -121,7 +121,7 @@ _WS_SCORE_SQL = r"""(
                  / length(text) * 100.0) <= 40 THEN 0.7
       ELSE 0.3
     END
-)"""
+END)"""
 
 _REP_SCORE_SQL = """(
     CASE WHEN longest_run <= 3 THEN 1.0
@@ -132,10 +132,14 @@ _REP_SCORE_SQL = """(
 
 
 def _stop_count_sql(token: str, expr: str = "lower(text)") -> str:
+    # mirror of textstats.occurrence_count: double internal spaces so
+    # adjacent occurrences don't share a delimiter under non-overlapping
+    # replace, then count via the length-difference trick
+    padded = f"(' ' || replace({expr}, ' ', '  ') || ' ')"
     needle = f" {token} "
     return (
-        f"cast((length(' ' || {expr} || ' ') - "
-        f"length(replace(' ' || {expr} || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
+        f"cast((length({padded}) - "
+        f"length(replace({padded}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
     )
 
 

@@ -16,7 +16,14 @@ PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
 
 
 def _looks_like_table_ident(source: str) -> bool:
-    return "/" not in source and "\\" not in source and not source.startswith("file:")
+    import os
+
+    if "/" in source or "\\" in source or source.startswith("file:"):
+        return False
+    # a bare relative file/dir name is a path, not a catalog identifier
+    if source.endswith((".parquet", ".orc")) or os.path.exists(source):
+        return False
+    return True
 
 
 def read_pages(spark: SparkSession, source: str) -> DataFrame:

@@ -73,10 +73,12 @@ def start_extraction_stream(
 
 def dedup_pages_stream(pages: DataFrame, late_threshold: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup on url: recrawls of a url arriving within the
-    watermark horizon are dropped (Structured Streaming keeps per-key state;
-    the watermark bounds state size — the streaming twin of the batch
+    watermark horizon are dropped; state is *evicted* once the watermark
+    passes, so memory stays bounded on an unbounded crawl feed (plain
+    ``dropDuplicates(["url"])`` under a watermark never evicts when the
+    event-time column isn't a key — the streaming twin of the batch
     ``dropDuplicates`` in SURVEY.md §2.6)."""
-    return pages.withWatermark("warc_ts", late_threshold).dropDuplicates(["url"])
+    return pages.withWatermark("warc_ts", late_threshold).dropDuplicatesWithinWatermark(["url"])
 
 
 def hourly_metrics_stream(
