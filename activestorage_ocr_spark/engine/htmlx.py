@@ -189,7 +189,7 @@ def extract_blocks(html: str) -> list[Block]:
         pos = m.end()
         self_closing = rawattrs.rstrip().endswith("/") or tag in ("br", "hr", "img", "input", "meta", "link")
 
-        if tag in _RAW_TEXT_TAGS and not closing:
+        if tag in _RAW_TEXT_TAGS and not closing and not self_closing:
             # skip raw content to the matching close tag
             close = html.find(f"</{tag}", pos)
             pos = n if close == -1 else html.find(">", close) + 1 if html.find(">", close) != -1 else n

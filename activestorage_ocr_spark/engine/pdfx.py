@@ -662,7 +662,15 @@ def extract_pdf(
             texts.append(t)
             confs.append(calculate_confidence(t))
     if not decoded_any:
-        raise PdfError("all PDF images failed to decode: " + "; ".join(warnings[1:]))
+        # Reference parity (`ocrs.rs:448-460` extract_images_from_pdf drops
+        # failed decodes silently; `ocrs.rs:154-160` then REPLACES warnings
+        # with only the empty-PDF string): not an error, an empty result.
+        return {
+            "text": "",
+            "confidence": 0.0,
+            "warnings": [EMPTY_PDF_WARNING],
+            "path": "empty",
+        }
     joined = "\n\n".join(texts)
     if engine == "pixelocr-alt":
         conf = sum(confs) / len(confs) if confs else 0.0  # E9

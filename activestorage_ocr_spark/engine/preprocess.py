@@ -75,11 +75,22 @@ def _lanczos3_weights(length_in: int, length_out: int) -> tuple[np.ndarray, np.n
 
 
 def resize(img: np.ndarray) -> np.ndarray:
-    """T3 (`resize.rs:4-48`): scale x(300/72), clamp dims to [300, 4000],
-    skip when both axis ratios fall in [0.95, 1.05]; Lanczos3 resample."""
+    """T3 (`resize.rs:4-48`): scale x(300/72); one proportional scale-down
+    when either dim exceeds 4000, one proportional scale-up only when BOTH
+    dims fall below 300 (aspect-preserving, f32 truncating casts like the
+    reference); skip when both axis ratios fall in [0.95, 1.05]; Lanczos3."""
     h, w = img.shape[:2]
-    th = int(np.clip(round(h * RESIZE_RATIO), RESIZE_MIN_DIM, RESIZE_MAX_DIM))
-    tw = int(np.clip(round(w * RESIZE_RATIO), RESIZE_MIN_DIM, RESIZE_MAX_DIM))
+    scale = np.float32(RESIZE_RATIO)
+    tw = int(np.float32(w) * scale)
+    th = int(np.float32(h) * scale)
+    if tw > RESIZE_MAX_DIM or th > RESIZE_MAX_DIM:
+        down = np.float32(RESIZE_MAX_DIM) / np.float32(max(tw, th))
+        tw = int(np.float32(tw) * down)
+        th = int(np.float32(th) * down)
+    if tw < RESIZE_MIN_DIM and th < RESIZE_MIN_DIM:
+        up = np.float32(RESIZE_MIN_DIM) / np.float32(min(tw, th))
+        tw = int(np.float32(tw) * up)
+        th = int(np.float32(th) * up)
     rh, rw = th / h, tw / w
     if RESIZE_SKIP_LO <= rh <= RESIZE_SKIP_HI and RESIZE_SKIP_LO <= rw <= RESIZE_SKIP_HI:
         return img

@@ -177,5 +177,14 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
 def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
     p = os.path.join(out_dir, "quarantine")
     if os.path.exists(p):
-        return spark.read.parquet(p)
-    raise FileNotFoundError(p)
+        try:
+            return spark.read.parquet(p)
+        except Exception:
+            # A run with zero quarantined rows leaves a partitionBy dir with
+            # no parquet footers; schema inference fails. Treat as empty.
+            pass
+    from .extraction import EXTRACTED_SCHEMA
+
+    return spark.createDataFrame(
+        [], EXTRACTED_SCHEMA + ", processed_at timestamp, run_id string, part_key int"
+    )

@@ -58,7 +58,7 @@ def _meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 rows["n_pixels"].append(w * h)
                 rows["ink_ratio"].append(round(float((gray < 128).mean()), 6))
                 rows["decode_error"].append(None)
-            except (ValueError, Exception) as e:  # noqa: BLE001 quarantine posture
+            except Exception as e:  # noqa: BLE001 quarantine posture
                 rows["width"].append(None)
                 rows["height"].append(None)
                 rows["n_pixels"].append(None)

@@ -399,7 +399,12 @@ def q_extract_quarantine(spark, sf_dir):
 
     pages = _corpus_pages(spark, sf_dir)
     _, quarantined = split_quarantine(extract_pages(pages, max_bytes=TEST_MAX_BYTES))
-    return quarantined.select("url", "mime", "status", "error_code", "warnings")
+    # warnings is array<string>; the driver's canonicalizer sorts rows and
+    # cannot hash list cells — serialize to a JSON string for the contract.
+    return quarantined.select(
+        "url", "mime", "status", "error_code",
+        F.to_json("warnings").alias("warnings"),
+    )
 
 
 def q_extract_metrics(spark, sf_dir):

@@ -108,3 +108,31 @@ class TestExtraction:
         text, _ = htmlx.extract_main_content(page)
         assert "Deep footer" not in text
         assert "Real content" in text
+
+
+class TestSelfClosingRawText:
+    def test_self_closing_svg_does_not_swallow_rest(self):
+        # ADVICE r1: `<svg/>` used to trigger a scan for a nonexistent
+        # `</svg>` and silently drop everything after it.
+        page = (
+            b"<html><body><main>"
+            b"<p>Before the vector graphic, a long paragraph of real text.</p>"
+            b"<svg/>"
+            b"<p>After the vector graphic, another long paragraph survives.</p>"
+            b"</main></body></html>"
+        )
+        text, _ = htmlx.extract_main_content(page)
+        assert "Before the vector graphic" in text
+        assert "After the vector graphic, another long paragraph survives" in text
+
+    def test_paired_raw_text_still_skipped(self):
+        page = (
+            b"<html><body><main>"
+            b"<p>Real content paragraph long enough to be kept in output.</p>"
+            b"<svg><text>vector payload must not leak</text></svg>"
+            b"<p>Trailing content paragraph long enough to be kept as well.</p>"
+            b"</main></body></html>"
+        )
+        text, _ = htmlx.extract_main_content(page)
+        assert "vector payload" not in text
+        assert "Trailing content paragraph" in text

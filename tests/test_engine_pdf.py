@@ -91,17 +91,23 @@ class TestImageFallback:
         assert r["text"] == "KEPT IMAGE"
         assert any("unsupported color space" in w for w in r["warnings"])
 
-    def test_all_images_fail_raises(self):
+    def test_all_images_fail_yields_empty_result(self):
+        # Reference parity (`ocrs.rs:448-460` + `ocrs.rs:154-160`): failed
+        # image decodes are dropped silently; zero survivors -> the empty
+        # result with ONLY the empty-PDF warning, not a processing error.
         bad = rasters.to_rgb(_gray("X"))
         pdf = pdfx.build_image_pdf([(bad, "BogusSpace")])
-        with pytest.raises(pdfx.PdfError, match="all PDF images failed"):
-            pdfx.extract_pdf(pdf)
+        r = pdfx.extract_pdf(pdf)
+        assert r["text"] == ""
+        assert r["confidence"] == 0.0
+        assert r["warnings"] == [pdfx.EMPTY_PDF_WARNING]
 
-    def test_truncated_image_data_skipped(self):
+    def test_truncated_image_data_yields_empty_result(self):
         ok = _gray("SURVIVOR 7")
         pdf = pdfx.build_image_pdf([(ok, "DeviceGray")], corrupt_data=True)
-        with pytest.raises(pdfx.PdfError):
-            pdfx.extract_pdf(pdf)
+        r = pdfx.extract_pdf(pdf)
+        assert r["text"] == ""
+        assert r["warnings"] == [pdfx.EMPTY_PDF_WARNING]
 
     def test_alt_engine_mean_confidence(self):
         # E9: leptess-analog averages per-image confidences

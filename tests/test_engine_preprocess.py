@@ -23,7 +23,22 @@ class TestSteps:
     def test_resize_scales_by_300_over_72(self):
         img = np.full((100, 120), 128, dtype=np.uint8)
         out = pp.resize(img)
-        assert out.shape == (round(100 * pp.RESIZE_RATIO), round(120 * pp.RESIZE_RATIO))
+        # reference truncates (`as u32`) f32 products: 100 -> 416, 120 -> 499
+        assert out.shape == (416, 499)
+
+    def test_resize_proportional_clamps_match_reference(self):
+        # 1000x2000 -> scaled (4166, 8333) -> one proportional scale-down
+        # to max 4000 on the long axis: ~ (2000, 4000), aspect preserved
+        out = pp.resize(np.full((1000, 2000), 128, dtype=np.uint8))
+        assert out.shape[1] == pp.RESIZE_MAX_DIM
+        assert abs(out.shape[0] - 2000) <= 1
+        # 20x200 -> (83, 833): min clamp does NOT fire (only one dim < 300)
+        out2 = pp.resize(np.full((20, 200), 128, dtype=np.uint8))
+        assert out2.shape == (83, 833)
+        # 40x50 -> (166, 208): both < 300 -> one proportional scale-up
+        out3 = pp.resize(np.full((40, 50), 128, dtype=np.uint8))
+        assert out3.shape[0] == pp.RESIZE_MIN_DIM
+        assert abs(out3.shape[1] - 375) <= 1
 
     def test_resize_clamps_max_dim(self):
         img = np.full((60, 1200), 128, dtype=np.uint8)

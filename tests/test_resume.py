@@ -102,3 +102,36 @@ class TestResume:
         assert tot.ok + tot.q == 200
         assert tot.b > 0
         assert m.filter(F.col("wall_ms") < 0).count() == 0
+
+
+class TestQuarantineReads:
+    def test_zero_quarantine_run_reads_as_empty(self, spark, tmp_path):
+        # ADVICE r1: a run with zero quarantined rows leaves a quarantine
+        # dir with no parquet footers; read_quarantine must not blow up on
+        # schema inference — it returns an empty, correctly-typed frame.
+        out = str(tmp_path / "out")
+        clean = spark.createDataFrame(
+            [
+                (
+                    f"https://ok.example/{i}",
+                    None,
+                    b"<html><body><main><p>"
+                    b"A clean page with a long paragraph of honest content text."
+                    b"</p></main></body></html>",
+                    "en",
+                )
+                for i in range(6)
+            ],
+            "url string, warc_ts timestamp, html binary, lang string",
+        )
+        r = ln.run_extraction_job(
+            spark, clean, out, run_id="clean-run", n_parts=2, max_bytes=MAX_BYTES
+        )
+        assert r["n_rows"] == 6
+        q = ln.read_quarantine(spark, out)
+        assert q.count() == 0
+        assert "error_code" in q.columns and "part_key" in q.columns
+
+    def test_missing_quarantine_dir_reads_as_empty(self, spark, tmp_path):
+        q = ln.read_quarantine(spark, str(tmp_path / "never-written"))
+        assert q.count() == 0
