@@ -41,6 +41,10 @@ EXTRACTED_SCHEMA = (
 
 OK_STATUSES = ("ok", "empty")
 
+#: Pass-1 output of single-scan skew routing: EXTRACTED_SCHEMA plus the raw
+#: payload of rows deferred to pass 2 (null for finished rows).
+DEFERRED_SCHEMA = EXTRACTED_SCHEMA + ", deferred_html binary"
+
 #: kernel re-slices incoming Arrow batches so one slice never exceeds this
 #: many payload bytes (giant-page memory guard; SURVEY.md §7.3).
 KERNEL_SLICE_BYTES = 64 * 1024 * 1024
@@ -76,9 +80,15 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _arrow_output_schema() -> pa.Schema:
-    return pa.schema(
-        [
+def _arrow_output_schema(with_deferred: bool = False) -> pa.Schema:
+    fields = _arrow_output_fields()
+    if with_deferred:
+        fields = fields + [pa.field("deferred_html", pa.binary())]
+    return pa.schema(fields)
+
+
+def _arrow_output_fields() -> list[pa.Field]:
+    return [
             pa.field("url", pa.string()),
             pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
             pa.field("lang", pa.string()),
@@ -113,15 +123,20 @@ def _arrow_output_schema() -> pa.Schema:
             ),
             pa.field("partition_id", pa.int32()),
         ]
-    )
 
 
-def make_extract_kernel(engine: str, preset: str, max_bytes: int):
+def make_extract_kernel(engine: str, preset: str, max_bytes: int, defer_over: int | None = None):
     """Build the mapInArrow kernel. All per-document work happens in
     `engine.extract.extract_document` — the same function the golden oracle
     runs, so byte-identity is structural (SURVEY.md §7.3). The heavy imports
     happen once per Python worker at first batch (model-warm-once analog,
-    `rust/src/engines/ocrs.rs:30-62`)."""
+    `rust/src/engines/ocrs.rs:30-62`).
+
+    With ``defer_over`` set, payloads larger than that many bytes are NOT
+    extracted here: the row is emitted with ``status='deferred'`` and the raw
+    payload in a ``deferred_html`` column, to be finished by
+    `make_finish_kernel` after a redistribution exchange (single-scan skew
+    routing — see `extract_pages`)."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # per-worker init (amortized across batches)
@@ -129,7 +144,7 @@ def make_extract_kernel(engine: str, preset: str, max_bytes: int):
 
         from ..engine.extract import extract_document
 
-        out_schema = _arrow_output_schema()
+        out_schema = _arrow_output_schema(with_deferred=defer_over is not None)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
 
@@ -146,6 +161,99 @@ def make_extract_kernel(engine: str, preset: str, max_bytes: int):
                 else:
                     presets = [preset] * len(urls)
                 rows: dict[str, list[Any]] = {f.name: [] for f in out_schema}
+                for u, lg, payload, row_preset in zip(urls, langs, payloads, presets):
+                    if defer_over is not None and payload is not None and len(payload) > defer_over:
+                        rows["url"].append(u)
+                        rows["lang"].append(lg)
+                        rows["mime"].append(None)
+                        rows["extracted_text"].append(None)
+                        rows["confidence"].append(None)
+                        rows["engine"].append(engine)
+                        rows["status"].append("deferred")
+                        rows["error_code"].append(None)
+                        rows["warnings"].append([])
+                        rows["spans"].append([])
+                        rows["n_bytes"].append(len(payload))
+                        rows["chars_out"].append(0)
+                        rows["processing_time_ms"].append(0)
+                        rows["preset"].append(row_preset)
+                        rows["step_timings"].append([])
+                        rows["partition_id"].append(pid)
+                        rows["deferred_html"].append(payload)
+                        continue
+                    r = extract_document(payload, engine=engine, preset=row_preset, max_bytes=max_bytes)
+                    rows["url"].append(u)
+                    rows["lang"].append(lg)
+                    rows["mime"].append(r["mime"])
+                    rows["extracted_text"].append(r["extracted_text"])
+                    rows["confidence"].append(r["confidence"])
+                    rows["engine"].append(r["engine"])
+                    rows["status"].append(r["status"])
+                    rows["error_code"].append(r["error_code"])
+                    rows["warnings"].append(r["warnings"])
+                    rows["spans"].append(
+                        [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]]
+                    )
+                    rows["n_bytes"].append(len(payload) if payload is not None else 0)
+                    rows["chars_out"].append(len(r["extracted_text"]))
+                    rows["processing_time_ms"].append(r["processing_time_ms"])
+                    rows["preset"].append(r["preset"])
+                    rows["step_timings"].append(
+                        [{"name": n, "time_ms": t} for n, t in r["step_timings"]]
+                    )
+                    rows["partition_id"].append(pid)
+                    if defer_over is not None:
+                        rows["deferred_html"].append(None)
+                arrays = []
+                for f in out_schema:
+                    if f.name == "warc_ts":
+                        arrays.append(ts.cast(f.type))
+                    else:
+                        arrays.append(pa.array(rows[f.name], type=f.type))
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return kernel
+
+
+def make_finish_kernel(engine: str, max_bytes: int):
+    """Pass 2 of single-scan skew routing: finish rows deferred by
+    `make_extract_kernel(defer_over=...)` after the redistribution exchange.
+
+    Finished rows (``deferred_html`` null) pass through as zero-copy Arrow
+    slices — no per-row Python touches them. Deferred rows run the same
+    `extract_document` kernel on their raw payload. The per-row ``preset``
+    resolved in pass 1 rides along in the ``preset`` output column."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        from ..engine.extract import extract_document
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        out_names = [f.name for f in _arrow_output_fields()]
+
+        for batch in batches:
+            for sub in _slice_by_bytes(batch, KERNEL_SLICE_BYTES, payload_col="deferred_html"):
+                mask = pc.is_valid(sub.column("deferred_html"))
+                n_deferred = pc.sum(mask).as_py() or 0
+                if n_deferred == 0:
+                    yield sub.select(out_names)
+                    continue
+                finished = sub.filter(pc.invert(mask))
+                if finished.num_rows:
+                    yield finished.select(out_names)
+                deferred = sub.filter(mask)
+                # mirror the incoming Arrow types exactly (they round-tripped
+                # through Spark's shuffle) so all yielded batches agree
+                target = deferred.select(out_names).schema
+                urls = deferred.column("url").to_pylist()
+                ts = deferred.column("warc_ts")
+                langs = deferred.column("lang").to_pylist()
+                payloads = deferred.column("deferred_html").to_pylist()
+                presets = deferred.column("preset").to_pylist()
+                rows: dict[str, list[Any]] = {n: [] for n in out_names}
                 for u, lg, payload, row_preset in zip(urls, langs, payloads, presets):
                     r = extract_document(payload, engine=engine, preset=row_preset, max_bytes=max_bytes)
                     rows["url"].append(u)
@@ -169,22 +277,24 @@ def make_extract_kernel(engine: str, preset: str, max_bytes: int):
                     )
                     rows["partition_id"].append(pid)
                 arrays = []
-                for f in out_schema:
+                for f in target:
                     if f.name == "warc_ts":
                         arrays.append(ts.cast(f.type))
                     else:
                         arrays.append(pa.array(rows[f.name], type=f.type))
-                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+                yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
     return kernel
 
 
-def _slice_by_bytes(batch: pa.RecordBatch, budget: int) -> Iterator[pa.RecordBatch]:
+def _slice_by_bytes(
+    batch: pa.RecordBatch, budget: int, payload_col: str = "html"
+) -> Iterator[pa.RecordBatch]:
     """Zero-copy re-slice of an Arrow batch so each slice's payload bytes stay
-    under ``budget`` (giant-page guard)."""
+    under ``budget`` (giant-page guard). Null payloads cost zero budget."""
     if batch.num_rows == 0:
         return
-    col = batch.column(batch.schema.get_field_index("html"))
+    col = batch.column(batch.schema.get_field_index(payload_col))
     try:
         import pyarrow.compute as pc
 
@@ -236,13 +346,18 @@ def extract_pages(
 
     ``skew_handling``:
 
-    * ``"giants"`` (default) — only rows above ``giant_bytes`` are salted and
-      repartitioned across the cluster; everything else maps directly over
-      scan partitions. At 10^12-document scale this shuffles the ~1-2% giant
-      tail instead of the whole table (a 100 TB input shuffles ~2 TB), while
-      still guaranteeing no task accumulates many giants. In-kernel Arrow
-      batch re-slicing (KERNEL_SLICE_BYTES) guards worker memory on both
-      paths.
+    * ``"giants"`` (default) — SINGLE-SCAN skew routing. Pass 1 maps the
+      extraction kernel directly over scan partitions but *defers* rows above
+      ``giant_bytes``: they pass through untouched with their raw payload in
+      a side column. One hash exchange on ``url`` then spreads the deferred
+      giants uniformly across the cluster (finished rows ride along as
+      extracted text, not raw html), and pass 2 finishes the giants while
+      zero-copy forwarding everything else. At 10^12-document scale this
+      reads the table ONCE and shuffles extracted text (~10-20% of input)
+      plus the ~1-2% giant tail — vs 2x full scans (the old fork-by-filter
+      realization) or a 100% raw-payload shuffle (``"full"``). No task
+      accumulates many giants; in-kernel Arrow batch re-slicing
+      (KERNEL_SLICE_BYTES) guards worker memory in both passes.
     * ``"full"`` / ``True`` — byte-length-bin + salt repartition of every
       row (for inputs with pathological layout, e.g. sorted by size).
     * ``"off"`` / ``False`` — map directly over scan partitions.
@@ -276,18 +391,15 @@ def extract_pages(
     if mode != "giants":
         raise ValueError(f"unknown skew_handling mode: {skew_handling!r}")
 
-    # NULL payloads must not vanish: length(NULL) is NULL and would fail BOTH
-    # branch filters (three-valued logic), silently dropping the row
-    is_giant = F.coalesce(F.length("html"), F.lit(0)) > giant_bytes
-    normal = proj.filter(~is_giant).mapInArrow(kernel, EXTRACTED_SCHEMA)
-    giants = (
-        proj.filter(is_giant)
-        .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
-        .repartition(n, "salt")
-        .drop("salt")
-        .mapInArrow(kernel, EXTRACTED_SCHEMA)
-    )
-    return normal.unionByName(giants)
+    # single scan: pass 1 extracts the small rows and defers giants (raw
+    # payload in deferred_html); one url-hash exchange spreads the giant
+    # tail; pass 2 finishes giants and zero-copy-forwards the rest. The
+    # giant/normal decision is made per row inside the kernel, so NULL
+    # payloads never hit three-valued filter logic.
+    pass1_kernel = make_extract_kernel(engine, preset, max_bytes, defer_over=giant_bytes)
+    pass1 = proj.mapInArrow(pass1_kernel, DEFERRED_SCHEMA)
+    redistributed = pass1.repartition(n, F.col("url"))
+    return redistributed.mapInArrow(make_finish_kernel(engine, max_bytes), EXTRACTED_SCHEMA)
 
 
 def split_quarantine(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
