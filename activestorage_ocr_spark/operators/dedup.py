@@ -212,21 +212,31 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    *,
+    candidates: DataFrame,
 ) -> DataFrame:
-    """Exact Jaccard over distinct k-word shingles for every pair sharing at
-    least one shingle: |A∩B| / (|A| + |B| - |A∩B|). The intersection count
-    comes from a shingle self-join; set sizes from a per-doc aggregate
-    broadcast back in. Returns (id_a, id_b, jaccard rounded to 9)."""
+    """Exact Jaccard over distinct k-word shingles, RESTRICTED to a
+    ``candidates`` frame of (id_a, id_b) pairs — normally the output of
+    `lsh_candidate_pairs`. The bound is part of the API on purpose
+    (VERDICT r1): an unbounded shingle self-join makes any shingle shared
+    by m documents produce m^2/2 join rows — one boilerplate shingle at
+    crawl scale is a cartesian bomb. With the bound, cost is
+    O(|candidates| * shingles-per-doc) regardless of shingle hotness.
+
+    Jaccard = |A∩B| / (|A| + |B| - |A∩B|); the intersection count comes from
+    joining each candidate pair's a-side shingles to the b-side on
+    (id_b, shingle); set sizes from a per-doc aggregate broadcast back in.
+    Candidate pairs sharing zero shingles drop out (jaccard 0 < threshold).
+    Returns (id_a, id_b, jaccard rounded to 9)."""
     sh = exploded_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        candidates.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))

@@ -137,6 +137,48 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_bucket_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup CANDIDATE pairs from the LSH bucket equi-join: distinct
+    (id_a, id_b), id_a < id_b, sharing a bucket. The scale-safe generator
+    that bounds `cosine_verify_pairs` — bucket-join, never all-pairs."""
+    wb = df.select(F.col(id_col), lsh_bucket(F.col(vec_col)).alias("bucket"))
+    a = wb.select(F.col(id_col).alias("id_a"), "bucket")
+    b = wb.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cosine_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verification RESTRICTED to a ``candidates`` frame of
+    (id_a, id_b) pairs — normally from `lsh_bucket_pairs`. The bound is part
+    of the API (VERDICT r1): the bare crossJoin verifier is quadratic and
+    must never be the registered plan. Cost is O(|candidates| * dim)."""
+    va = df.select(F.col(id_col).alias("id_a"), _dvec(F.col(vec_col)).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), _dvec(F.col(vec_col)).alias("vb"))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -144,8 +186,9 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a < b) with rounded cosine >=
-    threshold. Exact O(n^2) verification — downstream of LSH candidates at
-    scale (this exact form is the verifier stage)."""
+    threshold. Exact O(n^2) brute-force baseline — NOT registered as a
+    driver query; the registered near-dup path composes `lsh_bucket_pairs`
+    -> `cosine_verify_pairs` (candidate-bounded)."""
     a = df.select(F.col(id_col).alias("id_a"), _dvec(F.col(vec_col)).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), _dvec(F.col(vec_col)).alias("vb"))
     return (

@@ -711,9 +711,23 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard verification over the near-dup-injected corpus."""
+    """Composed LSH -> exact-Jaccard verification (the full fuzzy-dedup
+    pipeline): candidates from the banded bucket join, verified by the
+    candidate-bounded shingle-intersection join. No shingle self-join."""
+    docs = _docs_with_neardups(spark, sf_dir)
+    cand = dd.lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_hashes=4, bands=2)
     return dd.ngram_jaccard_pairs(
-        _docs_with_neardups(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+        docs, "doc_id", "text", k=3, threshold=0.5, candidates=cand
+    )
+
+
+def q_dedup_lsh_verified(spark, sf_dir):
+    """All LSH candidate pairs WITH their verified exact Jaccard (threshold
+    0 — the scoring surface; q_dedup_jaccard_pairs is the >=0.5 decision)."""
+    docs = _docs_with_neardups(spark, sf_dir)
+    cand = dd.lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_hashes=4, bands=2)
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.0, candidates=cand
     )
 
 
@@ -735,8 +749,20 @@ def q_sim_ann_lsh(spark, sf_dir):
 
 
 def q_emb_neardup_pairs(spark, sf_dir):
-    """Embedding cosine near-dup pairs (threshold 0.4 — exact verifier)."""
-    return sim.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), 0.4)
+    """Composed LSH-bucket -> exact-cosine near-dup pairs (threshold 0.4).
+    Candidates come from the bucket equi-join; the crossJoin verifier is
+    never the registered plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = sim.lsh_bucket_pairs(emb)
+    return sim.cosine_verify_pairs(emb, cand, 0.4)
+
+
+def q_emb_neardup_verified(spark, sf_dir):
+    """All LSH-bucket candidate pairs WITH their exact cosine (threshold -1
+    — the scoring surface; q_emb_neardup_pairs is the >=0.4 decision)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = sim.lsh_bucket_pairs(emb)
+    return sim.cosine_verify_pairs(emb, cand, -1.0)
 
 
 def q_multimodal_image_meta(spark, sf_dir):
@@ -755,10 +781,12 @@ QUERIES.update(
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "emb_norms": q_emb_norms,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        "emb_neardup_verified": q_emb_neardup_verified,
         "multimodal_image_meta": q_multimodal_image_meta,
     }
 )
@@ -802,6 +830,60 @@ _LSH_BUCKET_SQL = " || ".join(
 )
 
 
+def _jaccard_verified_sql(threshold: float) -> str:
+    """Composed LSH-candidates -> candidate-bounded exact-Jaccard verify
+    (mirrors q_dedup_jaccard_pairs / q_dedup_lsh_verified)."""
+    jac = "round(n_inter::DOUBLE / (sa.n_shingles + sb.n_shingles - n_inter), 9)"
+    return f"""
+        WITH {_NEARDUP_SQL_CTE}, {_shingle_cte('docs_nd')},
+        sig AS (SELECT doc_id, {_MINHASH_AGG} FROM sh GROUP BY doc_id),
+        buckets AS (
+            SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, {jac} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE {jac} >= {threshold}
+    """
+
+
+def _cosine_verified_sql(threshold: float) -> str:
+    """Composed LSH-bucket-candidates -> candidate-bounded exact-cosine
+    verify (mirrors q_emb_neardup_pairs / q_emb_neardup_verified)."""
+    cos = f"round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6)"
+    return f"""
+        WITH wb AS (
+            SELECT vec_id, {_LSH_BUCKET_SQL.format(v='embedding')} AS bucket
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b, {cos} AS cos_sim
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+        WHERE {cos} >= {threshold}
+    """
+
+
 ORACLES.update(
     {
         "dedup_minhash_sig": f"""
@@ -831,21 +913,8 @@ ORACLES.update(
             )
             SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM votes
         """,
-        "dedup_jaccard_pairs": f"""
-            WITH {_NEARDUP_SQL_CTE}, {_shingle_cte('docs_nd')},
-            sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   round(n_inter::DOUBLE / (sa.n_shingles + sb.n_shingles - n_inter), 9) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE round(n_inter::DOUBLE / (sa.n_shingles + sb.n_shingles - n_inter), 9) >= 0.5
-        """,
+        "dedup_jaccard_pairs": _jaccard_verified_sql(0.5),
+        "dedup_lsh_verified": _jaccard_verified_sql(0.0),
         "emb_norms": f"""
             SELECT vec_id, len(embedding)::BIGINT AS dim,
                    round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
@@ -889,13 +958,8 @@ ORACLES.update(
             SELECT probe_id, neighbor_id, rank::BIGINT AS rank, cos_sim
             FROM ranked WHERE rank <= 3
         """,
-        "emb_neardup_pairs": f"""
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
-        """,
+        "emb_neardup_pairs": _cosine_verified_sql(0.4),
+        "emb_neardup_verified": _cosine_verified_sql(-1.0),
     }
 )
 

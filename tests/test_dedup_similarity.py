@@ -67,12 +67,30 @@ class TestSimHash:
 
 
 class TestJaccard:
-    def test_jaccard_values(self, docs):
+    def test_jaccard_values(self, docs, spark):
+        # the verifier API requires a candidate bound (VERDICT r1); give it
+        # every pair so the values themselves are fully exercised
+        ids = [r.doc_id for r in docs.select("doc_id").collect()]
+        cand = spark.createDataFrame(
+            [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+        )
         out = {(r.id_a, r.id_b): r.jaccard for r in
-               dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+               dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3,
+                                      candidates=cand).collect()}
         assert out[(1, 2)] == 1.0
         assert 0.5 < out[(1, 3)] < 1.0
         assert (4, 5) not in out
+
+    def test_composed_lsh_verify_bounds_the_join(self, docs):
+        cand = dd.lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_hashes=4, bands=2)
+        verified = dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3,
+                                          candidates=cand)
+        # exact dup must survive the full LSH->verify pipeline
+        assert {(r.id_a, r.id_b) for r in verified.collect()} >= {(1, 2)}
+        # no unbounded shingle self-join / cartesian in the physical plan
+        plan = verified._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 @pytest.fixture(scope="module")
@@ -133,6 +151,21 @@ class TestSimilarity:
         got = {(r.id_a, r.id_b) for r in pairs.collect()}
         # all intra-cluster pairs are near-identical
         assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= got
+
+    def test_composed_bucket_verify_matches_brute_force_in_bucket(self, vectors):
+        # candidate-bounded verify: every pair it emits must carry the exact
+        # brute-force cosine, and its plan must not contain a cross join
+        cand = sim.lsh_bucket_pairs(vectors)
+        verified = sim.cosine_verify_pairs(vectors, cand, 0.99999)
+        brute = {(r.id_a, r.id_b): r.cos_sim
+                 for r in sim.cosine_near_dup_pairs(vectors, 0.99999).collect()}
+        got = {(r.id_a, r.id_b): r.cos_sim for r in verified.collect()}
+        assert got  # intra-cluster near-identicals share buckets
+        for pair, s in got.items():
+            assert brute[pair] == s
+        plan = verified._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
     def test_zero_vector_does_not_kill_job(self, spark):
         # a degenerate (all-zero) embedding must produce sim 0.0, not a
