@@ -18,10 +18,11 @@ Image containers (SURVEY.md §1.3: png/jpeg/gif/bmp/webp/tiff):
 * TIFF — real codec (8-bit gray, uncompressed, single strip, little-endian).
 * GIF  — real codec (GIF87a, 256-gray palette; encoder emits root codes with
   periodic CLEAR — valid LZW — and the decoder is a full LZW decoder).
-* JPEG — STUB: correct JFIF magic/headers, but the raster travels in an APP15
-  segment (``ASOS`` tag + zlib raw gray). A real DCT codec is out of scope in
-  this container (task brief allows deterministic fakes for image decode); the
-  MIME sniff, routing, schema and batch plumbing around it are real.
+* JPEG — real baseline DCT decoder (`engine.jpegx`: Huffman + dequant +
+  vectorized IDCT; gray + YCbCr up to 2x2 sampling, restart intervals).
+  The round-1 APP15 stub container is still accepted for corpus payloads
+  (`decode_jpeg` dispatches stub-first); progressive JPEG quarantines with
+  a clear reason.
 * WEBP — STUB: real RIFF/WEBP container with a custom ``GRAY`` chunk, same
   rationale.
 """
@@ -623,9 +624,22 @@ def decode_jpeg_stub(data: bytes) -> np.ndarray:
             payload += data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
     if payload[:4] != _STUB_TAG:
-        raise ValueError("real JPEG decode not supported in this sandbox (stub rasters only)")
+        raise ValueError("not a stub JPEG")
     w, h = struct.unpack(">II", payload[4:12])
     return np.frombuffer(zlib.decompress(bytes(payload[12:])), dtype=np.uint8).reshape(h, w).copy()
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG decode: the deterministic stub container when present (corpus
+    payloads), else the real pure-numpy baseline decoder (`engine.jpegx`) —
+    the reference's `image`-crate JPEG path (`rust/src/server.rs:237-238`)."""
+    try:
+        return decode_jpeg_stub(data)
+    except ValueError:
+        pass
+    from . import jpegx
+
+    return jpegx.decode_jpeg(data)
 
 
 def encode_webp_stub(gray: np.ndarray) -> bytes:
@@ -658,7 +672,7 @@ _DECODERS = {
     "image/bmp": decode_bmp,
     "image/tiff": decode_tiff,
     "image/gif": decode_gif,
-    "image/jpeg": decode_jpeg_stub,
+    "image/jpeg": decode_jpeg,
     "image/webp": decode_webp_stub,
 }
 

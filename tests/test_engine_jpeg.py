@@ -1,0 +1,274 @@
+"""Unit tests for the pure-numpy baseline JPEG decoder (`engine.jpegx`).
+
+A minimal TEST-ONLY baseline encoder lives here (flat 8-bit Huffman codes,
+optional quant table, 4:4:4 / 4:2:0, restart intervals) so the decoder gets
+true round-trip coverage without any external imaging library. With an
+all-ones quant table the only loss is FDCT/IDCT rounding, so round-trips
+must land within a few gray levels.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from activestorage_ocr_spark.engine import jpegx, rasters
+from activestorage_ocr_spark.engine.jpegx import ZIGZAG, decode_jpeg
+
+_C = jpegx._C
+
+
+# ---------------------------------------------------------------------------
+# minimal encoder (test-only)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1s per T.81
+        return bytes(self.out)
+
+
+def _flat_huff(symbols):
+    """All symbols get 8-bit canonical codes: counts[8]=len(symbols)."""
+    counts = [0] * 16
+    counts[7] = len(symbols)
+    code_of = {s: i for i, s in enumerate(symbols)}
+    return counts, list(symbols), code_of
+
+
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+
+def _category(v):
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def _enc_value(bw, v, t):
+    if v < 0:
+        v = v + (1 << t) - 1
+    if t:
+        bw.write(v, t)
+
+
+def _encode_block(bw, coef, pred, dc_code, ac_code):
+    diff = int(coef[0]) - pred
+    t = _category(diff)
+    bw.write(dc_code[t], 8)
+    _enc_value(bw, diff, t)
+    zz = coef[ZIGZAG][1:]
+    run = 0
+    for v in zz:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            bw.write(ac_code[0xF0], 8)
+            run -= 16
+        s = _category(v)
+        bw.write(ac_code[(run << 4) | s], 8)
+        _enc_value(bw, v, s)
+        run = 0
+    if run:
+        bw.write(ac_code[0x00], 8)
+    return int(coef[0])
+
+
+def encode_jpeg(img, subsample=False, qval=1, restart=0):
+    """img: (h,w) gray uint8 or (h,w,3) RGB uint8 -> baseline JFIF bytes."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
+        cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2]
+        if subsample:
+            cb = cb[::2, ::2]
+            cr = cr[::2, ::2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        int(x) for x in np.full(64, qval, dtype=np.uint8)
+    )
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    dc_counts, dc_vals, dc_code = _flat_huff(_DC_SYMS)
+    ac_counts, ac_vals, ac_code = _flat_huff(_AC_SYMS)
+    for tc, th, counts, vals in ((0, 0, dc_counts, dc_vals), (1, 0, ac_counts, ac_vals)):
+        seg = bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # pad planes to their block grid
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.zeros((ph, pw))
+        pp[: p.shape[0], : p.shape[1]] = p
+        pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+        padded.append(pp)
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            tail = bw.flush()
+            out += tail + bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            for v in range(sv):
+                for hh in range(sh):
+                    by, bx = (my * sv + v) * 8, (mx * sh + hh) * 8
+                    block = p[by : by + 8, bx : bx + 8] - 128.0
+                    coef = _C @ block @ _C.T
+                    coef = np.round(coef / qval)
+                    preds[ci] = _encode_block(bw, coef.flatten(), preds[ci], dc_code, ac_code)
+    out += bw.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def _text_image(h=64, w=160):
+    img = rasters.render_text("JPEG 42", scale=1)
+    canvas = np.full((h, w), 255, dtype=np.uint8)
+    canvas[8 : 8 + img.shape[0], 8 : 8 + img.shape[1]] = img
+    return canvas
+
+
+class TestRoundTrip:
+    def test_gray_near_lossless_q1(self):
+        img = _text_image()
+        got = decode_jpeg(encode_jpeg(img, qval=1))
+        assert got.shape == img.shape
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 3
+
+    def test_gray_non_multiple_of_8_dims(self):
+        yy, xx = np.mgrid[0:37, 0:61]
+        img = ((yy * 4 + xx * 2) % 256).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, qval=1))
+        assert got.shape == (37, 61)
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 3
+
+    def test_color_444(self):
+        h, w = 40, 72
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, qval=1))
+        assert got.shape == (h, w, 3)
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 6
+
+    def test_color_420_subsampled(self):
+        h, w = 48, 80
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, : w // 2] = (200, 30, 30)
+        img[:, w // 2 :] = (30, 30, 200)
+        got = decode_jpeg(encode_jpeg(img, subsample=True, qval=1))
+        assert got.shape == (h, w, 3)
+        # away from the chroma edge, colors must hold
+        assert np.abs(got[10, 10].astype(int) - [200, 30, 30]).max() <= 8
+        assert np.abs(got[10, -10].astype(int) - [30, 30, 200]).max() <= 8
+
+    def test_restart_intervals(self):
+        img = _text_image(h=48, w=128)
+        data = encode_jpeg(img, qval=1, restart=2)
+        assert b"\xff\xd0" in data or b"\xff\xd1" in data
+        got = decode_jpeg(data)
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 3
+
+    def test_quantized_still_readable(self):
+        img = _text_image()
+        got = decode_jpeg(encode_jpeg(img, qval=8))
+        # lossy, but dark glyphs stay dark and background stays light
+        assert got[img < 64].mean() < 100
+        assert got[img > 192].mean() > 180
+
+
+class TestErrors:
+    def test_progressive_rejected(self):
+        img = _text_image()
+        data = bytearray(encode_jpeg(img))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2
+        with pytest.raises(ValueError, match="progressive"):
+            decode_jpeg(bytes(data))
+
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG\r\n")
+
+    def test_truncated_tail_keeps_prefix(self):
+        img = _text_image()
+        data = encode_jpeg(img, qval=1)
+        got = decode_jpeg(data[: int(len(data) * 0.7)])
+        assert got.shape == img.shape  # partial decode, no crash
+
+    def test_truncated_header_raises(self):
+        img = _text_image()
+        data = encode_jpeg(img)
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:40])
+
+
+class TestDispatch:
+    def test_stub_payloads_still_decode(self):
+        img = _text_image()
+        stub = rasters.encode_jpeg_stub(img)
+        got = rasters.decode_jpeg(stub)
+        assert np.array_equal(got, img)
+
+    def test_real_payloads_route_to_jpegx(self):
+        img = _text_image()
+        got = rasters.decode_jpeg(encode_jpeg(img, qval=1))
+        assert got.shape == img.shape

@@ -6,12 +6,13 @@ files. Our deterministic OCR stand-in cannot ship the neural recognizer, so
 full text parity is out of scope by design — but the *container decode*,
 *routing*, *fallback paths*, and *exact warning strings* are pinned here:
 
-* real PNG (filters 0-4), 8-bit RLE8 BMP, GIF (LZW), TIFF: decode + OCR ok;
+* real PNG (filters 0-4), 8-bit RLE8 BMP, GIF (LZW), TIFF, and (round 2)
+  real baseline DCT JPEG via the pure-numpy `engine.jpegx`: decode + OCR ok;
 * both fixture PDFs are image-only with an /Indexed color space behind an
   indirect array object: text-layer miss -> XObject scan -> Indexed palette
   decode -> OCR, with the reference's exact scanned-PDF warning (E11);
-* real DCT JPEG / VP8 WEBP: quarantined with a clear stub error (the task
-  brief's allowed decode stubs), never a crash.
+* VP8 WEBP: quarantined with a clear stub error (the task brief's allowed
+  decode stubs), never a crash.
 """
 
 import os
@@ -39,6 +40,7 @@ def _extract(name):
         ("sample_text.bmp", "image/bmp"),
         ("sample_text.gif", "image/gif"),
         ("sample_text.tiff", "image/tiff"),
+        ("sample_text.jpg", "image/jpeg"),
     ],
 )
 def test_real_rasters_decode_and_ocr(name, mime):
@@ -66,9 +68,9 @@ def test_image_only_pdfs_take_ocr_fallback(name):
 
 @pytest.mark.parametrize(
     "name,err_token",
-    [("sample_text.jpg", "JPEG"), ("sample_text.webp", "WEBP")],
+    [("sample_text.webp", "WEBP")],
 )
-def test_real_dct_vp8_quarantined_with_stub_error(name, err_token):
+def test_vp8_quarantined_with_stub_error(name, err_token):
     r = _extract(name)
     assert r["status"] == "PROCESSING_ERROR"
     assert any(err_token.lower() in w.lower() or "stub" in w for w in r["warnings"])
