@@ -23,8 +23,11 @@ Image containers (SURVEY.md §1.3: png/jpeg/gif/bmp/webp/tiff):
   The round-1 APP15 stub container is still accepted for corpus payloads
   (`decode_jpeg` dispatches stub-first); progressive JPEG quarantines with
   a clear reason.
-* WEBP — STUB: real RIFF/WEBP container with a custom ``GRAY`` chunk, same
-  rationale.
+* WEBP — real VP8L (lossless) decoder (`engine.webpx`: prefix codes, meta
+  groups, LZ77, color cache, all four inverse transforms). VP8 lossy
+  quarantines with a narrow reason (boolean-arithmetic coefficient decoder
+  out of scope); the round-1 ``GRAY``-chunk stub container is still
+  accepted for corpus payloads.
 """
 
 from __future__ import annotations
@@ -664,7 +667,20 @@ def decode_webp_stub(data: bytes) -> np.ndarray:
             w, h = struct.unpack(">II", body[4:12])
             return np.frombuffer(zlib.decompress(body[12:]), dtype=np.uint8).reshape(h, w).copy()
         pos += 8 + ln + (ln % 2)
-    raise ValueError("real WEBP decode not supported in this sandbox (stub rasters only)")
+    raise ValueError("not a stub WEBP")
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WEBP decode: the deterministic stub container when present (corpus
+    payloads), else the real pure-Python VP8L decoder (`engine.webpx`).
+    VP8 lossy quarantines with a narrow reason from webpx."""
+    try:
+        return decode_webp_stub(data)
+    except ValueError:
+        pass
+    from . import webpx
+
+    return webpx.decode_webp(data)
 
 
 _DECODERS = {
@@ -673,7 +689,7 @@ _DECODERS = {
     "image/tiff": decode_tiff,
     "image/gif": decode_gif,
     "image/jpeg": decode_jpeg,
-    "image/webp": decode_webp_stub,
+    "image/webp": decode_webp,
 }
 
 _ENCODERS = {
