@@ -50,18 +50,68 @@ DEFAULT_MAX_BYTES = 52_428_800  # `rust/src/main.rs:28-30`
 #: P4: ordered engine registry; first = default (`rust/src/engines/mod.rs:71-88`).
 ENGINES = ("pixelocr", "pixelocr-alt")
 
+DEFAULT_LANGUAGE = rasters.DEFAULT_LANGUAGE
+SUPPORTED_LANGUAGES = rasters.SUPPORTED_LANGUAGES
+
+#: Per-engine metadata (`rust/src/engine.rs:14-32` OcrEngine trait;
+#: /info detail `rust/src/server.rs:298-318`). pixelocr mirrors the ocrs
+#: engine (latin/English only — it ignores the languages request, like the
+#: neural ocrs model); pixelocr-alt mirrors leptess (13 language packs).
+ENGINE_INFO: dict[str, dict[str, Any]] = {
+    "pixelocr": {
+        "name": "pixelocr",
+        "description": (
+            "Deterministic pixel-font recognizer (ocrs analog) - "
+            "fast, no language packs, joined-text confidence"
+        ),
+        "supported_formats": sorted(mimex.SUPPORTED_MIMES),
+        "supported_languages": [rasters.DEFAULT_LANGUAGE],
+    },
+    "pixelocr-alt": {
+        "name": "pixelocr-alt",
+        "description": (
+            "Deterministic pixel-font recognizer with language packs "
+            "(leptess analog) - per-image mean confidence on PDF fallback"
+        ),
+        "supported_formats": sorted(mimex.SUPPORTED_MIMES),
+        "supported_languages": list(rasters.SUPPORTED_LANGUAGES),
+    },
+}
+
 
 def pipeline_info() -> dict[str, Any]:
-    """O4 analog of the reference /info endpoint (`rust/src/server.rs:298-318`)."""
+    """O4 analog of the reference /info endpoint (`rust/src/server.rs:298-318`):
+    version, per-engine detail, default engine/language, size limit."""
     return {
         "version": "0.1.0",
         "engines": list(ENGINES),
+        "available_engines": [ENGINE_INFO[e] for e in ENGINES],
         "supported_formats": sorted(mimex.SUPPORTED_MIMES),
-        "supported_languages": ["eng", "deu", "fra", "spa"],
+        "supported_languages": list(rasters.SUPPORTED_LANGUAGES),
+        "default_language": rasters.DEFAULT_LANGUAGE,
         "max_file_size": DEFAULT_MAX_BYTES,
         "default_engine": ENGINES[0],
         "presets": ["none", "minimal", "default", "aggressive"],
     }
+
+
+def _parse_languages(languages: str | None, engine: str) -> tuple[tuple[str, ...], str | None]:
+    """Parse the '+'-separated languages request (`rust/src/server.rs:157-181`
+    multipart field; tesseract 'eng+deu' syntax). Returns (effective tuple,
+    error string). pixelocr ignores the request like the reference's ocrs
+    engine (English-only neural model)."""
+    if languages is None or not languages.strip():
+        return (DEFAULT_LANGUAGE,), None
+    langs = tuple(lg.strip() for lg in languages.split("+") if lg.strip())
+    bad = [lg for lg in langs if lg not in SUPPORTED_LANGUAGES]
+    if bad:
+        return (), (
+            f"unsupported language(s): {', '.join(bad)}; "
+            f"available: {', '.join(SUPPORTED_LANGUAGES)}"
+        )
+    if engine == "pixelocr":
+        return (DEFAULT_LANGUAGE,), None
+    return langs, None
 
 
 def _result(
@@ -99,9 +149,11 @@ def extract_document(
     engine: str = ENGINES[0],
     preset: str = "minimal",
     max_bytes: int = DEFAULT_MAX_BYTES,
+    languages: str | None = None,
 ) -> dict[str, Any]:
     """Extract one document. Pure function of (payload, engine, preset,
-    max_bytes); never raises."""
+    max_bytes, languages); never raises. ``languages`` is the reference's
+    '+'-separated request field ('eng+deu'); None -> the default language."""
     t0 = time.perf_counter()
     try:
         if engine not in ENGINES:
@@ -117,6 +169,12 @@ def extract_document(
                 mime=mimex.MIME_OCTET, status=E_INVALID, error_code=E_INVALID,
                 warnings=[str(e)], engine=engine, preset="minimal", t0=t0,
             )
+        langs, lang_err = _parse_languages(languages, engine)
+        if lang_err is not None:
+            return _result(
+                mime=mimex.MIME_OCTET, status=E_INVALID, error_code=E_INVALID,
+                warnings=[lang_err], engine=engine, preset=preset, t0=t0,
+            )
         if payload is None or len(payload) == 0:
             return _result(
                 mime=mimex.MIME_OCTET, status=E_INVALID, error_code=E_INVALID,
@@ -131,7 +189,7 @@ def extract_document(
             )
         mime = mimex.sniff_mime(payload)
         if mime == mimex.MIME_PDF:
-            r = pdfx.extract_pdf(payload, engine=engine, preset=preset)
+            r = pdfx.extract_pdf(payload, engine=engine, preset=preset, languages=langs)
             text = r["text"]
             status = STATUS_OK if text else STATUS_EMPTY
             return _result(
@@ -141,7 +199,7 @@ def extract_document(
         if mime in mimex.IMAGE_MIMES:
             gray = rasters.decode_image(payload, mime)
             gray, timings = run_pipeline(gray, preset)
-            text, warn = rasters.ocr_decode_image(gray)
+            text, warn = rasters.ocr_decode_image(gray, langs)
             conf = calculate_confidence(text)
             status = STATUS_OK if text else STATUS_EMPTY
             return _result(

@@ -600,10 +600,12 @@ def extract_pdf(
     payload: bytes,
     engine: str = "pixelocr",
     preset: str = "minimal",
+    languages: tuple[str, ...] = ("eng",),
 ) -> dict:
     """Full PDF extraction (E1 -> E2-E7 -> E10). Returns a result dict:
     {text, confidence, warnings, path} with path in
-    {"text_layer", "ocr_fallback", "empty"}.
+    {"text_layer", "ocr_fallback", "empty"}. ``languages`` selects the OCR
+    recognition charset on the fallback path (E8 language dimension).
     """
     from .preprocess import run_pipeline  # local import to avoid cycle
 
@@ -656,7 +658,7 @@ def extract_pdf(
             continue
         decoded_any = True
         gray, _timings = run_pipeline(gray, preset)
-        t, w = ocr_decode_image(gray)
+        t, w = ocr_decode_image(gray, languages)
         warnings.extend(w)
         if t:
             texts.append(t)

@@ -87,6 +87,39 @@ _FONT_ROWS: dict[str, tuple[str, ...]] = {
     "'": ("..X..", "..X..", ".....", ".....", ".....", ".....", "....."),
 }
 
+#: Per-language glyph packs — the stand-in's analog of tesseract language
+#: data (`rust/src/engines/leptess.rs:227-245`): language-specific characters
+#: are only RECOGNIZED when their language is requested; rendering always
+#: knows every glyph. A pack-less supported language (ita, por, ...) simply
+#: adds no glyphs, like an installed-but-latin tessdata pack.
+_LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
+    "deu": {
+        "Ä": ("X...X", ".XXX.", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+        "Ö": ("X...X", ".XXX.", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+        "Ü": ("X...X", ".....", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+        "ß": ("XXX..", "X..X.", "X..X.", "XX.X.", "X..X.", "X...X", "X.XX."),
+    },
+    "fra": {
+        "É": ("...X.", "XXXXX", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+        "È": (".X...", "XXXXX", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+        "Ç": (".XXXX", "X....", "X....", "X....", ".XXXX", "..X..", ".XX.."),
+        "À": (".X...", ".XXX.", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+    },
+    "spa": {
+        "Ñ": (".XX.X", ".....", "X...X", "XX..X", "X.X.X", "X..XX", "X...X"),
+        "É": ("...X.", "XXXXX", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+        "Á": ("...X.", ".XXX.", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+    },
+}
+
+#: the 13 languages the reference's leptess engine reports
+#: (`rust/src/engines/leptess.rs:227-245`)
+SUPPORTED_LANGUAGES = (
+    "eng", "deu", "fra", "spa", "ita", "por", "nld",
+    "jpn", "chi_sim", "chi_tra", "kor", "ara", "rus",
+)
+DEFAULT_LANGUAGE = "eng"
+
 FONT_CHARS = frozenset(_FONT_ROWS)
 GLYPH_H = 7
 GLYPH_W = 5
@@ -94,9 +127,12 @@ CHAR_SPACING = 1  # blank columns between glyph cells (x scale)
 LINE_SPACING = 3  # blank rows between line bands (x scale)
 
 
-def _glyph_array(ch: str) -> np.ndarray:
-    rows = _FONT_ROWS[ch]
+def _rows_array(rows: tuple[str, ...]) -> np.ndarray:
     return np.array([[c == "X" for c in r] for r in rows], dtype=bool)
+
+
+def _glyph_array(ch: str) -> np.ndarray:
+    return _rows_array(_FONT_ROWS[ch])
 
 
 def _trim_cols(g: np.ndarray) -> np.ndarray:
@@ -105,18 +141,45 @@ def _trim_cols(g: np.ndarray) -> np.ndarray:
 
 
 _GLYPHS: dict[str, np.ndarray] = {ch: _glyph_array(ch) for ch in _FONT_ROWS}
-#: trimmed float patterns grouped by trimmed width (fractional-scale matching)
-_GLYPHS_BY_WIDTH: dict[int, list[tuple[str, np.ndarray]]] = {}
-for _ch, _g in _GLYPHS.items():
-    _t = _trim_cols(_g).astype(np.float64)
-    _GLYPHS_BY_WIDTH.setdefault(_t.shape[1], []).append((_ch, _t))
-# recognition table: trimmed-bitmap bytes -> char
-_DECODE_TABLE: dict[bytes, str] = {}
-for _ch, _g in _GLYPHS.items():
-    _key = _trim_cols(_g).tobytes() + bytes([_trim_cols(_g).shape[1]])
-    if _key in _DECODE_TABLE:  # pragma: no cover - guarded by tests
-        raise AssertionError(f"font collision: {_ch} vs {_DECODE_TABLE[_key]}")
-    _DECODE_TABLE[_key] = _ch
+#: every glyph any language can render (recognition filters by language)
+_ALL_GLYPHS: dict[str, np.ndarray] = dict(_GLYPHS)
+for _pack in _LANG_FONT_ROWS.values():
+    for _ch, _rows in _pack.items():
+        _ALL_GLYPHS[_ch] = _rows_array(_rows)
+ALL_FONT_CHARS = frozenset(_ALL_GLYPHS)
+
+
+def _build_tables(glyphs: dict[str, np.ndarray]):
+    """(by_width fuzzy patterns, exact trimmed-bitmap table) for a charset."""
+    by_width: dict[int, list[tuple[str, np.ndarray]]] = {}
+    table: dict[bytes, str] = {}
+    for ch, g in glyphs.items():
+        t = _trim_cols(g)
+        by_width.setdefault(t.shape[1], []).append((ch, t.astype(np.float64)))
+        key = t.tobytes() + bytes([t.shape[1]])
+        if key in table:  # pragma: no cover - guarded by tests
+            raise AssertionError(f"font collision: {ch} vs {table[key]}")
+        table[key] = ch
+    return by_width, table
+
+
+# base (eng) tables; language-extended tables are cached per language set
+_GLYPHS_BY_WIDTH, _DECODE_TABLE = _build_tables(_GLYPHS)
+_build_tables(_ALL_GLYPHS)  # collision check across every pack at import
+_LANG_TABLE_CACHE: dict[frozenset, tuple[dict, dict]] = {}
+
+
+def _tables_for(languages: tuple[str, ...]):
+    key = frozenset(languages)
+    cached = _LANG_TABLE_CACHE.get(key)
+    if cached is None:
+        glyphs = dict(_GLYPHS)
+        for lg in sorted(key):
+            for ch, rows in _LANG_FONT_ROWS.get(lg, {}).items():
+                glyphs[ch] = _rows_array(rows)
+        cached = _build_tables(glyphs)
+        _LANG_TABLE_CACHE[key] = cached
+    return cached
 
 
 def normalize_renderable(text: str) -> str:
@@ -124,8 +187,10 @@ def normalize_renderable(text: str) -> str:
     chars -> '?'). The corpus generator emits renderable text already; this is
     a guard for ad-hoc use."""
     out = []
-    for ch in text.upper():
-        if ch in FONT_CHARS or ch in (" ", "\n"):
+    for raw in text:
+        # ß survives as itself (str.upper would expand it to 'SS')
+        ch = raw if raw == "ß" else raw.upper()
+        if ch in ALL_FONT_CHARS or ch in (" ", "\n"):
             out.append(ch)
         else:
             out.append("?")
@@ -151,7 +216,7 @@ def render_text(text: str, scale: int = 2, margin: int = 4) -> np.ndarray:
         x = margin
         for ch in ln:
             if ch != " ":
-                g = np.kron(_GLYPHS[ch], np.ones((scale, scale), dtype=bool))
+                g = np.kron(_ALL_GLYPHS[ch], np.ones((scale, scale), dtype=bool))
                 img[y : y + line_h, x : x + GLYPH_W * scale][g] = 0
             x += cell_w
         y += line_h + LINE_SPACING * scale
@@ -186,14 +251,21 @@ def _segments(mask: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), ends.tolist()))
 
 
-def ocr_decode_image(gray: np.ndarray) -> tuple[str, list[str]]:
+def ocr_decode_image(
+    gray: np.ndarray, languages: tuple[str, ...] = (DEFAULT_LANGUAGE,)
+) -> tuple[str, list[str]]:
     """Decode a rendered raster back to text. Returns (text, warnings).
 
     Phases mirror `ocrs.rs:81-101`: (1) prepare: binarize at <128;
     (2) detect text lines: contiguous dark-row bands; (3) detect words/glyphs:
     column runs, gap > 3*scale => word break; (4) recognize: trimmed-bitmap
     match against the font table. Words joined " ", lines "\\n" (E6).
+
+    ``languages`` selects the recognition charset (the leptess language-pack
+    analog): base latin always; umlauts/accents only with their pack loaded —
+    an unrequested language's glyph reads as an unrecognized '?'.
     """
+    by_width, table = _tables_for(languages)
     warnings: list[str] = []
     if gray.ndim == 3:
         gray = rgb_to_gray(gray)
@@ -215,7 +287,7 @@ def ocr_decode_image(gray: np.ndarray) -> tuple[str, list[str]]:
                 words.append([])
             prev_end = c1
             glyph = band[:, c0:c1]
-            ch = _match_glyph(glyph, scale)
+            ch = _match_glyph(glyph, scale, by_width, table)
             if ch is None:
                 warnings.append("unrecognized glyph")
                 ch = "?"
@@ -243,7 +315,14 @@ def _grid_cells(glyph: np.ndarray, gh: int, gw: int) -> np.ndarray:
     return _grid_means(glyph, gh, gw) >= 0.5
 
 
-def _match_glyph(glyph: np.ndarray, scale: int) -> str | None:
+def _match_glyph(
+    glyph: np.ndarray,
+    scale: int,
+    by_width: dict | None = None,
+    table: dict | None = None,
+) -> str | None:
+    by_width = _GLYPHS_BY_WIDTH if by_width is None else by_width
+    table = _DECODE_TABLE if table is None else table
     h, w = glyph.shape
     gh = GLYPH_H
     if h < gh:
@@ -255,7 +334,7 @@ def _match_glyph(glyph: np.ndarray, scale: int) -> str | None:
             cells = glyph.reshape(gh, scale, gw, scale).mean(axis=(1, 3)) >= 0.5
         else:
             cells = _grid_cells(glyph.astype(np.int8), gh, gw)
-        got = _DECODE_TABLE.get(cells.tobytes() + bytes([gw]))
+        got = table.get(cells.tobytes() + bytes([gw]))
         if got is not None:
             return got
     # fractional-scale fallback (images resampled by a non-integer and
@@ -264,7 +343,7 @@ def _match_glyph(glyph: np.ndarray, scale: int) -> str | None:
     # fractional-grid ink means against every trimmed font width
     g8 = glyph.astype(np.int8)
     best: tuple[float, str] | None = None
-    for gw, glyphs in _GLYPHS_BY_WIDTH.items():
+    for gw, glyphs in by_width.items():
         means = _grid_means(g8, gh, gw)
         for ch, pattern in glyphs:
             d = float(np.abs(means - pattern).mean())

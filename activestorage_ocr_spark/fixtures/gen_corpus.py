@@ -186,16 +186,25 @@ def make_payload(seed: int, i: int, max_bytes: int = TEST_MAX_BYTES) -> bytes:
     return _html_payload(rng, i, giant=True)
 
 
+def row_lang(seed: int, i: int) -> str:
+    """The row's lang column — a pure function of (seed, i) so the golden
+    generator can thread the SAME language request as the Spark kernel
+    (byte-identity stays structural)."""
+    rng = _rng(seed, i + 10_000_019)
+    langs = ["eng"] * 17 + ["deu", "fra", "spa"]
+    return langs[rng.randrange(len(langs))]
+
+
 def make_row(seed: int, i: int, max_bytes: int = TEST_MAX_BYTES) -> dict:
     """One pages-table row (FIXTURES.md §1)."""
     rng = _rng(seed, i + 10_000_019)  # independent stream from the payload's
     payload = make_payload(seed, i, max_bytes)
-    langs = ["eng"] * 17 + ["deu", "fra", "spa"]
-    lang = langs[rng.randrange(len(langs))]
+    lang = row_lang(seed, i)
+    rng.randrange(20)  # keep the stream aligned with row_lang's draw
     # `text`: stale upstream text — null 80%, else a truncated golden prefix
     text = None
     if rng.random() >= 0.8:
-        golden = extract_document(payload, max_bytes=max_bytes)
+        golden = extract_document(payload, max_bytes=max_bytes, languages=lang)
         text = golden["extracted_text"][:50] or None
     return {
         "url": doc_url(seed, i),
@@ -258,7 +267,10 @@ def generate_goldens(
     rows = []
     for i in range(n):
         payload = make_payload(seed, i, max_bytes)
-        r = extract_document(payload, engine=engine, preset=preset, max_bytes=max_bytes)
+        r = extract_document(
+            payload, engine=engine, preset=preset, max_bytes=max_bytes,
+            languages=row_lang(seed, i),
+        )
         rows.append(
             {
                 "url": doc_url(seed, i),
@@ -283,7 +295,10 @@ def _chunk_rows(args: tuple) -> tuple[list[dict], list[dict]]:
     for i in range(lo, hi):
         pages.append(make_row(seed, i, max_bytes))
         payload = make_payload(seed, i, max_bytes)
-        r = extract_document(payload, engine=engine, preset=preset, max_bytes=max_bytes)
+        r = extract_document(
+            payload, engine=engine, preset=preset, max_bytes=max_bytes,
+            languages=row_lang(seed, i),
+        )
         goldens.append(
             {
                 "url": doc_url(seed, i),

@@ -51,6 +51,27 @@ KERNEL_SLICE_BYTES = 64 * 1024 * 1024
 
 _PYFILES_SESSIONS: set[int] = set()
 
+#: ISO-639-1 -> tesseract-style codes, so a crawl's 2-letter lang column
+#: maps onto the engine's language packs.
+_ISO_LANG = {
+    "en": "eng", "de": "deu", "fr": "fra", "es": "spa", "it": "ita",
+    "pt": "por", "nl": "nld", "ja": "jpn", "zh": "chi_sim", "ko": "kor",
+    "ar": "ara", "ru": "rus",
+}
+
+
+def _lang_request(lang: str | None) -> str | None:
+    """Map a crawl's lang ANNOTATION onto a language request. Unlike the
+    explicit `languages=` API parameter (strictly validated, INVALID_REQUEST
+    on junk), an unknown annotation ('und', mis-tagged rows) falls back to
+    the job default — a metadata column must never quarantine a document."""
+    if not lang:
+        return None
+    from ..engine.rasters import SUPPORTED_LANGUAGES
+
+    mapped = _ISO_LANG.get(lang.lower(), lang)
+    return mapped if mapped in SUPPORTED_LANGUAGES else None
+
 
 def ensure_workers_can_import(spark) -> None:
     """Ship the package zip to Python workers via ``addPyFile`` (idempotent
@@ -125,7 +146,13 @@ def _arrow_output_fields() -> list[pa.Field]:
         ]
 
 
-def make_extract_kernel(engine: str, preset: str, max_bytes: int, defer_over: int | None = None):
+def make_extract_kernel(
+    engine: str,
+    preset: str,
+    max_bytes: int,
+    defer_over: int | None = None,
+    default_language: str | None = None,
+):
     """Build the mapInArrow kernel. All per-document work happens in
     `engine.extract.extract_document` — the same function the golden oracle
     runs, so byte-identity is structural (SURVEY.md §7.3). The heavy imports
@@ -181,7 +208,11 @@ def make_extract_kernel(engine: str, preset: str, max_bytes: int, defer_over: in
                         rows["partition_id"].append(pid)
                         rows["deferred_html"].append(payload)
                         continue
-                    r = extract_document(payload, engine=engine, preset=row_preset, max_bytes=max_bytes)
+                    r = extract_document(
+                        payload, engine=engine, preset=row_preset,
+                        max_bytes=max_bytes,
+                        languages=_lang_request(lg) or default_language,
+                    )
                     rows["url"].append(u)
                     rows["lang"].append(lg)
                     rows["mime"].append(r["mime"])
@@ -215,7 +246,7 @@ def make_extract_kernel(engine: str, preset: str, max_bytes: int, defer_over: in
     return kernel
 
 
-def make_finish_kernel(engine: str, max_bytes: int):
+def make_finish_kernel(engine: str, max_bytes: int, default_language: str | None = None):
     """Pass 2 of single-scan skew routing: finish rows deferred by
     `make_extract_kernel(defer_over=...)` after the redistribution exchange.
 
@@ -255,7 +286,11 @@ def make_finish_kernel(engine: str, max_bytes: int):
                 presets = deferred.column("preset").to_pylist()
                 rows: dict[str, list[Any]] = {n: [] for n in out_names}
                 for u, lg, payload, row_preset in zip(urls, langs, payloads, presets):
-                    r = extract_document(payload, engine=engine, preset=row_preset, max_bytes=max_bytes)
+                    r = extract_document(
+                        payload, engine=engine, preset=row_preset,
+                        max_bytes=max_bytes,
+                        languages=_lang_request(lg) or default_language,
+                    )
                     rows["url"].append(u)
                     rows["lang"].append(lg)
                     rows["mime"].append(r["mime"])
@@ -330,9 +365,10 @@ GIANT_BYTES = 64 * 1024
 def extract_pages(
     df: DataFrame,
     *,
-    engine: str = "pixelocr",
-    preset: str = "minimal",
-    max_bytes: int = 52_428_800,
+    engine: str | None = None,
+    preset: str | None = None,
+    max_bytes: int | None = None,
+    default_language: str | None = None,
     repartition: int | None = None,
     salt_buckets: int = 64,
     skew_handling: bool | str = "giants",
@@ -371,11 +407,20 @@ def extract_pages(
     parameter).
     """
     ensure_workers_can_import(df.sparkSession)
+    # unset knobs resolve from env config ON THE DRIVER
+    # (configuration.rb / main.rs clap-env analog, engine/config.py)
+    from ..engine.config import EngineConfig
+
+    cfg = EngineConfig.from_env()
+    engine = cfg.engine if engine is None else engine
+    preset = cfg.preset if preset is None else preset
+    max_bytes = cfg.max_bytes if max_bytes is None else max_bytes
+    default_language = cfg.default_language if default_language is None else default_language
     cols = ["url", "warc_ts", "html", "lang"]
     if "preset" in df.columns:
         cols.append("preset")
     proj = df.select(*cols)
-    kernel = make_extract_kernel(engine, preset, max_bytes)
+    kernel = make_extract_kernel(engine, preset, max_bytes, default_language=default_language)
     mode = {True: "full", False: "off"}.get(skew_handling, skew_handling)
     n = repartition or df.sparkSession.sparkContext.defaultParallelism * 4
 
@@ -396,10 +441,15 @@ def extract_pages(
     # tail; pass 2 finishes giants and zero-copy-forwards the rest. The
     # giant/normal decision is made per row inside the kernel, so NULL
     # payloads never hit three-valued filter logic.
-    pass1_kernel = make_extract_kernel(engine, preset, max_bytes, defer_over=giant_bytes)
+    pass1_kernel = make_extract_kernel(
+        engine, preset, max_bytes, defer_over=giant_bytes, default_language=default_language
+    )
     pass1 = proj.mapInArrow(pass1_kernel, DEFERRED_SCHEMA)
     redistributed = pass1.repartition(n, F.col("url"))
-    return redistributed.mapInArrow(make_finish_kernel(engine, max_bytes), EXTRACTED_SCHEMA)
+    return redistributed.mapInArrow(
+        make_finish_kernel(engine, max_bytes, default_language=default_language),
+        EXTRACTED_SCHEMA,
+    )
 
 
 def split_quarantine(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -66,9 +66,9 @@ def run_extraction_job(
     *,
     run_id: str,
     n_parts: int = 64,
-    engine: str = "pixelocr",
-    preset: str = "minimal",
-    max_bytes: int = 52_428_800,
+    engine: str | None = None,
+    preset: str | None = None,
+    max_bytes: int | None = None,
     only_parts: list[int] | None = None,
     repartition: int | None = None,
 ) -> dict:

@@ -1,0 +1,71 @@
+"""Env-var config + validation tests (the configuration.rb /
+configuration_test.rb analog plus main.rs clap-env args)."""
+
+import pytest
+
+from activestorage_ocr_spark.engine import config as cfg
+
+
+class TestDefaults:
+    def test_defaults(self):
+        c = cfg.EngineConfig.from_env(env={})
+        assert c.engine == "pixelocr"
+        assert c.preset == "minimal"
+        assert c.max_bytes == 52_428_800
+        assert c.default_language == "eng"
+
+    def test_env_overrides(self):
+        c = cfg.EngineConfig.from_env(env={
+            cfg.ENV_ENGINE: "pixelocr-alt",
+            cfg.ENV_PRESET: "aggressive",
+            cfg.ENV_MAX_BYTES: "1048576",
+            cfg.ENV_LANGUAGE: "deu",
+        })
+        assert c.engine == "pixelocr-alt"
+        assert c.preset == "aggressive"
+        assert c.max_bytes == 1_048_576
+        assert c.default_language == "deu"
+
+
+class TestValidation:
+    def test_unknown_engine_raises(self):
+        with pytest.raises(ValueError, match="unknown engine"):
+            cfg.EngineConfig.from_env(env={cfg.ENV_ENGINE: "tesseract"})
+
+    def test_unknown_preset_raises(self):
+        with pytest.raises(ValueError, match="preset"):
+            cfg.EngineConfig.from_env(env={cfg.ENV_PRESET: "turbo"})
+
+    def test_non_integer_size_raises(self):
+        with pytest.raises(ValueError, match="integer"):
+            cfg.EngineConfig.from_env(env={cfg.ENV_MAX_BYTES: "50MB"})
+
+    def test_negative_size_raises(self):
+        with pytest.raises(ValueError, match="positive"):
+            cfg.EngineConfig.from_env(env={cfg.ENV_MAX_BYTES: "-1"})
+
+    def test_unknown_language_raises(self):
+        with pytest.raises(ValueError, match="language"):
+            cfg.EngineConfig.from_env(env={cfg.ENV_LANGUAGE: "klingon"})
+
+    def test_direct_construction_validates(self):
+        with pytest.raises(ValueError):
+            cfg.EngineConfig(engine="nope").validate()
+
+
+class TestPipelineResolution:
+    def test_extract_pages_env_engine(self, spark, corpus_dir_200, monkeypatch):
+        from activestorage_ocr_spark.operators.extraction import extract_pages
+
+        monkeypatch.setenv(cfg.ENV_ENGINE, "pixelocr-alt")
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet").limit(4)
+        out = extract_pages(pages, max_bytes=262_144)
+        assert {r.engine for r in out.select("engine").collect()} == {"pixelocr-alt"}
+
+    def test_explicit_args_beat_env(self, spark, corpus_dir_200, monkeypatch):
+        from activestorage_ocr_spark.operators.extraction import extract_pages
+
+        monkeypatch.setenv(cfg.ENV_ENGINE, "pixelocr-alt")
+        pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet").limit(4)
+        out = extract_pages(pages, engine="pixelocr", max_bytes=262_144)
+        assert {r.engine for r in out.select("engine").collect()} == {"pixelocr"}

@@ -1,0 +1,89 @@
+"""Language dimension tests (E8 / the reference's per-request `languages`
+multipart field, `rust/src/server.rs:157-181` + `leptess.rs:227-245`)."""
+
+import numpy as np
+import pytest
+
+from activestorage_ocr_spark.engine import extract as ex, pdfx, rasters
+
+
+def _png(text):
+    return rasters.encode_png(rasters.render_text(text, scale=2))
+
+
+class TestOcrLanguagePacks:
+    def test_two_languages_produce_different_pinned_outputs(self):
+        img = rasters.render_text("GRÜßE ÉCOLE", scale=2)
+        eng, _ = rasters.ocr_decode_image(img)
+        deu, _ = rasters.ocr_decode_image(img, ("eng", "deu"))
+        fra, _ = rasters.ocr_decode_image(img, ("eng", "fra"))
+        # unloaded packs degrade accents to the nearest base shape or '?'
+        assert eng == "GRUBE ECOLE"
+        assert deu == "GRÜßE ECOLE"
+        assert fra == "GRUBE ÉCOLE"
+        both, _ = rasters.ocr_decode_image(img, ("deu", "fra"))
+        assert both == "GRÜßE ÉCOLE"
+
+    def test_spanish_pack(self):
+        img = rasters.render_text("AÑO ÁGIL", scale=2)
+        spa, _ = rasters.ocr_decode_image(img, ("spa",))
+        assert spa == "AÑO ÁGIL"
+
+    def test_all_glyphs_unique_across_packs(self):
+        # the import-time collision check covers this; pin it explicitly
+        rasters._build_tables(rasters._ALL_GLYPHS)
+
+
+class TestExtractLanguages:
+    def test_languages_field_threads_to_ocr(self):
+        png = _png("ÜBER 9")
+        # pixelocr-alt = leptess analog: packs honored
+        r = ex.extract_document(png, engine="pixelocr-alt", languages="eng+deu")
+        assert r["extracted_text"] == "ÜBER 9"
+        r2 = ex.extract_document(png, engine="pixelocr-alt", languages="eng")
+        assert r2["extracted_text"] == "UBER 9"
+
+    def test_pixelocr_ignores_languages_like_ocrs(self):
+        # the reference's ocrs engine is English-only and ignores the field
+        png = _png("ÜBER 9")
+        r = ex.extract_document(png, engine="pixelocr", languages="deu")
+        assert r["extracted_text"] == "UBER 9"
+
+    def test_unknown_language_is_invalid_request(self):
+        r = ex.extract_document(_png("HI"), engine="pixelocr-alt", languages="xyz")
+        assert r["status"] == ex.E_INVALID
+        assert any("unsupported language" in w for w in r["warnings"])
+
+    def test_none_defaults_to_eng(self):
+        r = ex.extract_document(_png("HELLO"), languages=None)
+        assert r["extracted_text"] == "HELLO"
+
+    def test_pdf_ocr_fallback_honors_languages(self):
+        gray = rasters.render_text("ÖL 5", scale=2)
+        pdf = pdfx.build_image_pdf([(gray, "DeviceGray")])
+        r = ex.extract_document(pdf, engine="pixelocr-alt", languages="deu")
+        assert r["extracted_text"] == "ÖL 5"
+        # without the pack, the resampled Ö fuzzy-matches U (pinned)
+        r2 = ex.extract_document(pdf, engine="pixelocr-alt", languages="eng")
+        assert r2["extracted_text"] == "UL 5"
+
+
+class TestPerEngineInfo:
+    def test_info_lists_engine_detail(self):
+        info = ex.pipeline_info()
+        engines = {e["name"]: e for e in info["available_engines"]}
+        assert set(engines) == {"pixelocr", "pixelocr-alt"}
+        # ocrs analog: English only (`ocrs.rs:270-273`)
+        assert engines["pixelocr"]["supported_languages"] == ["eng"]
+        # leptess analog: the 13 reported languages (`leptess.rs:227-245`)
+        assert len(engines["pixelocr-alt"]["supported_languages"]) == 13
+        for e in engines.values():
+            assert e["description"]
+            assert len(e["supported_formats"]) == 8
+        assert info["default_language"] == "eng"
+
+    def test_supported_languages_match_reference_list(self):
+        assert rasters.SUPPORTED_LANGUAGES == (
+            "eng", "deu", "fra", "spa", "ita", "por", "nld",
+            "jpn", "chi_sim", "chi_tra", "kor", "ara", "rus",
+        )
