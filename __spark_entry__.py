@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from activestorage_ocr_spark.plans.queries import ORACLES
+    from activestorage_ocr_spark.plans.queries import ORACLES, extraction_oracles
 
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    # extraction-domain oracles read the single-node golden parquet (built
+    # on demand, cached) — DuckDB re-aggregates it independently
+    out.update(extraction_oracles())
+    return out

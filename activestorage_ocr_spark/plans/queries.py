@@ -400,10 +400,11 @@ def q_extract_quarantine(spark, sf_dir):
     pages = _corpus_pages(spark, sf_dir)
     _, quarantined = split_quarantine(extract_pages(pages, max_bytes=TEST_MAX_BYTES))
     # warnings is array<string>; the driver's canonicalizer sorts rows and
-    # cannot hash list cells — serialize to a JSON string for the contract.
+    # cannot hash list cells — serialize with a '|' join (array_to_string in
+    # the DuckDB oracle; JSON escaping parity is riskier than a plain join).
     return quarantined.select(
         "url", "mime", "status", "error_code",
-        F.to_json("warnings").alias("warnings"),
+        F.array_join("warnings", "|").alias("warnings"),
     )
 
 
@@ -1073,3 +1074,51 @@ ORACLES.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# extraction-domain oracles (VERDICT r1 #9): the single-node golden parquet
+# IS the oracle relation — DuckDB reads it via read_parquet and re-aggregates
+# independently. Correctness chain: the pytest byte-identity suite proves
+# Spark output == goldens per url; these oracles prove the registered
+# queries' projections/aggregations over that output.
+# ---------------------------------------------------------------------------
+
+
+def extraction_oracles(n_docs: int = 2_000) -> dict[str, str]:
+    """Built at call time: ensures the corpus at the comparison scale
+    (default 2000 docs = the driver's sf0.01) exists and points DuckDB at
+    its pages + goldens."""
+    from ..fixtures.gen_corpus import ensure_corpus
+
+    import os
+
+    d = ensure_corpus(n_docs)
+    goldens = f"{d}/goldens.parquet"
+    # pages is a multi-file directory (splittable-scan layout) — glob it
+    pages = f"{d}/pages.parquet"
+    if os.path.isdir(pages):
+        pages = f"{pages}/*.parquet"
+    if os.path.isdir(goldens):
+        goldens = f"{goldens}/*.parquet"
+    return {
+        "extract_flagship": f"""
+            SELECT url, mime, extracted_text, confidence, engine, status
+            FROM read_parquet('{goldens}')
+        """,
+        "extract_quarantine": f"""
+            SELECT url, mime, status, error_code,
+                   array_to_string(warnings, '|') AS warnings
+            FROM read_parquet('{goldens}')
+            WHERE status NOT IN ('ok', 'empty')
+        """,
+        "extract_metrics": f"""
+            SELECT g.mime, g.status,
+                   count(*)::BIGINT AS n_docs,
+                   sum(length(g.extracted_text))::BIGINT AS sum_chars,
+                   sum(coalesce(octet_length(p.html), 0))::BIGINT AS sum_bytes
+            FROM read_parquet('{goldens}') g
+            JOIN read_parquet('{pages}') p USING (url)
+            GROUP BY g.mime, g.status
+        """,
+    }

@@ -44,7 +44,14 @@ def _normalize(rows, colnames):
     return sorted(out)
 
 
-ORACLED = sorted(entry_mod.oracle_sql().keys())
+from activestorage_ocr_spark.plans.queries import ORACLES, extraction_oracles
+
+# extraction oracles embed corpus paths sized to the sf dir; rebuild them at
+# this test's scale (sf0.001 -> 500 docs) instead of the driver's 2000
+_TEST_ORACLES = dict(ORACLES)
+_TEST_ORACLES.update(extraction_oracles(n_docs=500))
+
+ORACLED = sorted(_TEST_ORACLES.keys())
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -54,7 +61,7 @@ def test_query_matches_oracle(name, spark, duck):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(entry_mod.oracle_sql()[name])
+    res = duck.execute(_TEST_ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
