@@ -434,15 +434,20 @@ def q_extract_compare_engines(spark, sf_dir):
     b = extract_pages(pages, engine="pixelocr-alt", max_bytes=TEST_MAX_BYTES).select(
         "url", F.col("confidence").alias("conf_alt"), F.col("status").alias("status_alt")
     )
+    def _exact_avg(col: str):
+        # integerize per row before summing (order-independent), divide once
+        nanos = F.sum(F.round(F.col(col) * 1e9, 0).cast("long"))
+        return F.round(nanos / 1e9 / F.count("*"), 6)
+
     return (
         a.join(b, "url")
         .withColumn("agree", (F.col("status_default") == F.col("status_alt")).cast("int"))
         .groupBy("status_default")
         .agg(
             F.count("*").alias("n"),
-            F.sum("agree").alias("n_agree"),
-            F.round(F.avg("conf_default"), 6).alias("avg_conf_default"),
-            F.round(F.avg("conf_alt"), 6).alias("avg_conf_alt"),
+            F.sum("agree").cast("long").alias("n_agree"),
+            _exact_avg("conf_default").alias("avg_conf_default"),
+            _exact_avg("conf_alt").alias("avg_conf_alt"),
         )
     )
 
@@ -1093,14 +1098,15 @@ def extraction_oracles(n_docs: int = 2_000) -> dict[str, str]:
 
     import os
 
+    def _glob(p: str) -> str:
+        # pages is a multi-file directory (splittable-scan layout) — glob it
+        return f"{p}/*.parquet" if os.path.isdir(p) else p
+
     d = ensure_corpus(n_docs)
-    goldens = f"{d}/goldens.parquet"
-    # pages is a multi-file directory (splittable-scan layout) — glob it
-    pages = f"{d}/pages.parquet"
-    if os.path.isdir(pages):
-        pages = f"{pages}/*.parquet"
-    if os.path.isdir(goldens):
-        goldens = f"{goldens}/*.parquet"
+    d_alt = ensure_corpus(n_docs, engine="pixelocr-alt")
+    goldens = _glob(f"{d}/goldens.parquet")
+    goldens_alt = _glob(f"{d_alt}/goldens.parquet")
+    pages = _glob(f"{d}/pages.parquet")
     return {
         "extract_flagship": f"""
             SELECT url, mime, extracted_text, confidence, engine, status
@@ -1120,5 +1126,25 @@ def extraction_oracles(n_docs: int = 2_000) -> dict[str, str]:
             FROM read_parquet('{goldens}') g
             JOIN read_parquet('{pages}') p USING (url)
             GROUP BY g.mime, g.status
+        """,
+        "extract_compare_engines": f"""
+            WITH a AS (
+                SELECT url, confidence AS conf_default, status AS status_default
+                FROM read_parquet('{goldens}')
+            ),
+            b AS (
+                SELECT url, confidence AS conf_alt, status AS status_alt
+                FROM read_parquet('{goldens_alt}')
+            )
+            SELECT status_default,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN status_default = status_alt THEN 1 ELSE 0 END)::BIGINT
+                       AS n_agree,
+                   round(sum(round(conf_default * 1e9, 0)::BIGINT) / 1e9 / count(*), 6)
+                       AS avg_conf_default,
+                   round(sum(round(conf_alt * 1e9, 0)::BIGINT) / 1e9 / count(*), 6)
+                       AS avg_conf_alt
+            FROM a JOIN b USING (url)
+            GROUP BY status_default
         """,
     }
