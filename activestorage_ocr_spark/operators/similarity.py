@@ -137,6 +137,85 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroid_mod: int = 61,
+    centroid_rem: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization with deterministic seeded centroids: the
+    vectors whose id satisfies ``id % centroid_mod == centroid_rem`` act as
+    the codebook (a seeded-sample stand-in for k-means training — same
+    join/assignment plumbing; a production deployment swaps in trained
+    centroids). Every vector is assigned to its max-cosine centroid
+    (tiebreak: smallest centroid id).
+
+    Returns (centroids(cent_id, cv), assignment(id, cent_id)). The
+    assignment is a broadcast nested-loop score (O(n*K) map-side, K small)
+    followed by one partial-aggregable max_by groupBy — at production scale
+    the assignment column is written once at ingest, not recomputed."""
+    vecs = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+    cents = vecs.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == centroid_rem).select(
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", F.round(cosine(F.col("v"), F.col("cv")), 6)
+    )
+    # max cosine, then smallest cent_id: max_by on (cs, -cent_id) struct
+    assign = scored.groupBy(id_col).agg(
+        F.max_by("cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("neg"))).alias(
+            "cent_id"
+        )
+    )
+    return cents, assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe_filter: Column,
+    k: int = 3,
+    nprobe: int = 2,
+    centroid_mod: int = 61,
+    centroid_rem: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: probes search only the ``nprobe`` cells
+    whose centroids are nearest, so the candidate join is an equi-join on
+    cent_id instead of a cross join — the second scale path next to
+    `lsh_bucketed_topk` (IVF recall degrades gracefully with nprobe; LSH
+    with band count)."""
+    vecs = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+    cents, assign = ivf_assign(df, centroid_mod, centroid_rem, id_col, vec_col)
+    probes = vecs.filter(probe_filter).select(
+        F.col(id_col).alias("probe_id"), F.col("v").alias("pv")
+    )
+    pc = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", F.round(cosine(F.col("pv"), F.col("cv")), 6)
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("cs").desc(), F.col("cent_id").asc())
+    probe_cells = (
+        pc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "pv", "cent_id")
+    )
+    members = assign.join(vecs, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cent_id", F.col("v").alias("nv")
+    )
+    cand = (
+        probe_cells.join(members, "cent_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -754,6 +754,13 @@ def q_sim_ann_lsh(spark, sf_dir):
     return sim.lsh_bucketed_topk(emb, F.col("vec_id") < 10, k=3)
 
 
+def q_sim_ivf(spark, sf_dir):
+    """IVF approximate top-3 for the probes (second ANN scale path next to
+    LSH): deterministic seeded centroids (vec_id % 61 == 3), nprobe=2."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, F.col("vec_id") < 10, k=3, nprobe=2)
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     """Composed LSH-bucket -> exact-cosine near-dup pairs (threshold 0.4).
     Candidates come from the bucket equi-join; the crossJoin verifier is
@@ -791,6 +798,7 @@ QUERIES.update(
         "emb_norms": q_emb_norms,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf": q_sim_ivf,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "emb_neardup_verified": q_emb_neardup_verified,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -963,6 +971,48 @@ ORACLES.update(
             )
             SELECT probe_id, neighbor_id, rank::BIGINT AS rank, cos_sim
             FROM ranked WHERE rank <= 3
+        """,
+        "sim_ivf": f"""
+            WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+            cents AS (
+                SELECT vec_id AS cent_id, embedding AS cv
+                FROM embeddings WHERE vec_id % 61 = 3
+            ),
+            scored AS (
+                SELECT v.vec_id, c.cent_id,
+                       round({_COS_SQL.format(a='v.embedding', b='c.cv')}, 6) AS cs
+                FROM vecs v, cents c
+            ),
+            assign AS (
+                SELECT vec_id, cent_id FROM (
+                    SELECT vec_id, cent_id, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ),
+            probe_cells AS (
+                SELECT probe_id, cent_id FROM (
+                    SELECT p.vec_id AS probe_id, c.cent_id, row_number() OVER (
+                        PARTITION BY p.vec_id ORDER BY
+                        round({_COS_SQL.format(a='p.embedding', b='c.cv')}, 6) DESC,
+                        c.cent_id ASC) AS rn
+                    FROM vecs p, cents c WHERE p.vec_id < 10
+                ) WHERE rn <= 2
+            ),
+            cand AS (
+                SELECT pc.probe_id, a.vec_id AS neighbor_id,
+                       round({_COS_SQL.format(a='p.embedding', b='n.embedding')}, 6) AS cos_sim
+                FROM probe_cells pc
+                JOIN assign a ON a.cent_id = pc.cent_id
+                JOIN vecs p ON p.vec_id = pc.probe_id
+                JOIN vecs n ON n.vec_id = a.vec_id
+                WHERE a.vec_id <> pc.probe_id
+            )
+            SELECT probe_id, neighbor_id, rank::BIGINT AS rank, cos_sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM cand
+            ) WHERE rank <= 3
         """,
         "emb_neardup_pairs": _cosine_verified_sql(0.4),
         "emb_neardup_verified": _cosine_verified_sql(-1.0),

@@ -252,10 +252,12 @@ def write_report(scaling: dict, hw: dict, queries: dict, sf: float) -> None:
         "between runs of the identical zero-framework multiprocessing "
         "baseline). Spark's measured N -> 4N efficiency lands inside that "
         "same hardware band every run — its scaling is bounded by the VM, "
-        "not by the plan: the plan is map-only except for the giant tail "
-        "(> 64 KB payloads, ~2% of rows), which alone is salted and "
-        "repartitioned; there is no full-table shuffle, barrier, or "
-        "driver-side loop to erode scaling. The absolute Spark-vs-ceiling "
+        "not by the plan: the plan scans the input ONCE, extracts in place, "
+        "and routes only the giant tail (> 64 KB payloads, ~2% of rows) "
+        "through the single url-hash exchange — finished rows traverse it "
+        "as extracted text, never raw html; there is no full-table raw "
+        "shuffle, barrier, or driver-side loop to erode scaling. "
+        "The absolute Spark-vs-ceiling "
         "gap is real input work the ceiling skips (it reads pre-decompressed "
         "payloads from RAM; Spark scans + zstd-decompresses parquet and "
         "materializes typed output, measured at ~45% of wall). On a real "

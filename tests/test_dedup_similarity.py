@@ -152,6 +152,24 @@ class TestSimilarity:
         # all intra-cluster pairs are near-identical
         assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= got
 
+    def test_ivf_topk_sims_agree_with_brute_force(self, vectors):
+        # IVF (seeded centroids, nprobe=2) — every emitted (probe, neighbor)
+        # must carry the exact brute-force cosine; ranks descend
+        got = sim.ivf_topk(vectors, F.col("vec_id") < 4, k=3, nprobe=2,
+                           centroid_mod=7, centroid_rem=1).collect()
+        assert got
+        brute = {(r.probe_id, r.neighbor_id): r.cos_sim
+                 for r in sim.brute_force_topk(vectors, F.col("vec_id") < 4, k=39).collect()}
+        by_probe = {}
+        for r in got:
+            assert brute[(r.probe_id, r.neighbor_id)] == r.cos_sim
+            by_probe.setdefault(r.probe_id, []).append((r.rank, r.cos_sim))
+        for rows in by_probe.values():
+            rows.sort()
+            sims = [s for _, s in rows]
+            assert sims == sorted(sims, reverse=True)
+            assert len(rows) <= 3
+
     def test_composed_bucket_verify_matches_brute_force_in_bucket(self, vectors):
         # candidate-bounded verify: every pair it emits must carry the exact
         # brute-force cosine, and its plan must not contain a cross join
