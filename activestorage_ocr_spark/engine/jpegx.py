@@ -139,7 +139,15 @@ def _split_scan(data: bytes, start: int) -> list[bytes]:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JFIF payload. Returns (h, w) uint8 for grayscale,
-    (h, w, 3) uint8 RGB for YCbCr."""
+    (h, w, 3) uint8 RGB for YCbCr. Malformed input always surfaces as
+    ValueError (the quarantine contract), never an internal IndexError."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"truncated or corrupt JPEG header: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}

@@ -409,6 +409,14 @@ def _inverse_predictor(img: np.ndarray, bs_bits: int, tiles: np.ndarray) -> np.n
 
 
 def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Malformed input always surfaces as ValueError (quarantine contract)."""
+    try:
+        return _decode_vp8l(payload)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"truncated or corrupt VP8L stream: {e}") from e
+
+
+def _decode_vp8l(payload: bytes) -> np.ndarray:
     if not payload or payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     bits = _Bits(payload[1:])

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: treat image payloads as opaque binary with
 typed metadata, decoded inside Arrow-batched kernels (the task-brief pattern
-for image/audio/video at 100 TB: schema + partitioning + batch shape are real;
-codecs that can't ship in this sandbox are clearly-marked stubs).
+for image/audio/video at 100 TB: schema + partitioning + batch shape are
+real, and as of round 2 so are all six codecs).
 
-Decoders: PNG/BMP/TIFF/GIF are real pure-Python codecs; JPEG/WEBP carry the
-raster in a documented stub container (engine/rasters.py). A payload a real
-crawler would hold (true DCT JPEG) lands in the ``decode_error`` column rather
-than killing the job — same quarantine posture as the extraction pipeline.
+Decoders: PNG/BMP/TIFF/GIF are real pure-Python codecs; JPEG decodes real
+baseline DCT (engine/jpegx.py) and WEBP real VP8L lossless
+(engine/webpx.py), each still accepting the round-1 deterministic stub
+container for corpus payloads (the ``decoder`` column reports which form a
+payload used). Undecodable payloads (progressive JPEG, VP8 lossy) land in
+the ``decode_error`` column rather than killing the job — same quarantine
+posture as the extraction pipeline.
 """
 
 from __future__ import annotations
@@ -21,7 +24,17 @@ IMAGE_META_SCHEMA = (
     "ink_ratio double, decoder string, decode_error string"
 )
 
-_STUB_MIMES = {"image/jpeg", "image/webp"}
+
+def _container_kind(payload: bytes, mime: str) -> str:
+    """'stub' when the payload is the round-1 deterministic container,
+    'real' for a true JPEG/VP8L stream (and all other codecs)."""
+    from ..engine.rasters import _STUB_TAG
+
+    if mime == "image/jpeg" and _STUB_TAG in payload[:64]:
+        return "stub"
+    if mime == "image/webp" and b"GRAY" in payload[:32]:
+        return "stub"
+    return "real"
 
 
 def _meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -49,9 +62,11 @@ def _meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 continue
             rows["url"].append(u)
             rows["mime"].append(m)
-            rows["decoder"].append("stub" if m in _STUB_MIMES else "real")
+            rows["decoder"].append(_container_kind(payload, m))
             try:
                 gray = rasters.decode_image(payload, m)
+                if gray.ndim == 3:
+                    gray = rasters.rgb_to_gray(gray)
                 h, w = gray.shape
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -51,9 +51,10 @@ def _corpus_docs_for(sf_dir: str) -> int:
 
 def _corpus_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fixtures.gen_corpus import ensure_corpus
+    from ..sources.pages import read_pages_tuned
 
     d = ensure_corpus(_corpus_docs_for(sf_dir))
-    return spark.read.parquet(f"{d}/pages.parquet")
+    return read_pages_tuned(spark, f"{d}/pages.parquet")
 
 
 # shared DuckDB CTE: longest identical-char run per doc (C5 gaps-and-islands)

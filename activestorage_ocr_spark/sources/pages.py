@@ -39,6 +39,38 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
         return spark.read.parquet(source)
 
 
+def read_pages_tuned(spark: SparkSession, source: str, *, tasks_per_core: int = 3) -> DataFrame:
+    """Scan tuned for the CPU-bound extraction stage.
+
+    Parquet-optimal split sizing (128 MB) assumes scan-bound work; the
+    extraction kernel spends ~ms of CPU per KB of payload, so a 128 MB task
+    is minutes of single-core decode — stragglers and idle cores at any
+    cluster size whose core count exceeds input_bytes/128MB. Here the split
+    budget targets ~``tasks_per_core`` tasks per core (clamped to
+    [256 KB, 128 MB]), so the map stage fills the cluster regardless of how
+    few files the upstream writer produced. On a 100 TB input the clamp
+    keeps splits at the parquet-friendly ceiling; the knob only matters on
+    small-to-mid inputs where default packing underfills the cluster."""
+    import os
+
+    total = 0
+    if os.path.isdir(source):
+        for root, _, files in os.walk(source):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    elif os.path.exists(source):
+        total = os.path.getsize(source)
+    if total:
+        cores = spark.sparkContext.defaultParallelism
+        target = max(256 * 1024, min(128 * 1024 * 1024, total // max(1, cores * tasks_per_core)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(32 * 1024))
+    return read_pages(spark, source)
+
+
 def read_pages_pruned(
     spark: SparkSession,
     source: str,

@@ -74,8 +74,9 @@ def _run_extraction(spark, pages_path: str) -> float:
     """One extraction pass to a noop sink; returns wall seconds."""
     from activestorage_ocr_spark.fixtures.gen_corpus import TEST_MAX_BYTES
     from activestorage_ocr_spark.operators.extraction import extract_pages
+    from activestorage_ocr_spark.sources.pages import read_pages_tuned
 
-    pages = spark.read.parquet(pages_path)
+    pages = read_pages_tuned(spark, pages_path)
     t0 = time.perf_counter()
     out = extract_pages(pages, max_bytes=TEST_MAX_BYTES)
     out.write.format("noop").mode("overwrite").save()

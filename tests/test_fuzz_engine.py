@@ -67,3 +67,42 @@ def test_sniff_total_and_stable(payload):
     m = mimex.sniff_mime(payload)
     assert m in mimex.SUPPORTED_MIMES | {mimex.MIME_OCTET}
     assert mimex.sniff_mime(payload) == m
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=2, max_size=2048))
+def test_jpeg_decoder_total(payload):
+    # real decoder must raise ValueError (quarantine) or return a raster —
+    # never crash the worker with anything else
+    from activestorage_ocr_spark.engine import jpegx
+
+    try:
+        img = jpegx.decode_jpeg(b"\xff\xd8" + payload)
+    except ValueError:
+        return
+    assert img.ndim in (2, 3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=2, max_size=2048))
+def test_vp8l_decoder_total(payload):
+    from activestorage_ocr_spark.engine import webpx
+
+    try:
+        img = webpx.decode_vp8l(b"\x2f" + payload)
+    except ValueError:
+        return
+    assert img.ndim == 3
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=2, max_value=6000), st.integers(min_value=0, max_value=255))
+def test_real_jpeg_truncations_total(cut, fill):
+    from activestorage_ocr_spark.engine import jpegx
+
+    data = open("/root/reference/rust/tests/fixtures/sample_text.jpg", "rb").read()
+    mutated = data[:cut] + bytes([fill]) * min(8, max(0, len(data) - cut))
+    try:
+        jpegx.decode_jpeg(mutated)
+    except ValueError:
+        pass
