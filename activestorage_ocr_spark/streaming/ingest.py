@@ -126,3 +126,97 @@ def start_hourly_metrics_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def site_crawl_sessions(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    task-brief pattern for semantics the built-in stateful ops can't
+    express): per-HOST crawl sessions with an inactivity gap.
+
+    State per host: (session_start, last_seen, n_pages, total_bytes).
+    A page whose warc_ts is more than ``gap`` after the host's last page
+    closes the open session (emitting it) and starts a new one; event-time
+    timeout flushes sessions when the watermark passes last_seen + gap —
+    so output is complete even for hosts that simply stop appearing.
+    Emits (host, session_start, session_end, n_pages, total_bytes).
+    """
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+
+    def fn(key, pdf_iter, state: GroupState):
+        host = key[0]
+        if state.hasTimedOut:
+            (s0, s1, n, b) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "host": host,
+                        "session_start": dt.datetime.utcfromtimestamp(s0 / 1000.0),
+                        "session_end": dt.datetime.utcfromtimestamp(s1 / 1000.0),
+                        "n_pages": n,
+                        "total_bytes": b,
+                    }
+                ]
+            )
+            return
+        rows = []
+        events = []
+        for pdf in pdf_iter:
+            for ts, nb in zip(pdf["warc_ts"], pdf["n_bytes"]):
+                events.append((int(ts.value // 10**6), int(nb)))
+        events.sort()
+        cur = state.get if state.exists else None
+        for ts_ms, nb in events:
+            if cur is None:
+                cur = (ts_ms, ts_ms, 1, nb)
+            elif ts_ms - cur[1] > gap_ms:
+                rows.append(cur)
+                cur = (ts_ms, ts_ms, 1, nb)
+            else:
+                cur = (cur[0], max(cur[1], ts_ms), cur[2] + 1, cur[3] + nb)
+        if cur is not None:
+            state.update(cur)
+            # event-time timeouts must sit above the current watermark
+            state.setTimeoutTimestamp(max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1))
+        out = pd.DataFrame(
+            [
+                {
+                    "host": host,
+                    "session_start": dt.datetime.utcfromtimestamp(s0 / 1000.0),
+                    "session_end": dt.datetime.utcfromtimestamp(s1 / 1000.0),
+                    "n_pages": n,
+                    "total_bytes": b,
+                }
+                for (s0, s1, n, b) in rows
+            ]
+        )
+        if len(out):
+            yield out
+
+    tagged = pages.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        "warc_ts",
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
+    ).withWatermark("warc_ts", gap)
+    return tagged.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "host string, session_start timestamp, session_end timestamp, "
+            "n_pages long, total_bytes long"
+        ),
+        stateStructType="s0 long, s1 long, n long, b long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000}[unit]
+    return int(n) * mult

@@ -91,3 +91,59 @@ class TestStreamingExtraction:
         assert 0 < total <= 200
         row = m.first()
         assert row.window_end > row.window_start
+
+
+class TestSiteCrawlSessions:
+    def test_stateful_sessionizer_gap_and_timeout(self, spark, tmp_path):
+        """applyInPandasWithState custom operator: intra-batch gap closes a
+        session immediately; event-time timeout flushes idle hosts once the
+        watermark passes last_seen + gap."""
+        import datetime as dt
+
+        t0 = dt.datetime(2025, 3, 1, 12, 0, 0)
+
+        def row(host, minutes, nb):
+            return (
+                f"https://{host}/p{minutes}",
+                t0 + dt.timedelta(minutes=minutes),
+                b"x" * nb,
+                "eng",
+            )
+
+        schema = "url string, warc_ts timestamp, html binary, lang string"
+        d = str(tmp_path / "landing")
+        # drop 1: host a has two sessions split by a 2h gap (closes the
+        # first in-batch); host b has one open session
+        drop1 = [row("a.example", 0, 10), row("a.example", 5, 20),
+                 row("a.example", 120, 30), row("b.example", 0, 40)]
+        spark.createDataFrame(drop1, schema).coalesce(1).write.parquet(d)
+        # drop 2: a far-future page advances the watermark past b's timeout
+        spark.createDataFrame([row("c.example", 360, 50)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+        src = ingest.read_pages_stream(spark, d, max_files_per_trigger=1)
+        sessions = ingest.site_crawl_sessions(src, gap="30 minutes")
+        out = str(tmp_path / "sessions")
+        ck = str(tmp_path / "ck")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.host, []).append(r)
+        # host a: first session (2 pages, 30 bytes) closed by the in-batch gap
+        a = sorted(by["a.example"], key=lambda r: r.session_start)
+        assert a[0].n_pages == 2 and a[0].total_bytes == 30
+        # host b: flushed by event-time timeout once the watermark advanced
+        assert by["b.example"][0].n_pages == 1
+        assert by["b.example"][0].total_bytes == 40
+        # host c arrived last: still open in state, not emitted
+        assert "c.example" not in by
