@@ -91,3 +91,208 @@ def image_metadata(pages: DataFrame) -> DataFrame:
     ensure_workers_can_import(pages.sparkSession)
     proj = pages.select("url", "html")
     return proj.mapInArrow(_meta_kernel, IMAGE_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: real RIFF/WAVE header parse (PCM metadata needs no codec); mp3/ogg
+# and other compressed codecs cannot ship here -> decode_error, never a crash
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = (
+    "url string, container string, sample_rate int, channels int, "
+    "bits_per_sample int, n_samples bigint, duration_ms bigint, decode_error string"
+)
+
+
+def parse_wav_header(data: bytes) -> dict:
+    """Pure-stdlib RIFF/WAVE parse: fmt + data chunk walk (public format).
+    Raises ValueError on anything that is not an uncompressed PCM WAV."""
+    import struct as _s
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = _s.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_format, channels, sample_rate = _s.unpack("<HHI", body[:8])
+            bits = _s.unpack("<H", body[14:16])[0]
+            if audio_format != 1:
+                raise ValueError(f"compressed WAV (format {audio_format}) not supported")
+            if channels == 0 or sample_rate == 0 or bits == 0:
+                raise ValueError("degenerate fmt chunk")
+            fmt = (channels, sample_rate, bits)
+        elif tag == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln % 2)
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, sample_rate, bits = fmt
+    n_samples = data_len // (channels * (bits // 8 or 1))
+    return {
+        "container": "wav",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+    }
+
+
+def _sniff_audio(data: bytes) -> str | None:
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if len(data) >= 3 and (data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3")):
+        return "mp3"
+    if data[:4] == b"OggS":
+        return "ogg"
+    return None
+
+
+def _audio_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    out_schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("container", pa.string()),
+            pa.field("sample_rate", pa.int32()),
+            pa.field("channels", pa.int32()),
+            pa.field("bits_per_sample", pa.int32()),
+            pa.field("n_samples", pa.int64()),
+            pa.field("duration_ms", pa.int64()),
+            pa.field("decode_error", pa.string()),
+        ]
+    )
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("audio").to_pylist()
+        rows = {f.name: [] for f in out_schema}
+        for u, payload in zip(urls, payloads):
+            kind = _sniff_audio(payload or b"")
+            if kind is None:
+                continue
+            rows["url"].append(u)
+            meta_cols = ("sample_rate", "channels", "bits_per_sample", "n_samples", "duration_ms")
+            if kind == "wav":
+                try:
+                    meta = parse_wav_header(payload)
+                    rows["container"].append("wav")
+                    for c in meta_cols:
+                        rows[c].append(meta[c])
+                    rows["decode_error"].append(None)
+                    continue
+                except ValueError as e:
+                    rows["container"].append("wav")
+                    for c in meta_cols:
+                        rows[c].append(None)
+                    rows["decode_error"].append(str(e))
+                    continue
+            rows["container"].append(kind)
+            for c in meta_cols:
+                rows[c].append(None)
+            rows["decode_error"].append(
+                f"{kind} decode not available in this sandbox (stubbed codec)"
+            )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(rows[f.name], type=f.type) for f in out_schema], schema=out_schema
+        )
+
+
+def audio_metadata(df: DataFrame, payload_col: str = "audio") -> DataFrame:
+    """(url, <payload_col>) -> typed audio metadata. Real parse for PCM WAV;
+    compressed codecs surface a labeled decode_error (quarantine posture)."""
+    from .extraction import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    proj = df.select("url", F.col(payload_col).alias("audio"))
+    return proj.mapInArrow(_audio_kernel, AUDIO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: frame-sampling plumbing. Real codecs (h264 etc.) cannot ship here;
+# the deterministic ASVF fake container stands in for the decode step while
+# the Spark-side schema / batch shape / sampling logic are real and tested.
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = "url string, frame_idx int, ts_ms bigint, frame binary"
+
+#: fake video container: b"ASVF" + u32 n_frames + u32 frame_ms + n_frames
+#: length-prefixed zlib'd grayscale rasters (test/corpus use only).
+_VIDEO_MAGIC = b"ASVF"
+
+
+def encode_fake_video(frames: list[bytes], frame_ms: int = 40) -> bytes:
+    import struct as _s
+    import zlib as _z
+
+    out = bytearray(_VIDEO_MAGIC + _s.pack("<II", len(frames), frame_ms))
+    for f in frames:
+        c = _z.compress(f, 1)
+        out += _s.pack("<I", len(c)) + c
+    return bytes(out)
+
+
+def _iter_fake_video_frames(data: bytes):
+    import struct as _s
+    import zlib as _z
+
+    if data[:4] != _VIDEO_MAGIC:
+        raise NotImplementedError(
+            "real video codecs (h264/vp9/av1) are not available in this sandbox; "
+            "only the deterministic ASVF fake container decodes"
+        )
+    n, frame_ms = _s.unpack("<II", data[4:12])
+    pos = 12
+    for i in range(n):
+        (ln,) = _s.unpack("<I", data[pos : pos + 4])
+        yield i, i * frame_ms, _z.decompress(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+
+
+def video_frame_sample(df: DataFrame, every_ms: int = 1000, payload_col: str = "video") -> DataFrame:
+    """Sample ~one frame per ``every_ms`` from each video payload — the
+    frame-extraction batch shape a training pipeline needs (one input row ->
+    many frame rows, Arrow-batched). Decode is the clearly-marked fake;
+    everything around it (schema, fan-out, per-payload error isolation) is
+    the real plumbing."""
+    from .extraction import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out_schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("frame_idx", pa.int32()),
+                pa.field("ts_ms", pa.int64()),
+                pa.field("frame", pa.binary()),
+            ]
+        )
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            payloads = batch.column("video").to_pylist()
+            rows = {f.name: [] for f in out_schema}
+            for u, payload in zip(urls, payloads):
+                try:
+                    last_emitted = None
+                    for idx, ts_ms, raw in _iter_fake_video_frames(payload or b""):
+                        if last_emitted is not None and ts_ms - last_emitted < every_ms:
+                            continue
+                        last_emitted = ts_ms
+                        rows["url"].append(u)
+                        rows["frame_idx"].append(idx)
+                        rows["ts_ms"].append(ts_ms)
+                        rows["frame"].append(raw)
+                except Exception:  # noqa: BLE001 (incl. NotImplementedError)
+                    continue  # quarantine posture: a bad payload drops, job lives
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows[f.name], type=f.type) for f in out_schema], schema=out_schema
+            )
+
+    proj = df.select("url", F.col(payload_col).alias("video"))
+    return proj.mapInArrow(kernel, VIDEO_FRAME_SCHEMA)

@@ -1,0 +1,83 @@
+"""Multimodal column plumbing tests: image/audio/video payloads as opaque
+binary + typed metadata, Arrow-batched kernels, quarantine posture."""
+
+import struct
+
+import pytest
+
+from activestorage_ocr_spark.operators import multimodal as mm
+
+
+def _wav(rate=16000, channels=1, bits=16, n_samples=320, audio_format=1):
+    body = bytes(n_samples * channels * (bits // 8))
+    fmt = struct.pack("<HHIIHH", audio_format, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+class TestWavParse:
+    def test_pcm_wav_metadata(self):
+        m = mm.parse_wav_header(_wav(rate=44100, channels=2, n_samples=4410))
+        assert m["sample_rate"] == 44100
+        assert m["channels"] == 2
+        assert m["bits_per_sample"] == 16
+        assert m["n_samples"] == 4410
+        assert m["duration_ms"] == 100
+
+    def test_compressed_wav_rejected(self):
+        with pytest.raises(ValueError, match="compressed WAV"):
+            mm.parse_wav_header(_wav(audio_format=85))
+
+    def test_truncated_rejected(self):
+        with pytest.raises(ValueError):
+            mm.parse_wav_header(_wav()[:30])
+
+
+class TestAudioKernel:
+    def test_metadata_and_stub_errors(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("u1", _wav(rate=8000, channels=1, n_samples=800)),
+                ("u2", b"ID3\x04" + bytes(16)),        # mp3 -> stub error
+                ("u3", b"OggS" + bytes(16)),            # ogg -> stub error
+                ("u4", b"not audio at all"),             # skipped
+                ("u5", _wav()[:20]),                     # truncated wav -> error
+            ],
+            "url string, audio binary",
+        )
+        rows = {r.url: r for r in mm.audio_metadata(df).collect()}
+        assert set(rows) == {"u1", "u2", "u3", "u5"}
+        assert rows["u1"].duration_ms == 100 and rows["u1"].decode_error is None
+        assert "stub" in rows["u2"].decode_error
+        assert "stub" in rows["u3"].decode_error
+        assert rows["u5"].decode_error is not None
+
+
+class TestVideoFrameSample:
+    def test_fanout_and_sampling(self, spark):
+        frames = [bytes([i]) * 32 for i in range(10)]  # 10 frames at 40ms
+        df = spark.createDataFrame(
+            [
+                ("v1", mm.encode_fake_video(frames, frame_ms=40)),
+                ("v2", b"\x00\x00\x00\x20ftypisom" + bytes(24)),  # real codec
+            ],
+            "url string, video binary",
+        )
+        out = mm.video_frame_sample(df, every_ms=120).collect()
+        by_url = {}
+        for r in out:
+            by_url.setdefault(r.url, []).append(r)
+        # one input row fans out to sampled frame rows: ts 0,120,240,360
+        got = sorted((r.frame_idx, r.ts_ms) for r in by_url["v1"])
+        assert got == [(0, 0), (3, 120), (6, 240), (9, 360)]
+        # frame bytes round-trip the fake container exactly
+        for r in by_url["v1"]:
+            assert r.frame == frames[r.frame_idx]
+        # a real-codec payload drops (NotImplementedError path), job lives
+        assert "v2" not in by_url
+
+    def test_real_codec_marked_not_implemented(self):
+        with pytest.raises(NotImplementedError, match="not available in this sandbox"):
+            list(mm._iter_fake_video_frames(b"\x00\x00\x00\x20ftypisom"))
