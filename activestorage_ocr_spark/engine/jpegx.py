@@ -1,16 +1,18 @@
-"""Pure-numpy baseline JPEG (JFIF) decoder — Huffman + dequant + IDCT.
+"""Pure-numpy JPEG (JFIF) decoder — Huffman + dequant + IDCT.
 
 Built from the public JPEG spec (ITU-T T.81) only. Covers what a crawl
 actually contains at the fidelity the OCR path needs:
 
-* baseline sequential DCT (SOF0/SOF1), 8-bit precision;
+* baseline sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2) —
+  spectral selection, successive approximation (DC/AC first + refine
+  scans, EOBRUN), interleaved and single-component scans;
 * grayscale (1 component) and YCbCr (3 components) with luma sampling
   factors up to 2x2 — 4:4:4, 4:2:2, 4:4:0, 4:2:0;
 * restart intervals (DRI / RSTn), byte stuffing, 8- and 16-bit quant tables.
 
-Rejected with ValueError (clear reason, quarantine-friendly): progressive
-(SOF2), hierarchical/lossless/arithmetic frames, 12-bit precision, scans
-with other component counts.
+Rejected with ValueError (clear reason, quarantine-friendly):
+hierarchical/lossless/arithmetic frames, 12-bit precision, 2- or
+4-component frames.
 
 Reference parity target: the reference decodes JPEG via the Rust `image`
 crate on its OCR path (`rust/src/server.rs:237-238`, fixture
@@ -35,10 +37,9 @@ ZIGZAG = np.array([
 ], dtype=np.int64)
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive JPEG not supported (baseline only)",
     0xC3: "lossless JPEG not supported",
     0xC5: "differential sequential JPEG not supported",
-    0xC6: "progressive JPEG not supported (baseline only)",
+    0xC6: "differential progressive JPEG not supported",
     0xC7: "differential lossless JPEG not supported",
     0xC9: "arithmetic-coded JPEG not supported",
     0xCA: "arithmetic-coded progressive JPEG not supported",
@@ -110,9 +111,10 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _split_scan(data: bytes, start: int) -> list[bytes]:
+def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuff the entropy-coded bytes and split at RSTn markers. Returns
-    the list of restart segments (one when no DRI)."""
+    (restart segments, position of the terminating marker) — progressive
+    files have several scans, so the caller resumes marker parsing there."""
     segs: list[bytes] = []
     cur = bytearray()
     i = start
@@ -134,13 +136,15 @@ def _split_scan(data: bytes, start: int) -> list[bytes]:
         else:  # EOI or any true marker terminates the scan
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JFIF payload. Returns (h, w) uint8 for grayscale,
-    (h, w, 3) uint8 RGB for YCbCr. Malformed input always surfaces as
-    ValueError (the quarantine contract), never an internal IndexError."""
+    """Decode a baseline or progressive JFIF payload. Returns (h, w) uint8
+    for grayscale, (h, w, 3) uint8 RGB for YCbCr. Malformed input always
+    surfaces as ValueError (the quarantine contract), never an internal
+    IndexError; a truncated progressive stream renders the scans that
+    arrived (the coarse-preview property of the format)."""
     try:
         return _decode_jpeg(data)
     except (IndexError, KeyError) as e:
@@ -155,6 +159,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    got_any_scan = False
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -184,7 +189,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 nat = np.empty(64)
                 nat[ZIGZAG] = tbl  # store in natural order
                 qt[tq] = nat
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"{precision}-bit JPEG not supported")
@@ -201,7 +206,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG sampling factors beyond 2x2 not supported")
             if h == 0 or w == 0:
                 raise ValueError("zero-dimension JPEG")
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            _init_frame_state(frame)
         elif marker in _SOF_UNSUPPORTED:
             raise ValueError(_SOF_UNSUPPORTED[marker])
         elif marker == 0xC4:  # DHT — may hold several tables
@@ -215,105 +221,257 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 o += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker == 0xDA:  # SOS — baseline has a single scan
+        elif marker == 0xDA:  # SOS — one of possibly many scans
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
-            for s in range(ns):
-                cs, tables = seg[1 + 2 * s], seg[2 + 2 * s]
-                scan_sel[cs] = (tables >> 4, tables & 0x0F)
-            if set(scan_sel) != {c["id"] for c in frame["comps"]}:
-                raise ValueError("JPEG multi-scan / partial scan not supported")
-            return _decode_entropy(
-                data, pos + 2 + ln, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
-            )
+            scan_comps = []
+            for si in range(ns):
+                cs, tables = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan_comps.append((cs, tables >> 4, tables & 0x0F))
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            scan = {"comps": scan_comps, "ss": ss, "se": se,
+                    "ah": ahl >> 4, "al": ahl & 0x0F}
+            segs, end = _split_scan(data, pos + 2 + ln)
+            got_any_scan = True
+            try:
+                _decode_one_scan(frame, scan, segs, huff_dc, huff_ac, restart_interval)
+            except ValueError:
+                if not frame.get("any_block_decoded"):
+                    raise
+                # truncated/corrupt later scan: render what accumulated
+                break
+            pos = end
+            continue
         pos += 2 + ln
-    raise ValueError("no SOS marker in JPEG")
+    if frame is None or not got_any_scan:
+        raise ValueError("no SOS marker in JPEG")
+    return _render_frame(frame, qt)
 
 
-def _decode_entropy(data, start, frame, scan_sel, qt, huff_dc, huff_ac, ri):
+def _init_frame_state(frame: dict) -> None:
+    """Allocate per-component coefficient grids in RASTER block order
+    (padded to the MCU grid); scans — one for baseline, many for
+    progressive — accumulate into them before one final dequant+IDCT."""
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcus = mcux * mcuy
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame.update(hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy)
     for c in comps:
-        if c["tq"] not in qt:
-            raise ValueError("JPEG missing quant table")
-        dc_t, ac_t = scan_sel[c["id"]]
-        if dc_t not in huff_dc or ac_t not in huff_ac:
-            raise ValueError("JPEG missing huffman table")
-        c["dc"] = huff_dc[dc_t]
-        c["ac"] = huff_ac[ac_t]
-        c["nblocks"] = n_mcus * c["h"] * c["v"]
-        c["coef"] = np.zeros((c["nblocks"], 64))
-    segs = _split_scan(data, start)
+        c["wb"] = mcux * c["h"]  # padded grid width in blocks
+        c["hb"] = mcuy * c["v"]
+        # actual (unpadded) block dims for non-interleaved scans
+        c["wb_used"] = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        c["hb_used"] = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+        c["coef"] = np.zeros((c["hb"] * c["wb"], 64), dtype=np.int32)
 
-    zig = ZIGZAG
-    mcu = 0
+
+def _decode_one_scan(frame, scan, segs, huff_dc, huff_ac, ri):
+    """Decode one entropy-coded scan into the frame's coefficient state.
+    Handles baseline (Ss=0..Se=63, Ah=Al=0, interleaved) and every
+    progressive scan kind: DC first/refine (interleaved or not), AC
+    first/refine (single-component, EOBRUN)."""
+    comps_by_id = {c["id"]: c for c in frame["comps"]}
+    members = []
+    for cid, dc_t, ac_t in scan["comps"]:
+        if cid not in comps_by_id:
+            raise ValueError("JPEG scan references unknown component")
+        c = comps_by_id[cid]
+        members.append(c)
+        c["dc"] = huff_dc.get(dc_t)
+        c["ac"] = huff_ac.get(ac_t)
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError("bad JPEG spectral/approximation parameters")
+    baseline_scan = ss == 0 and se == 63  # sequential full-block scan
+    dc_scan = ss == 0 and se == 0
+    ac_scan = ss > 0
+    if baseline_scan and (ah or al):
+        raise ValueError("JPEG sequential scan with approximation bits")
+    if ss == 0 and 0 < se < 63:
+        raise ValueError("bad JPEG spectral selection (DC mixed with partial AC)")
+    if ac_scan and len(members) != 1:
+        raise ValueError("JPEG AC progressive scan must be single-component")
+    for c in members:
+        if (baseline_scan or dc_scan) and ah == 0 and c["dc"] is None:
+            raise ValueError("JPEG missing DC huffman table")
+        if (baseline_scan or (ac_scan and ah == 0)) and c["ac"] is None:
+            raise ValueError("JPEG missing AC huffman table")
+
+    interleaved = len(members) > 1
+    if interleaved:
+        units = frame["mcux"] * frame["mcuy"]
+    else:
+        c = members[0]
+        # single-component scan traverses the component's OWN grid
+        units = c["hb_used"] * c["wb_used"]
+
+    per_seg = ri if ri else units
     seg_i = 0
-    bits = _Bits(segs[0])
-    preds = [0] * len(comps)
-    per_seg = ri if ri else n_mcus
-    while mcu < n_mcus:
-        if ri and mcu and mcu % per_seg == 0:
+    bits = _Bits(segs[0] if segs else b"")
+    preds = {c["id"]: 0 for c in members}
+    eobrun = 0
+    unit = 0
+    zig = ZIGZAG
+    while unit < units:
+        if ri and unit and unit % per_seg == 0:
             seg_i += 1
             if seg_i >= len(segs):
-                break  # truncated: decode what we have
+                break  # truncated: keep the decoded prefix
             bits = _Bits(segs[seg_i])
-            preds = [0] * len(comps)
+            preds = {c["id"]: 0 for c in members}
+            eobrun = 0
         try:
-            bi_base = mcu  # MCU-major block layout per component
-            for ci, c in enumerate(comps):
-                coef = c["coef"]
-                for b in range(c["h"] * c["v"]):
-                    row = coef[bi_base * c["h"] * c["v"] + b]
-                    t = _decode_symbol(bits, c["dc"])
-                    preds[ci] += _extend(bits.read(t), t)
-                    row[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(bits, c["ac"])
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        row[zig[k]] = _extend(bits.read(s), s)
-                        k += 1
+            if interleaved:
+                my, mx = divmod(unit, frame["mcux"])
+                for c in members:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            bi = (my * c["v"] + v) * c["wb"] + (mx * c["h"] + hh)
+                            row = c["coef"][bi]
+                            if baseline_scan:
+                                preds[c["id"]] = _dc_unit(bits, c, row, 0, 0, preds[c["id"]])
+                                _ac_baseline_unit(bits, c, row, zig)
+                            else:  # interleaved DC scan (first or refine)
+                                preds[c["id"]] = _dc_unit(bits, c, row, ah, al, preds[c["id"]])
+            else:
+                c = members[0]
+                by, bx = divmod(unit, c["wb_used"])
+                row = c["coef"][by * c["wb"] + bx]
+                if baseline_scan:  # single-component sequential (gray SOF0)
+                    preds[c["id"]] = _dc_unit(bits, c, row, 0, 0, preds[c["id"]])
+                    _ac_baseline_unit(bits, c, row, zig)
+                elif dc_scan:
+                    preds[c["id"]] = _dc_unit(bits, c, row, ah, al, preds[c["id"]])
+                elif ah == 0:
+                    eobrun = _ac_first_unit(bits, c, row, ss, se, al, eobrun, zig)
+                else:
+                    eobrun = _ac_refine_unit(bits, c, row, ss, se, al, eobrun, zig)
+            frame["any_block_decoded"] = True
         except ValueError:
-            if mcu == 0:
-                raise  # nothing decodable at all
+            if not frame.get("any_block_decoded"):
+                raise
             break  # truncated tail: keep the decoded prefix
-        mcu += 1
+        unit += 1
 
+
+def _dc_unit(bits, c, row, ah, al, pred):
+    if ah == 0:  # first scan
+        t = _decode_symbol(bits, c["dc"])
+        pred += _extend(bits.read(t), t)
+        row[0] = pred << al
+        return pred
+    if bits.read(1):  # refinement: append one magnitude bit
+        row[0] |= 1 << al
+    return pred
+
+
+def _ac_baseline_unit(bits, c, row, zig):
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(bits, c["ac"])
+        r, sz = rs >> 4, rs & 0x0F
+        if sz == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        row[zig[k]] = _extend(bits.read(sz), sz)
+        k += 1
+
+
+def _ac_first_unit(bits, c, row, ss, se, al, eobrun, zig):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(bits, c["ac"])
+        r, sz = rs >> 4, rs & 0x0F
+        if sz == 0:
+            if r < 15:  # EOBn: run of end-of-bands
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.read(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        row[zig[k]] = _extend(bits.read(sz), sz) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_unit(bits, c, row, ss, se, al, eobrun, zig):
+    """Successive-approximation AC refinement (T.81 G.1.2.3): correction
+    bits for already-nonzero coefficients interleave with newly-nonzero
+    insertions; EOBRUN covers whole bands of correction-only blocks."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(bits, c["ac"])
+            r, sz = rs >> 4, rs & 0x0F
+            new_val = 0
+            if sz == 0:
+                if r < 15:
+                    # EOBRUN includes the CURRENT band: the tail sweep below
+                    # must still read this block's remaining correction bits
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.read(r)
+                    break
+                # r == 15: skip over 16 zero-history positions
+            else:
+                if sz != 1:
+                    raise ValueError("JPEG AC refinement size must be 1")
+                new_val = p1 if bits.read(1) else m1
+            while k <= se:
+                cur = int(row[zig[k]])
+                if cur != 0:
+                    if bits.read(1) and (cur & p1) == 0:
+                        row[zig[k]] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if new_val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement run past band end")
+                row[zig[k]] = new_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cur = int(row[zig[k]])
+            if cur != 0:
+                if bits.read(1) and (cur & p1) == 0:
+                    row[zig[k]] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _render_frame(frame, qt):
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for c in comps:
-        coef = c["coef"] * qt[c["tq"]][None, :]
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG missing quant table")
+        coef = c["coef"].astype(np.float64) * qt[c["tq"]][None, :]
         blocks = coef.reshape(-1, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C, optimize=True) + 128.0
         spatial = np.clip(np.round(spatial), 0, 255)
-        wb = mcux * c["h"]  # plane width in blocks
-        hb = mcuy * c["v"]
-        # MCU-major -> raster block order
-        order = np.empty(hb * wb, dtype=np.int64)
-        i = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        order[i] = (my * c["v"] + v) * wb + (mx * c["h"] + hh)
-                        i += 1
-        arranged = np.zeros((hb * wb, 8, 8))
-        arranged[order] = spatial
-        plane = arranged.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+        hb, wb = c["hb"], c["wb"]
+        plane = spatial.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
         # chroma upsampling (nearest / pixel replication) + crop
         plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])

@@ -18,11 +18,11 @@ Image containers (SURVEY.md §1.3: png/jpeg/gif/bmp/webp/tiff):
 * TIFF — real codec (8-bit gray, uncompressed, single strip, little-endian).
 * GIF  — real codec (GIF87a, 256-gray palette; encoder emits root codes with
   periodic CLEAR — valid LZW — and the decoder is a full LZW decoder).
-* JPEG — real baseline DCT decoder (`engine.jpegx`: Huffman + dequant +
-  vectorized IDCT; gray + YCbCr up to 2x2 sampling, restart intervals).
-  The round-1 APP15 stub container is still accepted for corpus payloads
-  (`decode_jpeg` dispatches stub-first); progressive JPEG quarantines with
-  a clear reason.
+* JPEG — real DCT decoder (`engine.jpegx`: Huffman + dequant + vectorized
+  IDCT; gray + YCbCr up to 2x2 sampling, restart intervals), covering BOTH
+  baseline (SOF0/1) and progressive (SOF2: spectral selection + successive
+  approximation). The round-1 APP15 stub container is still accepted for
+  corpus payloads (`decode_jpeg` dispatches stub-first).
 * WEBP — real VP8L (lossless) decoder (`engine.webpx`: prefix codes, meta
   groups, LZ77, color cache, all four inverse transforms). VP8 lossy
   quarantines with a narrow reason (boolean-arithmetic coefficient decoder

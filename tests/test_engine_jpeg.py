@@ -235,14 +235,221 @@ class TestRoundTrip:
         assert got[img > 192].mean() > 180
 
 
-class TestErrors:
-    def test_progressive_rejected(self):
+def encode_jpeg_progressive(img, qval=1, approx=True):
+    """TEST-ONLY progressive (SOF2) encoder: interleaved DC first scan,
+    optional DC refine, per-component AC first scans, optional AC refine
+    scans (successive approximation Al=1 -> 0), flat 8-bit huffman codes.
+    Gray or RGB 4:4:4 / 4:2:0 (subsample=True upstream not supported here;
+    pass pre-shaped planes via the same conventions as encode_jpeg)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
+        cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2]
+        planes = [y, cb, cr]
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s0[0] for s0 in samp)
+    vmax = max(s0[1] for s0 in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # FDCT every block per component, padded grid, raster block order
+    comp_coefs = []
+    for pl, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.zeros((ph, pw))
+        pp[: pl.shape[0], : pl.shape[1]] = pl
+        pp[pl.shape[0]:, : pl.shape[1]] = pl[-1:, :]
+        pp[:, pl.shape[1]:] = pp[:, pl.shape[1] - 1 : pl.shape[1]]
+        hb, wb = ph // 8, pw // 8
+        blocks = np.zeros((hb * wb, 64))
+        for by in range(hb):
+            for bx in range(wb):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round((_C @ block @ _C.T) / qval)
+                blocks[by * wb + bx] = coef.flatten()
+        comp_coefs.append((blocks.astype(int), sh, sv, hb, wb))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        int(x) for x in np.full(64, qval, dtype=np.uint8)
+    )
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts, dc_vals, dc_code = _flat_huff(_DC_SYMS)
+    ac_counts, ac_vals, ac_code = _flat_huff(_AC_SYMS)
+    for tc, counts, vals in ((0, dc_counts, dc_vals), (1, ac_counts, ac_vals)):
+        seg = bytes([(tc << 4) | 0]) + bytes(counts) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def sos(comp_ids, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    al0 = 1 if approx else 0
+
+    # scan 1: interleaved DC first (Al=al0)
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, al0)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (blocks, sh, sv, hb, wb) in enumerate(comp_coefs):
+            for v in range(sv):
+                for hh in range(sh):
+                    coef0 = int(blocks[(my * sv + v) * wb + (mx * sh + hh)][0]) >> al0
+                    diff = coef0 - preds[ci]
+                    preds[ci] = coef0
+                    t = _category(diff)
+                    bw.write(dc_code[t], 8)
+                    _enc_value(bw, diff, t)
+    out += bw.flush()
+
+    if approx:  # scan 2: DC refine (Ah=1, Al=0): one raw bit per block
+        out += sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+        bw = _BitWriter()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for blocks, sh, sv, hb, wb in comp_coefs:
+                for v in range(sv):
+                    for hh in range(sh):
+                        bw.write(int(blocks[(my * sv + v) * wb + (mx * sh + hh)][0]) & 1, 1)
+        out += bw.flush()
+
+    def used_dims(sh, sv):
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    for ci, (blocks, sh, sv, hb, wb) in enumerate(comp_coefs):
+        hb_used, wb_used = used_dims(sh, sv)
+        # AC first scan 1..63 at Al=al0
+        out += sos([ci + 1], 1, 63, 0, al0)
+        bw = _BitWriter()
+        for by in range(hb_used):
+            for bx in range(wb_used):
+                row = blocks[by * wb + bx]
+                r = 0
+                for k in range(1, 64):
+                    t = int(row[ZIGZAG[k]])
+                    tv = (abs(t) >> al0) * (1 if t >= 0 else -1)
+                    if tv == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        bw.write(ac_code[0xF0], 8)
+                        r -= 16
+                    sz = _category(tv)
+                    bw.write(ac_code[(r << 4) | sz], 8)
+                    _enc_value(bw, tv, sz)
+                    r = 0
+                if r:
+                    bw.write(ac_code[0x00], 8)  # EOB (eobrun = 1)
+        out += bw.flush()
+
+    if approx:
+        for ci, (blocks, sh, sv, hb, wb) in enumerate(comp_coefs):
+            hb_used, wb_used = used_dims(sh, sv)
+            out += sos([ci + 1], 1, 63, 1, 0)  # AC refine Ah=1 -> Al=0
+            bw = _BitWriter()
+            for by in range(hb_used):
+                for bx in range(wb_used):
+                    row = blocks[by * wb + bx]
+                    absv = [abs(int(row[ZIGZAG[k]])) for k in range(64)]
+                    eob = 0
+                    for k in range(1, 64):
+                        if absv[k] == 1:
+                            eob = k
+                    r = 0
+                    pending = []
+                    for k in range(1, 64):
+                        t = absv[k]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob:
+                            bw.write(ac_code[0xF0], 8)
+                            for b in pending:
+                                bw.write(b, 1)
+                            pending = []
+                            r -= 16
+                        if t > 1:  # history nonzero: buffered correction bit
+                            pending.append(t & 1)
+                            continue
+                        # newly nonzero (|t| == 1)
+                        bw.write(ac_code[(r << 4) | 1], 8)
+                        bw.write(1 if int(row[ZIGZAG[k]]) >= 0 else 0, 1)
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
+                        r = 0
+                    if r or pending:
+                        bw.write(ac_code[0x00], 8)
+                        for b in pending:
+                            bw.write(b, 1)
+            out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestProgressive:
+    def test_spectral_selection_matches_baseline(self):
         img = _text_image()
-        data = bytearray(encode_jpeg(img))
-        i = data.find(b"\xff\xc0")
-        data[i + 1] = 0xC2
-        with pytest.raises(ValueError, match="progressive"):
-            decode_jpeg(bytes(data))
+        prog = decode_jpeg(encode_jpeg_progressive(img, qval=1, approx=False))
+        base = decode_jpeg(encode_jpeg(img, qval=1))
+        assert np.array_equal(prog, base)
+
+    def test_successive_approximation_gray(self):
+        img = _text_image()
+        got = decode_jpeg(encode_jpeg_progressive(img, qval=1, approx=True))
+        base = decode_jpeg(encode_jpeg(img, qval=1))
+        assert np.array_equal(got, base)
+
+    def test_successive_approximation_color(self):
+        h, w = 40, 72  # 72 makes the used luma grid narrower than padded
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(yy * 5) % 256, (xx * 3) % 256, ((yy + 2 * xx)) % 256], axis=2
+        ).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg_progressive(img, qval=1, approx=True))
+        base = decode_jpeg(encode_jpeg(img, qval=1))
+        assert np.array_equal(got, base)
+
+    def test_quantized_progressive_readable(self):
+        img = _text_image()
+        got = decode_jpeg(encode_jpeg_progressive(img, qval=8, approx=True))
+        assert got[img < 64].mean() < 100
+        assert got[img > 192].mean() > 180
+
+    def test_truncated_after_first_scans_keeps_preview(self):
+        img = _text_image()
+        data = encode_jpeg_progressive(img, qval=1, approx=True)
+        # cut inside the AC scans: DC-only preview must still render
+        got = decode_jpeg(data[: int(len(data) * 0.5)])
+        assert got.shape == img.shape
+
+    def test_progressive_fixture_extracts_end_to_end(self):
+        from activestorage_ocr_spark.engine.extract import extract_document
+        from activestorage_ocr_spark.engine import rasters as r
+
+        img = r.render_text("PROG 5", scale=2)
+        res = extract_document(encode_jpeg_progressive(img, qval=1))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "PROG 5"
+
+
+class TestErrors:
 
     def test_not_a_jpeg(self):
         with pytest.raises(ValueError):
