@@ -398,9 +398,10 @@ def extract_pages(
       row (for inputs with pathological layout, e.g. sorted by size).
     * ``"off"`` / ``False`` — map directly over scan partitions.
 
-    Giant-path partition count defaults to 4x parallelism: per-document cost
-    varies ~50x between payload kinds, so finer tasks let the scheduler
-    rebalance stragglers.
+    Exchange width: when ``repartition`` is not pinned, the hash exchange
+    carries no explicit count — AQE sizes it to the data (coalescing tiny
+    partitions, splitting skewed ones); per-document cost varies ~50x
+    between payload kinds, so adaptive sizing beats any fixed multiple.
 
     If the input carries a ``preset`` column it overrides the job-level
     preset per row (P5, the reference's per-request ``?preprocess=`` query
@@ -422,14 +423,22 @@ def extract_pages(
     proj = df.select(*cols)
     kernel = make_extract_kernel(engine, preset, max_bytes, default_language=default_language)
     mode = {True: "full", False: "off"}.get(skew_handling, skew_handling)
-    n = repartition or df.sparkSession.sparkContext.defaultParallelism * 4
+
+    def _repart(frame, *cols):
+        # explicit width when the caller pinned one; otherwise hash-
+        # repartition WITHOUT a count so AQE sizes the exchange to the data
+        # (parallelism*4 fixed widths measured ~1s of pure scheduling
+        # overhead on small inputs, and AQE splits skewed partitions at
+        # scale anyway)
+        if repartition:
+            return frame.repartition(repartition, *cols)
+        return frame.repartition(*cols)
 
     if mode == "off":
         return proj.mapInArrow(kernel, EXTRACTED_SCHEMA)
     if mode == "full":
         binned = (
-            with_length_bins(proj, salt_buckets)
-            .repartition(n, "len_bin", "salt")
+            _repart(with_length_bins(proj, salt_buckets), "len_bin", "salt")
             .drop("len_bin", "salt")
         )
         return binned.mapInArrow(kernel, EXTRACTED_SCHEMA)
@@ -445,7 +454,7 @@ def extract_pages(
         engine, preset, max_bytes, defer_over=giant_bytes, default_language=default_language
     )
     pass1 = proj.mapInArrow(pass1_kernel, DEFERRED_SCHEMA)
-    redistributed = pass1.repartition(n, F.col("url"))
+    redistributed = _repart(pass1, F.col("url"))
     return redistributed.mapInArrow(
         make_finish_kernel(engine, max_bytes, default_language=default_language),
         EXTRACTED_SCHEMA,
