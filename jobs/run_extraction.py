@@ -35,9 +35,10 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output root (extracted/, quarantine/, _manifest/)")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--n-parts", type=int, default=1024, help="stable url-hash checkpoint partitions")
-    ap.add_argument("--engine", default="pixelocr", choices=["pixelocr", "pixelocr-alt"])
-    ap.add_argument("--preset", default="minimal", choices=["none", "minimal", "default", "aggressive"])
-    ap.add_argument("--max-bytes", type=int, default=52_428_800)
+    # unset flags fall back to env config (ASOS_OCR_*, engine/config.py)
+    ap.add_argument("--engine", default=None, choices=["pixelocr", "pixelocr-alt"])
+    ap.add_argument("--preset", default=None, choices=["none", "minimal", "default", "aggressive"])
+    ap.add_argument("--max-bytes", type=int, default=None)
     ap.add_argument("--master", default=None, help="override master for local runs")
     args = ap.parse_args()
 
