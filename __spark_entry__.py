@@ -41,6 +41,10 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(ORACLES)
     # extraction-domain oracles read the single-node golden parquet (built
-    # on demand, cached) — DuckDB re-aggregates it independently
+    # on demand, cached) — DuckDB re-aggregates it independently. They are
+    # sized to the driver's correctness scale (sf0.01 -> 2000 docs, the
+    # documented comparison contract); a run at another sf must rebuild
+    # them via extraction_oracles(n_docs=...) as tests/test_oracle_parity.py
+    # does for sf0.001.
     out.update(extraction_oracles())
     return out

@@ -297,7 +297,8 @@ def _decode_one_scan(frame, scan, segs, huff_dc, huff_ac, ri):
     for c in members:
         if (baseline_scan or dc_scan) and ah == 0 and c["dc"] is None:
             raise ValueError("JPEG missing DC huffman table")
-        if (baseline_scan or (ac_scan and ah == 0)) and c["ac"] is None:
+        if (baseline_scan or ac_scan) and c["ac"] is None:
+            # AC refine scans (ah > 0) also decode run/size symbols
             raise ValueError("JPEG missing AC huffman table")
 
     interleaved = len(members) > 1

@@ -88,9 +88,14 @@ def resize(img: np.ndarray) -> np.ndarray:
         tw = int(np.float32(tw) * down)
         th = int(np.float32(th) * down)
     if tw < RESIZE_MIN_DIM and th < RESIZE_MIN_DIM:
-        up = np.float32(RESIZE_MIN_DIM) / np.float32(min(tw, th))
+        up = np.float32(RESIZE_MIN_DIM) / np.float32(max(1, min(tw, th)))
         tw = int(np.float32(tw) * up)
         th = int(np.float32(th) * up)
+    # extreme aspect ratios (banner strips) can proportionally scale the
+    # short side to 0; a zero target dim crashes the resampler, so clamp to
+    # 1px — the degenerate-input analog of the reference's u32 floor
+    tw = max(1, tw)
+    th = max(1, th)
     rh, rw = th / h, tw / w
     if RESIZE_SKIP_LO <= rh <= RESIZE_SKIP_HI and RESIZE_SKIP_LO <= rw <= RESIZE_SKIP_HI:
         return img

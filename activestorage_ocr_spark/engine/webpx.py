@@ -347,65 +347,93 @@ def _inverse_transform(img: np.ndarray, t: tuple) -> np.ndarray:
 
 
 def _inverse_predictor(img: np.ndarray, bs_bits: int, tiles: np.ndarray) -> np.ndarray:
+    """Sequential by nature (L is the reconstructed left neighbor), so the
+    loop runs in pure-Python ints over channel tuples — per-pixel ndarray
+    temporaries cost ~20x more and turned large predictor-transformed
+    images into Spark-task stragglers."""
     h, w = img.shape[:2]
-    out = img.astype(np.int64)
-    modes = tiles[:, :, 2]  # green channel
+    modes = tiles[:, :, 2].tolist()  # green channel
+    src = img.astype(np.int64).tolist()
+    out: list[list[tuple]] = [[None] * w for _ in range(h)]
+    black = (255, 0, 0, 0)
     for y in range(h):
+        row = src[y]
+        out_row = out[y]
+        prev_row = out[y - 1] if y else None
+        mode_row = modes[y >> bs_bits]
         for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0])
-            elif y == 0:
-                pred = out[0, x - 1]
+            if y == 0:
+                pred = black if x == 0 else out_row[x - 1]
             elif x == 0:
-                pred = out[y - 1, 0]
+                pred = prev_row[0]
             else:
-                m = modes[y >> bs_bits, x >> bs_bits]
-                L = out[y, x - 1]
-                T = out[y - 1, x]
-                TL = out[y - 1, x - 1]
-                # last column: TR wraps to the current row's first pixel
-                # (contiguous-buffer semantics of the reference decoders)
-                TR = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
-                if m == 0:
-                    pred = np.array([255, 0, 0, 0])
-                elif m == 1:
+                m = mode_row[x >> bs_bits]
+                L = out_row[x - 1]
+                T = prev_row[x]
+                if m == 1:
                     pred = L
                 elif m == 2:
                     pred = T
+                elif m == 0:
+                    pred = black
                 elif m == 3:
-                    pred = TR
+                    # last column: TR wraps to the current row's first pixel
+                    # (contiguous-buffer semantics of the reference decoders)
+                    pred = prev_row[x + 1] if x + 1 < w else out_row[0]
                 elif m == 4:
-                    pred = TL
+                    pred = prev_row[x - 1]
                 elif m == 5:
-                    pred = _avg2(_avg2(L, TR), T)
+                    TR = prev_row[x + 1] if x + 1 < w else out_row[0]
+                    pred = tuple(
+                        (((a + b) // 2) + c) // 2 for a, b, c in zip(L, TR, T)
+                    )
                 elif m == 6:
-                    pred = _avg2(L, TL)
+                    TL = prev_row[x - 1]
+                    pred = tuple((a + b) // 2 for a, b in zip(L, TL))
                 elif m == 7:
-                    pred = _avg2(L, T)
+                    pred = tuple((a + b) // 2 for a, b in zip(L, T))
                 elif m == 8:
-                    pred = _avg2(TL, T)
+                    TL = prev_row[x - 1]
+                    pred = tuple((a + b) // 2 for a, b in zip(TL, T))
                 elif m == 9:
-                    pred = _avg2(T, TR)
+                    TR = prev_row[x + 1] if x + 1 < w else out_row[0]
+                    pred = tuple((a + b) // 2 for a, b in zip(T, TR))
                 elif m == 10:
-                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                    TL = prev_row[x - 1]
+                    TR = prev_row[x + 1] if x + 1 < w else out_row[0]
+                    pred = tuple(
+                        ((a + b) // 2 + (c + d) // 2) // 2
+                        for a, b, c, d in zip(L, TL, T, TR)
+                    )
                 elif m == 11:  # Select
-                    p = L.astype(np.int64) + T.astype(np.int64) - TL.astype(np.int64)
-                    pl = int(np.abs(p - L).sum())
-                    pt = int(np.abs(p - T).sum())
+                    TL = prev_row[x - 1]
+                    pt = sum(abs(a - b) for a, b in zip(L, TL))
+                    pl = sum(abs(a - b) for a, b in zip(T, TL))
                     pred = L if pl < pt else T
                 elif m == 12:  # ClampAddSubtractFull
-                    pred = np.clip(
-                        L.astype(np.int64) + T.astype(np.int64) - TL.astype(np.int64), 0, 255
+                    TL = prev_row[x - 1]
+                    pred = tuple(
+                        min(255, max(0, a + b - c)) for a, b, c in zip(L, T, TL)
                     )
                 elif m == 13:  # ClampAddSubtractHalf (C-style trunc division)
-                    avg = _avg2(L, T)
-                    diff = avg - TL.astype(np.int64)
-                    half = np.sign(diff) * (np.abs(diff) // 2)
-                    pred = np.clip(avg + half, 0, 255)
+                    TL = prev_row[x - 1]
+                    vals = []
+                    for a, b, c in zip(L, T, TL):
+                        avg = (a + b) // 2
+                        d = avg - c
+                        half = d // 2 if d >= 0 else -((-d) // 2)
+                        vals.append(min(255, max(0, avg + half)))
+                    pred = tuple(vals)
                 else:
                     raise ValueError("bad VP8L predictor mode")
-            out[y, x] = (out[y, x] + pred) & 0xFF
-    return out.astype(np.uint8)
+            px = row[x]
+            out_row[x] = (
+                (px[0] + pred[0]) & 0xFF,
+                (px[1] + pred[1]) & 0xFF,
+                (px[2] + pred[2]) & 0xFF,
+                (px[3] + pred[3]) & 0xFF,
+            )
+    return np.array(out, dtype=np.uint8)
 
 
 def decode_vp8l(payload: bytes) -> np.ndarray:

@@ -229,7 +229,18 @@ def ngram_jaccard_pairs(
     Candidate pairs sharing zero shingles drop out (jaccard 0 < threshold).
     Returns (id_a, id_b, jaccard rounded to 9)."""
     sh = exploded_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_shingles"))
+    # set sizes only for documents that appear in a candidate pair — the
+    # full per-doc size table would be corpus-sized at crawl scale
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sizes = (
+        sh.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shingles"))
+    )
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -242,9 +253,11 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # no forced broadcast: the size table scales with |candidates|, so let
+    # AQE pick broadcast vs shuffle join from the measured size
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("jaccard", F.round(jac, 9))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

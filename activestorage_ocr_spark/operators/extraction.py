@@ -408,15 +408,18 @@ def extract_pages(
     parameter).
     """
     ensure_workers_can_import(df.sparkSession)
-    # unset knobs resolve from env config ON THE DRIVER
-    # (configuration.rb / main.rs clap-env analog, engine/config.py)
-    from ..engine.config import EngineConfig
+    # unset knobs resolve from env config ON THE DRIVER (configuration.rb /
+    # main.rs clap-env analog, engine/config.py). Env is only read — and
+    # only validated — when at least one knob was actually left unset:
+    # explicit arguments must not be vetoed by a stale ASOS_OCR_* variable.
+    if engine is None or preset is None or max_bytes is None or default_language is None:
+        from ..engine.config import EngineConfig
 
-    cfg = EngineConfig.from_env()
-    engine = cfg.engine if engine is None else engine
-    preset = cfg.preset if preset is None else preset
-    max_bytes = cfg.max_bytes if max_bytes is None else max_bytes
-    default_language = cfg.default_language if default_language is None else default_language
+        cfg = EngineConfig.from_env()
+        engine = cfg.engine if engine is None else engine
+        preset = cfg.preset if preset is None else preset
+        max_bytes = cfg.max_bytes if max_bytes is None else max_bytes
+        default_language = cfg.default_language if default_language is None else default_language
     cols = ["url", "warc_ts", "html", "lang"]
     if "preset" in df.columns:
         cols.append("preset")

@@ -45,29 +45,20 @@ def read_pages_tuned(spark: SparkSession, source: str, *, tasks_per_core: int = 
     Parquet-optimal split sizing (128 MB) assumes scan-bound work; the
     extraction kernel spends ~ms of CPU per KB of payload, so a 128 MB task
     is minutes of single-core decode — stragglers and idle cores at any
-    cluster size whose core count exceeds input_bytes/128MB. Here the split
-    budget targets ~``tasks_per_core`` tasks per core (clamped to
-    [256 KB, 128 MB]), so the map stage fills the cluster regardless of how
-    few files the upstream writer produced. On a 100 TB input the clamp
-    keeps splits at the parquet-friendly ceiling; the knob only matters on
-    small-to-mid inputs where default packing underfills the cluster."""
-    import os
+    cluster size whose core count exceeds input_bytes/128MB. Here we raise
+    ``spark.sql.files.minPartitionNum`` to ~``tasks_per_core`` tasks per
+    core so the map stage fills the cluster regardless of how few files the
+    upstream writer produced.
 
-    total = 0
-    if os.path.isdir(source):
-        for root, _, files in os.walk(source):
-            total += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
-    elif os.path.exists(source):
-        total = os.path.getsize(source)
-    if total:
-        cores = spark.sparkContext.defaultParallelism
-        target = max(256 * 1024, min(128 * 1024 * 1024, total // max(1, cores * tasks_per_core)))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
-        spark.conf.set("spark.sql.files.openCostInBytes", str(32 * 1024))
+    Session-conf scope note: split planning reads the conf at ACTION time
+    (the scan is lazy), so the setting cannot be save/restored around this
+    call. minPartitionNum is chosen precisely because leaking it is benign:
+    it is proportional (split counts scale with each input's size, floored
+    at row-group granularity), unlike an absolute maxPartitionBytes floor
+    which would shred every later scan in the session into fixed tiny
+    splits."""
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.files.minPartitionNum", str(cores * tasks_per_core))
     return read_pages(spark, source)
 
 

@@ -405,3 +405,71 @@ class TestDispatch:
         img = _gradient_rgb()
         got = rasters.decode_webp(encode_vp8l(img))
         assert np.array_equal(got, img)
+
+
+class TestInversePredictor:
+    def _forward(self, target, bs_bits, tiles):
+        """Independent forward predictor: residual = pixel - pred, using the
+        already-known target as the reconstructed neighborhood."""
+        h, w = target.shape[:2]
+        modes = tiles[:, :, 2]
+        res = np.zeros_like(target, dtype=np.int64)
+        t = target.astype(np.int64)
+        for y in range(h):
+            for x in range(w):
+                if y == 0 and x == 0:
+                    pred = np.array([255, 0, 0, 0])
+                elif y == 0:
+                    pred = t[0, x - 1]
+                elif x == 0:
+                    pred = t[y - 1, 0]
+                else:
+                    m = modes[y >> bs_bits, x >> bs_bits]
+                    L, T, TL = t[y, x - 1], t[y - 1, x], t[y - 1, x - 1]
+                    TR = t[y - 1, x + 1] if x + 1 < w else t[y, 0]
+                    a2 = lambda a, b: (a + b) // 2
+                    if m == 0:
+                        pred = np.array([255, 0, 0, 0])
+                    elif m == 1: pred = L
+                    elif m == 2: pred = T
+                    elif m == 3: pred = TR
+                    elif m == 4: pred = TL
+                    elif m == 5: pred = a2(a2(L, TR), T)
+                    elif m == 6: pred = a2(L, TL)
+                    elif m == 7: pred = a2(L, T)
+                    elif m == 8: pred = a2(TL, T)
+                    elif m == 9: pred = a2(T, TR)
+                    elif m == 10: pred = a2(a2(L, TL), a2(T, TR))
+                    elif m == 11:
+                        pl = int(np.abs(T - TL).sum())
+                        pt = int(np.abs(L - TL).sum())
+                        pred = L if pl < pt else T
+                    elif m == 12:
+                        pred = np.clip(L + T - TL, 0, 255)
+                    else:
+                        avg = a2(L, T)
+                        d = avg - TL
+                        half = np.sign(d) * (np.abs(d) // 2)
+                        pred = np.clip(avg + half, 0, 255)
+                res[y, x] = (t[y, x] - pred) & 0xFF
+        return res.astype(np.uint8)
+
+    def test_every_mode_round_trips(self):
+        rng = np.random.default_rng(11)
+        h, w = 18, 23
+        target = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        target[:, :, 0] = 255
+        bs_bits = 2  # 4x4 tiles
+        th, tw = (h + 3) // 4, (w + 3) // 4
+        tiles = np.zeros((th, tw, 4), dtype=np.uint8)
+        # cycle all 14 modes across tiles
+        tiles[:, :, 2] = (np.arange(th * tw).reshape(th, tw) % 14).astype(np.uint8)
+        res = self._forward(target, bs_bits, tiles)
+        got = webpx._inverse_predictor(res, bs_bits, tiles)
+        assert np.array_equal(got, target)
+
+    def test_bad_mode_rejected(self):
+        img = np.zeros((9, 9, 4), dtype=np.uint8)
+        tiles = np.full((3, 3, 4), 99, dtype=np.uint8)
+        with pytest.raises(ValueError, match="predictor mode"):
+            webpx._inverse_predictor(img, 2, tiles)
