@@ -109,7 +109,11 @@ def encode_jpeg(img, subsample=False, qval=1, restart=0):
         y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
         cb = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
         cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2]
-        if subsample:
+        if subsample == "422":
+            cb = cb[:, ::2]
+            cr = cr[:, ::2]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
             cb = cb[::2, ::2]
             cr = cr[::2, ::2]
             samp = [(2, 2), (1, 1), (1, 1)]
@@ -220,6 +224,16 @@ class TestRoundTrip:
         assert np.abs(got[10, 10].astype(int) - [200, 30, 30]).max() <= 8
         assert np.abs(got[10, -10].astype(int) - [30, 30, 200]).max() <= 8
 
+    def test_color_422_subsampled(self):
+        h, w = 48, 80
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[: h // 2] = (220, 40, 40)
+        img[h // 2 :] = (40, 220, 40)
+        got = decode_jpeg(encode_jpeg(img, subsample="422", qval=1))
+        assert got.shape == (h, w, 3)
+        assert np.abs(got[8, 8].astype(int) - [220, 40, 40]).max() <= 8
+        assert np.abs(got[-8, -8].astype(int) - [40, 220, 40]).max() <= 8
+
     def test_restart_intervals(self):
         img = _text_image(h=48, w=128)
         data = encode_jpeg(img, qval=1, restart=2)
@@ -235,12 +249,13 @@ class TestRoundTrip:
         assert got[img > 192].mean() > 180
 
 
-def encode_jpeg_progressive(img, qval=1, approx=True):
+def encode_jpeg_progressive(img, qval=1, approx=True, restart=0):
     """TEST-ONLY progressive (SOF2) encoder: interleaved DC first scan,
     optional DC refine, per-component AC first scans, optional AC refine
     scans (successive approximation Al=1 -> 0), flat 8-bit huffman codes.
     Gray or RGB 4:4:4 / 4:2:0 (subsample=True upstream not supported here;
     pass pre-shaped planes via the same conventions as encode_jpeg)."""
+    assert not (restart and approx), "restart emission only wired for the spectral-only scans"
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -288,6 +303,8 @@ def encode_jpeg_progressive(img, qval=1, approx=True):
     for tc, counts, vals in ((0, dc_counts, dc_vals), (1, ac_counts, ac_vals)):
         seg = bytes([(tc << 4) | 0]) + bytes(counts) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
 
     def sos(comp_ids, ss, se, ah, al):
         seg = bytes([len(comp_ids)])
@@ -302,7 +319,21 @@ def encode_jpeg_progressive(img, qval=1, approx=True):
     out += sos(list(range(1, nc + 1)), 0, 0, 0, al0)
     bw = _BitWriter()
     preds = [0] * nc
+    rstn = [0]
+
+    def maybe_restart(unit):
+        nonlocal bw, preds
+        if restart and unit and unit % restart == 0:
+            nonlocal_out = bw.flush()
+            preds = [0] * nc
+            bw = _BitWriter()
+            marker = bytes([0xFF, 0xD0 + (rstn[0] % 8)])
+            rstn[0] += 1
+            return nonlocal_out + marker
+        return b""
+
     for m in range(mcux * mcuy):
+        out += maybe_restart(m)
         my, mx = divmod(m, mcux)
         for ci, (blocks, sh, sv, hb, wb) in enumerate(comp_coefs):
             for v in range(sv):
@@ -336,8 +367,14 @@ def encode_jpeg_progressive(img, qval=1, approx=True):
         # AC first scan 1..63 at Al=al0
         out += sos([ci + 1], 1, 63, 0, al0)
         bw = _BitWriter()
+        rstn = [0]
         for by in range(hb_used):
             for bx in range(wb_used):
+                unit = by * wb_used + bx
+                if restart and unit and unit % restart == 0:
+                    out += bw.flush() + bytes([0xFF, 0xD0 + (rstn[0] % 8)])
+                    rstn[0] += 1
+                    bw = _BitWriter()
                 row = blocks[by * wb + bx]
                 r = 0
                 for k in range(1, 64):
@@ -425,6 +462,15 @@ class TestProgressive:
         got = decode_jpeg(encode_jpeg_progressive(img, qval=1, approx=True))
         base = decode_jpeg(encode_jpeg(img, qval=1))
         assert np.array_equal(got, base)
+
+    def test_progressive_with_restart_intervals(self):
+        # exercises restarts in the interleaved DC scan (MCU-counted) AND
+        # the non-interleaved AC scans (block-counted, eobrun reset)
+        img = _text_image(h=48, w=128)
+        data = encode_jpeg_progressive(img, qval=1, approx=False, restart=3)
+        assert b"\xff\xd0" in data or b"\xff\xd1" in data
+        base = decode_jpeg(encode_jpeg(img, qval=1))
+        assert np.array_equal(decode_jpeg(data), base)
 
     def test_quantized_progressive_readable(self):
         img = _text_image()

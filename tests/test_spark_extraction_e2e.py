@@ -147,3 +147,34 @@ class TestPlanShape:
         b = [tuple(r) for r in gi.select(*cols).orderBy("url").collect()]
         assert a == b
         assert not any(r.status == "deferred" for r in gi.select("status").collect())
+
+
+class TestSkewRouting:
+    def test_giants_clumped_in_one_input_partition_get_spread(self, spark):
+        """The point of giants mode: a pathological layout that lands every
+        giant payload in ONE scan partition must still process giants across
+        MANY tasks after the redistribution exchange (partition_id records
+        where the extraction actually ran)."""
+        big = (b"<html><body><main><p>"
+               + b"A giant page body word " * 400
+               + b"</p></main></body></html>")
+        small = b"<html><body><main><p>Small page body of honest words.</p></main></body></html>"
+        rows = [(f"https://g{i}.example/x", None, big, "eng") for i in range(64)]
+        rows += [(f"https://s{i}.example/x", None, small, "eng") for i in range(64)]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, lang string"
+        ).coalesce(1)  # adversarial: everything in one input partition
+
+        gi = extract_pages(df, max_bytes=262_144, skew_handling="giants",
+                           giant_bytes=len(small) + 1, repartition=16)
+        got = gi.select("url", "partition_id", "status").collect()
+        assert all(r.status == "ok" for r in got)
+        giant_pids = {r.partition_id for r in got if r.url.startswith("https://g")}
+        small_pids = {r.partition_id for r in got if r.url.startswith("https://s")}
+        # giants were deferred through the exchange and ran on many tasks
+        assert len(giant_pids) > 4
+        # in off mode the same layout runs everything on the one scan task
+        off = extract_pages(df, max_bytes=262_144, skew_handling="off")
+        off_pids = {r.partition_id for r in off.select("partition_id").collect()}
+        assert len(off_pids) == 1
+        assert len(small_pids) >= 1
