@@ -79,6 +79,13 @@ ENGINE_INFO: dict[str, dict[str, Any]] = {
 }
 
 
+def health() -> dict[str, str]:
+    """The /health analog (`rust/src/server.rs:289-295`): a cheap liveness
+    probe for orchestration — imports resolved, registry intact."""
+    return {"status": "ok" if ENGINES and ENGINES[0] in ENGINE_INFO else "error",
+            "version": "0.1.0"}
+
+
 def pipeline_info() -> dict[str, Any]:
     """O4 analog of the reference /info endpoint (`rust/src/server.rs:298-318`):
     version, per-engine detail, default engine/language, size limit."""

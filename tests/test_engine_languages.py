@@ -87,3 +87,8 @@ class TestPerEngineInfo:
             "eng", "deu", "fra", "spa", "ita", "por", "nld",
             "jpn", "chi_sim", "chi_tra", "kor", "ara", "rus",
         )
+
+
+def test_health_probe():
+    h = ex.health()
+    assert h == {"status": "ok", "version": "0.1.0"}
