@@ -152,6 +152,7 @@ def make_extract_kernel(
     max_bytes: int,
     defer_over: int | None = None,
     default_language: str | None = None,
+    forced_languages: str | None = None,
 ):
     """Build the mapInArrow kernel. All per-document work happens in
     `engine.extract.extract_document` — the same function the golden oracle
@@ -211,7 +212,9 @@ def make_extract_kernel(
                     r = extract_document(
                         payload, engine=engine, preset=row_preset,
                         max_bytes=max_bytes,
-                        languages=_lang_request(lg) or default_language,
+                        languages=forced_languages
+                        or _lang_request(lg)
+                        or default_language,
                     )
                     rows["url"].append(u)
                     rows["lang"].append(lg)
@@ -246,7 +249,12 @@ def make_extract_kernel(
     return kernel
 
 
-def make_finish_kernel(engine: str, max_bytes: int, default_language: str | None = None):
+def make_finish_kernel(
+    engine: str,
+    max_bytes: int,
+    default_language: str | None = None,
+    forced_languages: str | None = None,
+):
     """Pass 2 of single-scan skew routing: finish rows deferred by
     `make_extract_kernel(defer_over=...)` after the redistribution exchange.
 
@@ -289,7 +297,9 @@ def make_finish_kernel(engine: str, max_bytes: int, default_language: str | None
                     r = extract_document(
                         payload, engine=engine, preset=row_preset,
                         max_bytes=max_bytes,
-                        languages=_lang_request(lg) or default_language,
+                        languages=forced_languages
+                        or _lang_request(lg)
+                        or default_language,
                     )
                     rows["url"].append(u)
                     rows["lang"].append(lg)
@@ -369,6 +379,7 @@ def extract_pages(
     preset: str | None = None,
     max_bytes: int | None = None,
     default_language: str | None = None,
+    languages: str | None = None,
     repartition: int | None = None,
     salt_buckets: int = 64,
     skew_handling: bool | str = "giants",
@@ -406,6 +417,13 @@ def extract_pages(
     If the input carries a ``preset`` column it overrides the job-level
     preset per row (P5, the reference's per-request ``?preprocess=`` query
     parameter).
+
+    ``languages`` is the job-level FORCED request ('eng+deu', the
+    reference's per-request multipart field applied to the whole batch,
+    e.g. a language-targeted reprocessing run): when set, it is validated
+    once on the driver and used for every row, overriding the per-row
+    crawl ``lang`` annotation; when None, each row's annotation maps to a
+    request and unknown annotations fall back to ``default_language``.
     """
     ensure_workers_can_import(df.sparkSession)
     # unset knobs resolve from env config ON THE DRIVER (configuration.rb /
@@ -420,11 +438,22 @@ def extract_pages(
         preset = cfg.preset if preset is None else preset
         max_bytes = cfg.max_bytes if max_bytes is None else max_bytes
         default_language = cfg.default_language if default_language is None else default_language
+    if languages is not None:
+        # fail fast on the driver — a bad forced request must not
+        # quarantine an entire run row-by-row
+        from ..engine.extract import _parse_languages
+
+        _, err = _parse_languages(languages, engine)
+        if err is not None:
+            raise ValueError(err)
     cols = ["url", "warc_ts", "html", "lang"]
     if "preset" in df.columns:
         cols.append("preset")
     proj = df.select(*cols)
-    kernel = make_extract_kernel(engine, preset, max_bytes, default_language=default_language)
+    kernel = make_extract_kernel(
+        engine, preset, max_bytes,
+        default_language=default_language, forced_languages=languages,
+    )
     mode = {True: "full", False: "off"}.get(skew_handling, skew_handling)
 
     def _repart(frame, *cols):
@@ -454,12 +483,16 @@ def extract_pages(
     # giant/normal decision is made per row inside the kernel, so NULL
     # payloads never hit three-valued filter logic.
     pass1_kernel = make_extract_kernel(
-        engine, preset, max_bytes, defer_over=giant_bytes, default_language=default_language
+        engine, preset, max_bytes, defer_over=giant_bytes,
+        default_language=default_language, forced_languages=languages,
     )
     pass1 = proj.mapInArrow(pass1_kernel, DEFERRED_SCHEMA)
     redistributed = _repart(pass1, F.col("url"))
     return redistributed.mapInArrow(
-        make_finish_kernel(engine, max_bytes, default_language=default_language),
+        make_finish_kernel(
+            engine, max_bytes,
+            default_language=default_language, forced_languages=languages,
+        ),
         EXTRACTED_SCHEMA,
     )
 

@@ -69,3 +69,32 @@ class TestPipelineResolution:
         pages = spark.read.parquet(f"{corpus_dir_200}/pages.parquet").limit(4)
         out = extract_pages(pages, engine="pixelocr", max_bytes=262_144)
         assert {r.engine for r in out.select("engine").collect()} == {"pixelocr"}
+
+
+class TestForcedLanguages:
+    def test_job_level_languages_override(self, spark):
+        from activestorage_ocr_spark.engine import rasters
+        from activestorage_ocr_spark.operators.extraction import extract_pages
+
+        png = rasters.encode_png(rasters.render_text("ÜBER 9", scale=2))
+        # row annotation says eng; the forced request turns on the deu pack
+        df = spark.createDataFrame(
+            [("u1", None, png, "eng")],
+            "url string, warc_ts timestamp, html binary, lang string",
+        )
+        forced = extract_pages(df, engine="pixelocr-alt", max_bytes=262_144,
+                               languages="eng+deu").collect()[0]
+        assert forced.extracted_text == "ÜBER 9"
+        plain = extract_pages(df, engine="pixelocr-alt", max_bytes=262_144).collect()[0]
+        assert plain.extracted_text == "UBER 9"
+
+    def test_bad_forced_languages_fails_fast_on_driver(self, spark):
+        import pytest as _pytest
+        from activestorage_ocr_spark.operators.extraction import extract_pages
+
+        df = spark.createDataFrame(
+            [("u1", None, b"<p>x</p>", "eng")],
+            "url string, warc_ts timestamp, html binary, lang string",
+        )
+        with _pytest.raises(ValueError, match="unsupported language"):
+            extract_pages(df, engine="pixelocr-alt", languages="klingon")
