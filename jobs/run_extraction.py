@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="pages table (parquet dir)")
-    ap.add_argument("--output", required=True, help="output root (extracted/, quarantine/, _manifest/)")
+    ap.add_argument("--output", required=True, help="output root (data/outcome={extracted,quarantine}/, _manifest/)")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--n-parts", type=int, default=1024, help="stable url-hash checkpoint partitions")
     # unset flags fall back to env config (ASOS_OCR_*, engine/config.py)

@@ -135,3 +135,21 @@ class TestQuarantineReads:
     def test_missing_quarantine_dir_reads_as_empty(self, spark, tmp_path):
         q = ln.read_quarantine(spark, str(tmp_path / "never-written"))
         assert q.count() == 0
+
+    def test_job_never_materializes(self, spark, pages, tmp_path, monkeypatch):
+        # Verdict r2 "what's wrong #1": the job must stream kernel->parquet —
+        # never cache()/persist() the full extraction before the first write.
+        # Patch both entry points to raise; the job must still complete.
+        from pyspark.sql import DataFrame
+
+        def _boom(self, *a, **k):  # pragma: no cover - should never run
+            raise AssertionError("run_extraction_job must not materialize output")
+
+        monkeypatch.setattr(DataFrame, "cache", _boom)
+        monkeypatch.setattr(DataFrame, "persist", _boom)
+        out = str(tmp_path / "out")
+        r = ln.run_extraction_job(
+            spark, pages, out, run_id="nocache", n_parts=N_PARTS, max_bytes=MAX_BYTES
+        )
+        assert r["n_rows"] == pages.count()
+        assert ln.read_output(spark, out).count() + ln.read_quarantine(spark, out).count() == r["n_rows"]
