@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from activestorage_ocr_spark.fixtures.gen_media import media_oracles
     from activestorage_ocr_spark.plans.queries import ORACLES, extraction_oracles
 
     out = dict(ORACLES)
@@ -47,4 +48,6 @@ def oracle_sql() -> dict[str, str]:
     # them via extraction_oracles(n_docs=...) as tests/test_oracle_parity.py
     # does for sf0.001.
     out.update(extraction_oracles())
+    # multimodal golden-parquet oracles (same pattern, same n_docs contract)
+    out.update(media_oracles())
     return out

@@ -1,0 +1,176 @@
+"""Deterministic synthetic media payloads + golden-parquet oracles for the
+multimodal queries (verdict r2 "missing #2": the three rows-only CORRECTNESS
+entries get full DuckDB oracles via the same golden-parquet pattern the
+extraction domain uses).
+
+Correctness chain (mirrors plans/queries.py extraction_oracles): each golden
+row is the SINGLE-NODE execution of the identical per-payload function the
+Arrow kernel runs (`operators/multimodal.py: image_meta_row / audio_meta_row /
+sample_video_frames`), written to parquet with the query's exact arrow types.
+DuckDB reads the goldens; the driver compares them against the distributed
+run — proving the Spark plumbing (Arrow batching, fan-out, schema) reproduces
+single-node semantics payload-for-payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def synthetic_media_rows(n: int, kind: str) -> list[tuple[str, bytes]]:
+    """Deterministic audio/video payload table (pure function of (n, i)):
+    the testdata ships no media columns, so the multimodal queries synthesize
+    their payloads — WAV headers and ASVF fake-video containers mixed with
+    compressed-codec and junk payloads for the error paths."""
+    from ..operators.multimodal import encode_fake_video
+
+    rows: list[tuple[str, bytes]] = []
+    for i in range(n):
+        url = f"https://media{i}.example/{kind}/{i}"
+        if kind == "audio":
+            mod = i % 5
+            if mod < 3:  # PCM WAV, varying rate/channels/length
+                rate = (8000, 16000, 44100)[i % 3]
+                ch = 1 + (i % 2)
+                n_samp = 100 + (i * 37) % 900
+                body = bytes((i + j) % 256 for j in range(n_samp * ch * 2))
+                fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+                payload = (
+                    b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16) + fmt
+                    + b"data" + struct.pack("<I", len(body)) + body
+                )
+            elif mod == 3:  # mp3 -> frame-header metadata path
+                payload = make_mp3_payload(i)
+            else:  # junk -> skipped (not audio)
+                payload = b"\x00\x01junk" + bytes([i % 256]) * 8
+        else:
+            if i % 4 < 3:  # fake container, 1-8 frames at 40ms
+                frames = [bytes(((i * 7 + f) % 256,)) * 64 for f in range(1 + i % 8)]
+                payload = encode_fake_video(frames, frame_ms=40)
+            else:  # a "real" codec payload -> dropped by the stub decode
+                payload = b"\x00\x00\x00\x20ftypisom" + bytes(24)
+        rows.append((url, payload))
+    return rows
+
+
+def make_mp3_payload(i: int) -> bytes:
+    """A syntactically valid MPEG-1 Layer III stream: ID3v2 header + CBR
+    frames (public header format, ISO/IEC 11172-3). Varies bitrate and
+    sample rate with ``i`` so the parser's tables are exercised."""
+    bitrate_idx = 9 + (i % 5)  # 128..256 kbps rows of the V1L3 table
+    rate_idx = i % 3  # 44100 / 48000 / 32000
+    # frame header: sync(11) version=11(MPEG1) layer=01(III) no-crc(1)
+    hdr = 0xFFFB0000 | (bitrate_idx << 12) | (rate_idx << 10)
+    from ..operators.multimodal import MP3_BITRATES_V1L3, MP3_SAMPLE_RATES_V1
+
+    bitrate = MP3_BITRATES_V1L3[bitrate_idx] * 1000
+    rate = MP3_SAMPLE_RATES_V1[rate_idx]
+    frame_len = 144 * bitrate // rate  # padding bit 0
+    n_frames = 4 + i % 7
+    frame = struct.pack(">I", hdr) + bytes((i + j) % 256 for j in range(frame_len - 4))
+    id3 = b"ID3\x04\x00\x00" + b"\x00\x00\x00\x0a" + bytes(10)  # 10-byte ID3v2.4 body
+    return id3 + frame * n_frames
+
+
+def media_counts(n_docs: int) -> int:
+    """Payload-table size for a given corpus size (one formula, shared by
+    the registered queries and the golden builder)."""
+    return max(20, n_docs // 25)
+
+
+VIDEO_GOLDEN_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("frame_idx", pa.int32()),
+        pa.field("ts_ms", pa.int64()),
+        pa.field("frame_md5", pa.string()),
+    ]
+)
+
+
+def ensure_media_goldens(n_docs: int, base: str = "/tmp/asos_spark_corpus") -> str:
+    """Write (once, cached) the three multimodal golden parquets for a corpus
+    of ``n_docs`` pages; returns the dir. Pure single-node execution of the
+    kernels' per-payload functions — no Spark session involved."""
+    from ..operators.multimodal import audio_meta_row, image_meta_row, sample_video_frames
+    from ..operators.multimodal import AUDIO_META_ARROW, IMAGE_META_ARROW
+    from .gen_corpus import ensure_corpus
+
+    d = os.path.join(base, f"media_goldens_n{n_docs}_v1")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+
+    # image: over the corpus pages (the registered query's input table)
+    corpus = ensure_corpus(n_docs)
+    pages = pq.read_table(
+        os.path.join(corpus, "pages.parquet"), columns=["url", "html"]
+    )
+    img_rows = []
+    for u, payload in zip(pages.column("url").to_pylist(), pages.column("html").to_pylist()):
+        row = image_meta_row(u, payload)
+        if row is not None:
+            img_rows.append(row)
+    pq.write_table(
+        pa.Table.from_pylist(img_rows, schema=IMAGE_META_ARROW),
+        os.path.join(d, "image_meta.parquet"),
+        compression="zstd",
+    )
+
+    n_media = media_counts(n_docs)
+    audio_rows = []
+    for u, payload in synthetic_media_rows(n_media, "audio"):
+        row = audio_meta_row(u, payload)
+        if row is not None:
+            audio_rows.append(row)
+    pq.write_table(
+        pa.Table.from_pylist(audio_rows, schema=AUDIO_META_ARROW),
+        os.path.join(d, "audio_meta.parquet"),
+        compression="zstd",
+    )
+
+    frame_rows = []
+    for u, payload in synthetic_media_rows(n_media, "video"):
+        for idx, ts_ms, raw in sample_video_frames(payload, every_ms=80):
+            frame_rows.append(
+                {"url": u, "frame_idx": idx, "ts_ms": ts_ms,
+                 "frame_md5": hashlib.md5(raw).hexdigest()}
+            )
+    pq.write_table(
+        pa.Table.from_pylist(frame_rows, schema=VIDEO_GOLDEN_ARROW),
+        os.path.join(d, "video_frames.parquet"),
+        compression="zstd",
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def media_oracles(n_docs: int = 2_000) -> dict[str, str]:
+    """DuckDB oracle SQL for the three multimodal queries: read the golden
+    parquet verbatim (the aggregation-free analog of extraction_oracles —
+    these queries ARE per-payload projections)."""
+    d = ensure_media_goldens(n_docs)
+    return {
+        "multimodal_image_meta": f"""
+            SELECT url, mime, width, height, n_pixels, ink_ratio, decoder,
+                   decode_error
+            FROM read_parquet('{d}/image_meta.parquet')
+        """,
+        "multimodal_audio_meta": f"""
+            SELECT url, container, sample_rate, channels, bits_per_sample,
+                   n_samples, duration_ms, decode_error
+            FROM read_parquet('{d}/audio_meta.parquet')
+        """,
+        "multimodal_video_frames": f"""
+            SELECT url, frame_idx, ts_ms, frame_md5
+            FROM read_parquet('{d}/video_frames.parquet')
+        """,
+    }

@@ -37,48 +37,61 @@ def _container_kind(payload: bytes, mime: str) -> str:
     return "real"
 
 
-def _meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+IMAGE_META_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("n_pixels", pa.int64()),
+        pa.field("ink_ratio", pa.float64()),
+        pa.field("decoder", pa.string()),
+        pa.field("decode_error", pa.string()),
+    ]
+)
+
+
+def image_meta_row(url: str, payload: bytes) -> dict | None:
+    """Single-payload image metadata (pure; None for non-image payloads).
+    Shared by the Arrow kernel and the driver-side golden builder
+    (fixtures/gen_media.py) so the oracle is the single-node execution of
+    the identical per-payload semantics."""
     from ..engine import mime as mimex, rasters
 
-    out_schema = pa.schema(
-        [
-            pa.field("url", pa.string()),
-            pa.field("mime", pa.string()),
-            pa.field("width", pa.int32()),
-            pa.field("height", pa.int32()),
-            pa.field("n_pixels", pa.int64()),
-            pa.field("ink_ratio", pa.float64()),
-            pa.field("decoder", pa.string()),
-            pa.field("decode_error", pa.string()),
-        ]
-    )
+    m = mimex.sniff_mime(payload or b"")
+    if m not in mimex.IMAGE_MIMES:
+        return None
+    row = {"url": url, "mime": m, "decoder": _container_kind(payload, m)}
+    try:
+        gray = rasters.decode_image(payload, m)
+        if gray.ndim == 3:
+            gray = rasters.rgb_to_gray(gray)
+        h, w = gray.shape
+        row.update(
+            width=w,
+            height=h,
+            n_pixels=w * h,
+            ink_ratio=round(float((gray < 128).mean()), 6),
+            decode_error=None,
+        )
+    except Exception as e:  # noqa: BLE001 quarantine posture
+        row.update(width=None, height=None, n_pixels=None, ink_ratio=None,
+                   decode_error=f"{type(e).__name__}: {e}")
+    return row
+
+
+def _meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    out_schema = IMAGE_META_ARROW
     for batch in batches:
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
         rows = {f.name: [] for f in out_schema}
         for u, payload in zip(urls, payloads):
-            m = mimex.sniff_mime(payload or b"")
-            if m not in mimex.IMAGE_MIMES:
+            row = image_meta_row(u, payload)
+            if row is None:
                 continue
-            rows["url"].append(u)
-            rows["mime"].append(m)
-            rows["decoder"].append(_container_kind(payload, m))
-            try:
-                gray = rasters.decode_image(payload, m)
-                if gray.ndim == 3:
-                    gray = rasters.rgb_to_gray(gray)
-                h, w = gray.shape
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_pixels"].append(w * h)
-                rows["ink_ratio"].append(round(float((gray < 128).mean()), 6))
-                rows["decode_error"].append(None)
-            except Exception as e:  # noqa: BLE001 quarantine posture
-                rows["width"].append(None)
-                rows["height"].append(None)
-                rows["n_pixels"].append(None)
-                rows["ink_ratio"].append(None)
-                rows["decode_error"].append(f"{type(e).__name__}: {e}")
+            for f in out_schema:
+                rows[f.name].append(row[f.name])
         yield pa.RecordBatch.from_arrays(
             [pa.array(rows[f.name], type=f.type) for f in out_schema], schema=out_schema
         )
@@ -94,8 +107,10 @@ def image_metadata(pages: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# audio: real RIFF/WAVE header parse (PCM metadata needs no codec); mp3/ogg
-# and other compressed codecs cannot ship here -> decode_error, never a crash
+# audio: real RIFF/WAVE header parse (PCM metadata needs no codec) and real
+# MPEG-1 L3 frame-header metadata (sample rate/channels/duration — what a
+# media pipeline actually reads); full lossy decode and ogg stay labeled
+# stubs -> decode_error, never a crash
 # ---------------------------------------------------------------------------
 
 AUDIO_META_SCHEMA = (
@@ -145,6 +160,73 @@ def parse_wav_header(data: bytes) -> dict:
     }
 
 
+#: MPEG-1 Layer III bitrate table (kbps, by header bitrate index) and MPEG-1
+#: sample-rate table — public spec, ISO/IEC 11172-3 §2.4.2.3.
+MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+MP3_SAMPLE_RATES_V1 = (44100, 48000, 32000, 0)
+
+
+def parse_mp3_metadata(data: bytes) -> dict:
+    """Pure-stdlib MPEG audio metadata: skip ID3v2, parse the first MPEG-1
+    Layer III frame header (version/layer/bitrate/sample-rate tables are
+    public spec), honor a Xing/Info VBR frame count when present, otherwise
+    walk CBR frame lengths. Metadata only — full decode stays out of scope
+    (verdict r2 missing #3). Raises ValueError on non-MPEG1-L3 payloads."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    rate = None
+    channels = None
+    first = True
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            if n_frames == 0:
+                raise ValueError("no MPEG frame sync after ID3 header")
+            break
+        hdr = int.from_bytes(data[pos : pos + 4], "big")
+        version = (hdr >> 19) & 3
+        layer = (hdr >> 17) & 3
+        if version != 3 or layer != 1:
+            raise ValueError("only MPEG-1 Layer III supported (metadata parse)")
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-form/invalid bitrate or sample-rate index")
+        bitrate = MP3_BITRATES_V1L3[br_idx] * 1000
+        rate = MP3_SAMPLE_RATES_V1[sr_idx]
+        channels = 1 if ((hdr >> 6) & 3) == 3 else 2
+        frame_len = 144 * bitrate // rate + ((hdr >> 9) & 1)
+        if first:
+            first = False
+            # Xing/Info tag sits after the layer-III side info (32 B stereo /
+            # 17 B mono, MPEG-1); flag bit 0 = frame count present
+            off = pos + 4 + (17 if channels == 1 else 32)
+            tag = data[off : off + 4]
+            if tag in (b"Xing", b"Info") and len(data) >= off + 12:
+                flags = int.from_bytes(data[off + 4 : off + 8], "big")
+                if flags & 1:
+                    n_frames = int.from_bytes(data[off + 8 : off + 12], "big")
+                    break
+        n_frames += 1
+        pos += frame_len
+    if n_frames == 0 or rate is None:
+        raise ValueError("no MPEG audio frames")
+    n_samples = n_frames * 1152  # MPEG-1 Layer III: 1152 samples per frame
+    return {
+        "container": "mp3",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": None,  # lossy codec: no PCM width in the container
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+    }
+
+
 def _sniff_audio(data: bytes) -> str | None:
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
@@ -155,57 +237,68 @@ def _sniff_audio(data: bytes) -> str | None:
     return None
 
 
+AUDIO_META_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("container", pa.string()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("channels", pa.int32()),
+        pa.field("bits_per_sample", pa.int32()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("duration_ms", pa.int64()),
+        pa.field("decode_error", pa.string()),
+    ]
+)
+
+_AUDIO_META_COLS = ("sample_rate", "channels", "bits_per_sample", "n_samples", "duration_ms")
+
+
+def audio_meta_row(url: str, payload: bytes) -> dict | None:
+    """Single-payload audio metadata (pure; None for non-audio payloads).
+    Shared by the Arrow kernel and the golden builder (fixtures/gen_media.py)."""
+    kind = _sniff_audio(payload or b"")
+    if kind is None:
+        return None
+    row: dict = {"url": url, "container": kind}
+    if kind in ("wav", "mp3"):
+        parser = parse_wav_header if kind == "wav" else parse_mp3_metadata
+        try:
+            meta = parser(payload)
+            for c in _AUDIO_META_COLS:
+                row[c] = meta[c]
+            row["decode_error"] = None
+        except ValueError as e:
+            for c in _AUDIO_META_COLS:
+                row[c] = None
+            row["decode_error"] = str(e)
+        return row
+    for c in _AUDIO_META_COLS:
+        row[c] = None
+    row["decode_error"] = f"{kind} decode not available in this sandbox (stubbed codec)"
+    return row
+
+
 def _audio_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    out_schema = pa.schema(
-        [
-            pa.field("url", pa.string()),
-            pa.field("container", pa.string()),
-            pa.field("sample_rate", pa.int32()),
-            pa.field("channels", pa.int32()),
-            pa.field("bits_per_sample", pa.int32()),
-            pa.field("n_samples", pa.int64()),
-            pa.field("duration_ms", pa.int64()),
-            pa.field("decode_error", pa.string()),
-        ]
-    )
+    out_schema = AUDIO_META_ARROW
     for batch in batches:
         urls = batch.column("url").to_pylist()
         payloads = batch.column("audio").to_pylist()
         rows = {f.name: [] for f in out_schema}
         for u, payload in zip(urls, payloads):
-            kind = _sniff_audio(payload or b"")
-            if kind is None:
+            row = audio_meta_row(u, payload)
+            if row is None:
                 continue
-            rows["url"].append(u)
-            meta_cols = ("sample_rate", "channels", "bits_per_sample", "n_samples", "duration_ms")
-            if kind == "wav":
-                try:
-                    meta = parse_wav_header(payload)
-                    rows["container"].append("wav")
-                    for c in meta_cols:
-                        rows[c].append(meta[c])
-                    rows["decode_error"].append(None)
-                    continue
-                except ValueError as e:
-                    rows["container"].append("wav")
-                    for c in meta_cols:
-                        rows[c].append(None)
-                    rows["decode_error"].append(str(e))
-                    continue
-            rows["container"].append(kind)
-            for c in meta_cols:
-                rows[c].append(None)
-            rows["decode_error"].append(
-                f"{kind} decode not available in this sandbox (stubbed codec)"
-            )
+            for f in out_schema:
+                rows[f.name].append(row[f.name])
         yield pa.RecordBatch.from_arrays(
             [pa.array(rows[f.name], type=f.type) for f in out_schema], schema=out_schema
         )
 
 
 def audio_metadata(df: DataFrame, payload_col: str = "audio") -> DataFrame:
-    """(url, <payload_col>) -> typed audio metadata. Real parse for PCM WAV;
-    compressed codecs surface a labeled decode_error (quarantine posture)."""
+    """(url, <payload_col>) -> typed audio metadata. Real parse for PCM WAV
+    headers and mp3 frame headers (Xing/CBR duration); ogg and malformed
+    payloads surface a labeled decode_error (quarantine posture)."""
     from .extraction import ensure_workers_can_import
 
     ensure_workers_can_import(df.sparkSession)
@@ -254,6 +347,23 @@ def _iter_fake_video_frames(data: bytes):
         pos += 4 + ln
 
 
+def sample_video_frames(payload: bytes, every_ms: int) -> list[tuple[int, int, bytes]]:
+    """Single-payload frame sampling (pure): ~one (idx, ts_ms, raw) per
+    ``every_ms``; [] for undecodable payloads (quarantine posture). Shared by
+    the Arrow kernel and the golden builder (fixtures/gen_media.py)."""
+    out: list[tuple[int, int, bytes]] = []
+    try:
+        last_emitted = None
+        for idx, ts_ms, raw in _iter_fake_video_frames(payload or b""):
+            if last_emitted is not None and ts_ms - last_emitted < every_ms:
+                continue
+            last_emitted = ts_ms
+            out.append((idx, ts_ms, raw))
+    except Exception:  # noqa: BLE001 (incl. NotImplementedError)
+        return []
+    return out
+
+
 def video_frame_sample(df: DataFrame, every_ms: int = 1000, payload_col: str = "video") -> DataFrame:
     """Sample ~one frame per ``every_ms`` from each video payload — the
     frame-extraction batch shape a training pipeline needs (one input row ->
@@ -278,18 +388,11 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000, payload_col: str = "
             payloads = batch.column("video").to_pylist()
             rows = {f.name: [] for f in out_schema}
             for u, payload in zip(urls, payloads):
-                try:
-                    last_emitted = None
-                    for idx, ts_ms, raw in _iter_fake_video_frames(payload or b""):
-                        if last_emitted is not None and ts_ms - last_emitted < every_ms:
-                            continue
-                        last_emitted = ts_ms
-                        rows["url"].append(u)
-                        rows["frame_idx"].append(idx)
-                        rows["ts_ms"].append(ts_ms)
-                        rows["frame"].append(raw)
-                except Exception:  # noqa: BLE001 (incl. NotImplementedError)
-                    continue  # quarantine posture: a bad payload drops, job lives
+                for idx, ts_ms, raw in sample_video_frames(payload, every_ms):
+                    rows["url"].append(u)
+                    rows["frame_idx"].append(idx)
+                    rows["ts_ms"].append(ts_ms)
+                    rows["frame"].append(raw)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(rows[f.name], type=f.type) for f in out_schema], schema=out_schema
             )

@@ -14,9 +14,10 @@ Determinism rules for oracle parity (both engines must hash identically):
 * timestamps are formatted to strings (Spark session is UTC; DuckDB is
   UTC-naive).
 
-Queries over the synthetic pages corpus (extraction, multimodal) have no
-DuckDB oracle — the driver records rows-only checks for them; their strong
-correctness gate is the byte-identity pytest suite (tests/test_spark_*).
+Queries over the synthetic pages corpus (extraction, multimodal) are oracled
+against single-node golden parquet that DuckDB reads back (see
+``extraction_oracles`` below and ``fixtures/gen_media.py``); the byte-identity
+pytest suite (tests/test_spark_*) proves the goldens themselves.
 """
 
 from __future__ import annotations
@@ -781,8 +782,10 @@ def q_emb_neardup_verified(spark, sf_dir):
 
 def q_multimodal_image_meta(spark, sf_dir):
     """Multimodal plumbing: decode image payloads to typed metadata
-    (width/height/n_pixels) inside the Arrow kernel. Real decoders for
-    PNG/BMP/TIFF/GIF; documented stubs for JPEG/WEBP (rows-only check)."""
+    (width/height/n_pixels) inside the Arrow kernel. Real decoders for all
+    six formats (PNG/BMP/TIFF/GIF + baseline/progressive JPEG + VP8L WebP);
+    only VP8-lossy WebP and arithmetic JPEG land in decode_error. Oracled
+    against the single-node golden parquet (fixtures/gen_media.py)."""
     from ..operators.multimodal import image_metadata
 
     pages = _corpus_pages(spark, sf_dir)
@@ -790,49 +793,19 @@ def q_multimodal_image_meta(spark, sf_dir):
 
 
 def _synthetic_media(spark, sf_dir, kind: str):
-    """Deterministic audio/video payload table (pure function of (sf, i)):
-    the testdata ships no media columns, so the multimodal plumbing queries
-    synthesize their payloads — WAV headers and ASVF fake-video containers
-    mixed with compressed-codec and junk payloads for the error paths."""
-    import struct as _struct
-    import zlib as _zlib
+    """Deterministic audio/video payload table — rows generated by the shared
+    fixture (fixtures/gen_media.py) so the golden-parquet oracle sees the
+    exact same payloads."""
+    from ..fixtures.gen_media import media_counts, synthetic_media_rows
 
-    from ..operators.multimodal import encode_fake_video
-
-    n = max(20, _corpus_docs_for(sf_dir) // 25)
-    rows = []
-    for i in range(n):
-        url = f"https://media{i}.example/{kind}/{i}"
-        if kind == "audio":
-            mod = i % 5
-            if mod < 3:  # PCM WAV, varying rate/channels/length
-                rate = (8000, 16000, 44100)[i % 3]
-                ch = 1 + (i % 2)
-                n_samp = 100 + (i * 37) % 900
-                body = bytes((i + j) % 256 for j in range(n_samp * ch * 2))
-                fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
-                payload = (
-                    b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
-                    + b"fmt " + _struct.pack("<I", 16) + fmt
-                    + b"data" + _struct.pack("<I", len(body)) + body
-                )
-            elif mod == 3:  # mp3 -> labeled stub error
-                payload = b"ID3\x04\x00" + bytes(32)
-            else:  # junk -> skipped (not audio)
-                payload = b"\x00\x01junk" + bytes([i % 256]) * 8
-        else:
-            if i % 4 < 3:  # fake container, 1-8 frames at 40ms
-                frames = [bytes(((i * 7 + f) % 256,)) * 64 for f in range(1 + i % 8)]
-                payload = encode_fake_video(frames, frame_ms=40)
-            else:  # a "real" codec payload -> dropped by the stub decode
-                payload = b"\x00\x00\x00\x20ftypisom" + bytes(24)
-        rows.append((url, payload))
+    rows = synthetic_media_rows(media_counts(_corpus_docs_for(sf_dir)), kind)
     return spark.createDataFrame(rows, f"url string, {kind} binary")
 
 
 def q_multimodal_audio_meta(spark, sf_dir):
-    """Audio plumbing: real PCM-WAV header parse to typed metadata;
-    mp3/ogg surface labeled stub errors (rows-only check)."""
+    """Audio plumbing: real PCM-WAV header parse and real mp3 frame-header
+    metadata; ogg surfaces a labeled stub error. Oracled against the
+    single-node golden parquet (fixtures/gen_media.py)."""
     from ..operators.multimodal import audio_metadata
 
     return audio_metadata(_synthetic_media(spark, sf_dir, "audio"))
@@ -841,8 +814,9 @@ def q_multimodal_audio_meta(spark, sf_dir):
 def q_multimodal_video_frames(spark, sf_dir):
     """Video plumbing: frame sampling fan-out (one payload -> many frame
     rows) over the deterministic fake container; real codecs drop with the
-    documented NotImplementedError path (rows-only check). Frame bytes are
-    hashed out of the result so the driver can value-check stable columns."""
+    documented NotImplementedError path. Frame bytes are hashed so the driver
+    value-checks stable columns; oracled against the single-node golden
+    parquet (fixtures/gen_media.py)."""
     from ..operators.multimodal import video_frame_sample
 
     frames = video_frame_sample(_synthetic_media(spark, sf_dir, "video"), every_ms=80)

@@ -35,24 +35,70 @@ class TestWavParse:
             mm.parse_wav_header(_wav()[:30])
 
 
+def _mp3(n_frames=4, bitrate_idx=9, rate_idx=0, channel_bits=0, xing_frames=None):
+    """CBR MPEG-1 Layer III frames (optionally Xing-tagged) behind ID3v2."""
+    hdr = 0xFFFB0000 | (bitrate_idx << 12) | (rate_idx << 10) | (channel_bits << 6)
+    bitrate = mm.MP3_BITRATES_V1L3[bitrate_idx] * 1000
+    rate = mm.MP3_SAMPLE_RATES_V1[rate_idx]
+    frame_len = 144 * bitrate // rate
+    body = bytearray(struct.pack(">I", hdr)) + bytes(frame_len - 4)
+    if xing_frames is not None:
+        off = 4 + (17 if channel_bits == 3 else 32)
+        body[off : off + 12] = b"Xing" + struct.pack(">II", 1, xing_frames)
+    id3 = b"ID3\x04\x00\x00" + b"\x00\x00\x00\x00"
+    return id3 + bytes(body) * n_frames
+
+
+class TestMp3Parse:
+    def test_cbr_frame_walk(self):
+        # 5 frames at 44100 Hz -> 5*1152 samples -> 130 ms
+        m = mm.parse_mp3_metadata(_mp3(n_frames=5))
+        assert m["sample_rate"] == 44100 and m["channels"] == 2
+        assert m["n_samples"] == 5 * 1152
+        assert m["duration_ms"] == 5 * 1152 * 1000 // 44100
+        assert m["bits_per_sample"] is None
+
+    def test_xing_frame_count_wins(self):
+        # container holds 2 physical frames but Xing declares 100
+        m = mm.parse_mp3_metadata(_mp3(n_frames=2, xing_frames=100))
+        assert m["n_samples"] == 100 * 1152
+
+    def test_mono_and_other_rates(self):
+        m = mm.parse_mp3_metadata(_mp3(rate_idx=1, channel_bits=3))
+        assert m["sample_rate"] == 48000 and m["channels"] == 1
+
+    def test_garbage_after_id3_rejected(self):
+        with pytest.raises(ValueError, match="frame sync"):
+            mm.parse_mp3_metadata(b"ID3\x04\x00\x00\x00\x00\x00\x00" + bytes(16))
+
+    def test_non_mpeg1_l3_rejected(self):
+        bad = bytearray(_mp3())
+        bad[11] = 0xF3  # MPEG-2 version bits
+        with pytest.raises(ValueError, match="MPEG-1 Layer III"):
+            mm.parse_mp3_metadata(bytes(bad[10:]))
+
+
 class TestAudioKernel:
     def test_metadata_and_stub_errors(self, spark):
         df = spark.createDataFrame(
             [
                 ("u1", _wav(rate=8000, channels=1, n_samples=800)),
-                ("u2", b"ID3\x04" + bytes(16)),        # mp3 -> stub error
-                ("u3", b"OggS" + bytes(16)),            # ogg -> stub error
+                ("u2", _mp3(n_frames=3)),                # mp3 -> real metadata
+                ("u3", b"OggS" + bytes(16)),             # ogg -> stub error
                 ("u4", b"not audio at all"),             # skipped
                 ("u5", _wav()[:20]),                     # truncated wav -> error
+                ("u6", b"ID3\x04" + bytes(16)),          # malformed mp3 -> error
             ],
             "url string, audio binary",
         )
         rows = {r.url: r for r in mm.audio_metadata(df).collect()}
-        assert set(rows) == {"u1", "u2", "u3", "u5"}
+        assert set(rows) == {"u1", "u2", "u3", "u5", "u6"}
         assert rows["u1"].duration_ms == 100 and rows["u1"].decode_error is None
-        assert "stub" in rows["u2"].decode_error
+        assert rows["u2"].container == "mp3" and rows["u2"].decode_error is None
+        assert rows["u2"].n_samples == 3 * 1152
         assert "stub" in rows["u3"].decode_error
         assert rows["u5"].decode_error is not None
+        assert "sync" in rows["u6"].decode_error
 
 
 class TestVideoFrameSample:
