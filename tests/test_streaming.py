@@ -92,6 +92,46 @@ class TestStreamingExtraction:
         row = m.first()
         assert row.window_end > row.window_start
 
+    def test_hourly_metrics_equal_batch_rollup(self, spark, landing, tmp_path):
+        # Verdict r2 #7: tie the streaming surface to the oracled batch
+        # semantics — the availableNow stream's finalized windows must equal
+        # the batch groupBy over the same input, restricted to windows the
+        # final watermark passed (append mode holds later windows back).
+        from activestorage_ocr_spark.operators.extraction import extract_pages
+
+        d, _ = landing
+        out = str(tmp_path / "metrics_parity")
+        ck = str(tmp_path / "ck_parity")
+        q = ingest.start_hourly_metrics_stream(spark, d, out, ck, max_bytes=262_144)
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(out)
+
+        pages = spark.read.parquet(d)
+        batch = (
+            extract_pages(pages, max_bytes=262_144)
+            .groupBy(F.window("warc_ts", "1 hour").alias("w"), "mime", "status")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_bytes").alias("bytes_in"),
+                F.sum("chars_out").alias("chars_out"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "mime", "status", "n_docs", "bytes_in", "chars_out",
+            )
+        )
+        # final watermark = max event time - late_threshold (1 hour)
+        cutoff = pages.agg(
+            (F.max("warc_ts") - F.expr("INTERVAL 1 HOUR")).alias("c")
+        ).first().c
+        expected = sorted(
+            map(tuple, batch.filter(F.col("window_end") <= cutoff).collect())
+        )
+        got = sorted(map(tuple, streamed.collect()))
+        assert len(expected) > 0
+        assert got == expected
+
 
 class TestSiteCrawlSessions:
     def test_stateful_sessionizer_gap_and_timeout(self, spark, tmp_path):
