@@ -24,9 +24,9 @@ Image containers (SURVEY.md §1.3: png/jpeg/gif/bmp/webp/tiff):
   approximation). The round-1 APP15 stub container is still accepted for
   corpus payloads (`decode_jpeg` dispatches stub-first).
 * WEBP — real VP8L (lossless) decoder (`engine.webpx`: prefix codes, meta
-  groups, LZ77, color cache, all four inverse transforms). VP8 lossy
-  quarantines with a narrow reason (boolean-arithmetic coefficient decoder
-  out of scope); the round-1 ``GRAY``-chunk stub container is still
+  groups, LZ77, color cache, all four inverse transforms) and, round 3,
+  a real VP8 (lossy) RFC 6386 keyframe decoder (`engine.vp8x`, pixel-exact
+  vs libwebp); the round-1 ``GRAY``-chunk stub container is still
   accepted for corpus payloads.
 """
 
@@ -751,8 +751,8 @@ def decode_webp_stub(data: bytes) -> np.ndarray:
 
 def decode_webp(data: bytes) -> np.ndarray:
     """WEBP decode: the deterministic stub container when present (corpus
-    payloads), else the real pure-Python VP8L decoder (`engine.webpx`).
-    VP8 lossy quarantines with a narrow reason from webpx."""
+    payloads), else the real pure-Python decoders (`engine.webpx` for VP8L
+    lossless, `engine.vp8x` for VP8 lossy keyframes)."""
     try:
         return decode_webp_stub(data)
     except ValueError:

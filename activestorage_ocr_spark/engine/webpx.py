@@ -13,11 +13,10 @@ the full VP8L feature set:
   COLOR_INDEXING (palette, incl. sub-byte pixel packing for palettes
   of size <= 16).
 
-VP8 (lossy) and extended files whose image chunk is lossy are rejected
-with a narrow, actionable ValueError — the reference decodes those via
-the Rust `image` crate (`rust/src/server.rs:237-238`), and a lossy VP8
-coefficient decoder is out of scope here (boolean arithmetic decoder +
-full intra prediction); the quarantine reason says exactly that.
+VP8 (lossy) chunks route to the sibling RFC 6386 keyframe decoder
+(``vp8x.py``, round 3) — the same files the reference decodes via the Rust
+`image` crate (`rust/src/server.rs:237-238`) now decode here too, closing
+the last reference-fixture gap.
 
 Returns (h, w, 3) uint8 RGB (alpha composited over white).
 """
@@ -473,10 +472,9 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
-            raise ValueError(
-                "VP8 lossy WebP not supported (VP8L lossless decodes; lossy needs "
-                "a boolean-arithmetic coefficient decoder, out of scope)"
-            )
+            from .vp8x import decode_vp8
+
+            return decode_vp8(body)
         # VP8X and metadata chunks: keep walking to the image chunk
         pos += 8 + ln + (ln % 2)
     raise ValueError("no image chunk in WEBP")

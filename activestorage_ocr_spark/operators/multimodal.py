@@ -5,9 +5,10 @@ real, and as of round 2 so are all six codecs).
 
 Decoders: PNG/BMP/TIFF/GIF are real pure-Python codecs; JPEG decodes real
 baseline DCT (engine/jpegx.py) and WEBP real VP8L lossless
-(engine/webpx.py), each still accepting the round-1 deterministic stub
+(engine/webpx.py) plus VP8 lossy keyframes (engine/vp8x.py, round 3),
+each still accepting the round-1 deterministic stub
 container for corpus payloads (the ``decoder`` column reports which form a
-payload used). Undecodable payloads (e.g. VP8 lossy, arithmetic-coded JPEG) land in
+payload used). Undecodable payloads (e.g. arithmetic-coded JPEG) land in
 the ``decode_error`` column rather than killing the job — same quarantine
 posture as the extraction pipeline.
 """

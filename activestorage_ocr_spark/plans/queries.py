@@ -783,8 +783,8 @@ def q_emb_neardup_verified(spark, sf_dir):
 def q_multimodal_image_meta(spark, sf_dir):
     """Multimodal plumbing: decode image payloads to typed metadata
     (width/height/n_pixels) inside the Arrow kernel. Real decoders for all
-    six formats (PNG/BMP/TIFF/GIF + baseline/progressive JPEG + VP8L WebP);
-    only VP8-lossy WebP and arithmetic JPEG land in decode_error. Oracled
+    formats (PNG/BMP/TIFF/GIF + baseline/progressive JPEG + VP8L and, round
+    3, VP8-lossy WebP); only arithmetic JPEG lands in decode_error. Oracled
     against the single-node golden parquet (fixtures/gen_media.py)."""
     from ..operators.multimodal import image_metadata
 

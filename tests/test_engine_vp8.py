@@ -1,0 +1,208 @@
+"""VP8 (lossy) keyframe decoder tests — `engine/vp8x.py` (RFC 6386).
+
+Gold standard: pixel-exact Y'CbCr parity with the system libwebp (the same
+library family the reference's Rust `image` crate wraps) on
+
+* the reference's own `sample_text.webp` fixture, and
+* synthetic images freshly ENCODED by libwebp in-test at several sizes,
+  qualities and contents (exercises DC/V/H/TM, the 4x4 B modes, the Y2
+  WHT path, segmentation and the normal loop filter).
+
+Both parity legs skip cleanly when libwebp isn't installed; the error-path
+tests and the extraction e2e (test_reference_fixtures.py) run everywhere.
+"""
+
+import ctypes
+import ctypes.util
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from activestorage_ocr_spark.engine import vp8x, webpx
+
+FIXTURE = "/root/reference/rust/tests/fixtures/sample_text.webp"
+
+
+def _load_libwebp():
+    for name in ("libwebp.so.7", "libwebp.so", ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    return None
+
+
+_LW = _load_libwebp()
+needs_libwebp = pytest.mark.skipif(_LW is None, reason="system libwebp not present")
+
+
+def _vp8_payload(webp: bytes) -> bytes:
+    assert webp[:4] == b"RIFF" and webp[8:12] == b"WEBP"
+    pos = 12
+    while pos + 8 <= len(webp):
+        tag = webp[pos : pos + 4]
+        (ln,) = struct.unpack("<I", webp[pos + 4 : pos + 8])
+        if tag == b"VP8 ":
+            return webp[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln % 2)
+    raise AssertionError("no VP8 chunk")
+
+
+def _libwebp_yuv(webp: bytes):
+    """Decode via libwebp -> (Y, U, V) uint8 planes."""
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    _LW.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    py = _LW.WebPDecodeYUV(
+        webp, len(webp), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(u), ctypes.byref(v), ctypes.byref(stride), ctypes.byref(uv_stride),
+    )
+    assert py, "libwebp failed to decode"
+    H, W = h.value, w.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    Y = np.ctypeslib.as_array(py, shape=(H, stride.value))[:, :W].copy()
+    U = np.ctypeslib.as_array(u, shape=(ch, uv_stride.value))[:, :cw].copy()
+    V = np.ctypeslib.as_array(v, shape=(ch, uv_stride.value))[:, :cw].copy()
+    _LW.WebPFree(py)
+    return Y, U, V
+
+
+def _libwebp_encode(rgb: np.ndarray, quality: float) -> bytes:
+    h, w, _ = rgb.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    _LW.WebPEncodeRGB.restype = ctypes.c_size_t
+    _LW.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    n = _LW.WebPEncodeRGB(
+        rgb.tobytes(), w, h, w * 3, ctypes.c_float(quality), ctypes.byref(out)
+    )
+    assert n > 0, "libwebp encode failed"
+    data = ctypes.string_at(out, n)
+    _LW.WebPFree(out)
+    return data
+
+
+@needs_libwebp
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="reference fixtures not present")
+def test_reference_fixture_pixel_exact():
+    webp = open(FIXTURE, "rb").read()
+    Y, U, V = vp8x.decode_frame_planes(_vp8_payload(webp))
+    ty, tu, tv = _libwebp_yuv(webp)
+    assert np.array_equal(Y, ty)
+    assert np.array_equal(U, tu)
+    assert np.array_equal(V, tv)
+
+
+def _synthetic(w, h, kind, seed):
+    rng = np.random.RandomState(seed)
+    if kind == "gradient":
+        x = np.linspace(0, 255, w)[None, :]
+        y = np.linspace(0, 255, h)[:, None]
+        img = np.stack([x + 0 * y, 0 * x + y, (x + y) / 2], axis=2)
+        return np.clip(img, 0, 255).astype(np.uint8)
+    if kind == "text":
+        img = np.full((h, w, 3), 255, dtype=np.uint8)
+        for _ in range(30):  # dark glyph-like strokes on white
+            y0, x0 = rng.randint(0, max(1, h - 8)), rng.randint(0, max(1, w - 8))
+            img[y0 : y0 + rng.randint(2, 8), x0 : x0 + rng.randint(2, 8)] = (
+                rng.randint(0, 60)
+            )
+        return img
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)  # noise
+    return img
+
+
+@needs_libwebp
+@pytest.mark.parametrize(
+    "w,h,kind,quality",
+    [
+        (64, 48, "gradient", 75.0),
+        (35, 21, "text", 50.0),  # non-multiple-of-16: crop path
+        (128, 64, "text", 90.0),
+        (48, 48, "noise", 30.0),  # heavy residuals, many token categories
+        (16, 16, "gradient", 75.0),
+        (400, 100, "text", 75.0),
+    ],
+)
+def test_synthetic_encode_decode_pixel_exact(w, h, kind, quality):
+    rgb = _synthetic(w, h, kind, seed=w * h + int(quality))
+    webp = _libwebp_encode(rgb, quality)
+    Y, U, V = vp8x.decode_frame_planes(_vp8_payload(webp))
+    ty, tu, tv = _libwebp_yuv(webp)
+    assert np.array_equal(Y, ty), f"Y mismatch {np.abs(Y.astype(int)-ty).max()}"
+    assert np.array_equal(U, tu)
+    assert np.array_equal(V, tv)
+
+
+class TestErrors:
+    def test_interframe_rejected(self):
+        with pytest.raises(ValueError, match="interframe"):
+            vp8x.decode_frame_planes(b"\x01\x00\x00" + b"\x9d\x01\x2a" + bytes(8))
+
+    def test_bad_start_code(self):
+        with pytest.raises(ValueError, match="start code"):
+            vp8x.decode_frame_planes(b"\x00\x00\x00" + b"\xff\xff\xff" + bytes(8))
+
+    def test_truncated(self):
+        with pytest.raises(ValueError):
+            vp8x.decode_frame_planes(b"\x00\x02")
+
+    def test_partition_overrun(self):
+        # declared first-partition size beyond the frame
+        tag = (4000 << 5)
+        hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        with pytest.raises(ValueError, match="overruns"):
+            vp8x.decode_frame_planes(hdr + b"\x9d\x01\x2a" + b"\x10\x00\x10\x00")
+
+    def test_decode_bomb_guarded(self):
+        # corrupt header declaring 16383x16383 must fail fast, not loop
+        # over a million macroblocks
+        dims = struct.pack("<HH", 0x3FFF, 0x3FFF)
+        with pytest.raises(ValueError, match="64MP"):
+            vp8x.decode_frame_planes(b"\x00\x00\x00\x9d\x01\x2a" + dims + bytes(32))
+
+    def test_garbage_payloads_never_crash(self):
+        # realistic corruption: valid small dims, garbage partitions
+        rng = np.random.RandomState(7)
+        dims = struct.pack("<HH", 48, 32)
+        for i in range(50):
+            blob = bytes(rng.randint(0, 256, rng.randint(0, 64)).astype(np.uint8))
+            try:
+                vp8x.decode_frame_planes(b"\x00\x00\x00\x9d\x01\x2a" + dims + blob)
+            except ValueError:
+                pass
+
+    def test_bitflip_fuzz_on_real_stream(self):
+        # flip bytes inside a real lossy stream: ValueError or a decode,
+        # never a crash or hang
+        if _LW is None:
+            pytest.skip("needs libwebp to build a lossy stream")
+        payload = bytearray(_vp8_payload(_libwebp_encode(_synthetic(48, 32, "text", 3), 60.0)))
+        rng = np.random.RandomState(11)
+        for _ in range(25):
+            mut = bytearray(payload)
+            for _ in range(rng.randint(1, 4)):
+                mut[rng.randint(6, len(mut))] = rng.randint(0, 256)
+            try:
+                vp8x.decode_frame_planes(bytes(mut))
+            except ValueError:
+                pass
+
+    def test_decode_webp_routes_vp8(self):
+        # a VP8 chunk inside RIFF now decodes instead of raising
+        if _LW is None:
+            pytest.skip("needs libwebp to build a lossy stream")
+        rgb = _synthetic(32, 32, "gradient", 1)
+        webp = _libwebp_encode(rgb, 75.0)
+        out = webpx.decode_webp(webp)
+        assert out.shape == (32, 32, 3) and out.dtype == np.uint8

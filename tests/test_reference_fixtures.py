@@ -11,8 +11,8 @@ full text parity is out of scope by design — but the *container decode*,
 * both fixture PDFs are image-only with an /Indexed color space behind an
   indirect array object: text-layer miss -> XObject scan -> Indexed palette
   decode -> OCR, with the reference's exact scanned-PDF warning (E11);
-* VP8 WEBP: quarantined with a clear stub error (the task brief's allowed
-  decode stubs), never a crash.
+* VP8 (lossy) WEBP: real RFC 6386 keyframe decode (round 3, `engine/vp8x.py`,
+  pixel-exact vs libwebp) -> OCR ok — the last fixture-parity gap, closed.
 """
 
 import os
@@ -41,6 +41,7 @@ def _extract(name):
         ("sample_text.gif", "image/gif"),
         ("sample_text.tiff", "image/tiff"),
         ("sample_text.jpg", "image/jpeg"),
+        ("sample_text.webp", "image/webp"),  # VP8 lossy (round 3: vp8x.py)
     ],
 )
 def test_real_rasters_decode_and_ocr(name, mime):
@@ -66,14 +67,12 @@ def test_image_only_pdfs_take_ocr_fallback(name):
     assert r["extracted_text"] != ""
 
 
-@pytest.mark.parametrize(
-    "name,err_token",
-    [("sample_text.webp", "WEBP")],
-)
-def test_vp8_quarantined_with_stub_error(name, err_token):
-    r = _extract(name)
-    assert r["status"] == "PROCESSING_ERROR"
-    assert any(err_token.lower() in w.lower() or "stub" in w for w in r["warnings"])
+def test_every_reference_fixture_extracts_ok():
+    # round 3: with VP8-lossy decode in place, EVERY fixture in the
+    # reference's corpus extracts (full fixture parity, zero quarantines)
+    for name in os.listdir(FIXTURES):
+        r = _extract(name)
+        assert r["status"] == "ok", (name, r["warnings"])
 
 
 def test_all_fixtures_never_crash():
