@@ -272,7 +272,22 @@ def write_report(scaling: dict, hw: dict, queries: dict, sf: float) -> None:
         "|---|---|",
     ]
     lines += [f"| {k} | {v} |" for k, v in queries.items()]
-    lines.append("")
+    lines += [
+        "",
+        "## Related evidence",
+        "",
+        "* Skew-stress (giants vs off vs full on a clustered giant-page "
+        "tail): PLANS.md \"Skew-stress evidence\" — `off` is "
+        "straggler-bound (3.2x), `giants` shuffles 2.45x fewer bytes than "
+        "`full` in the crawl-realistic mix (`jobs/skew_stress.py`).",
+        "* Input-size spot check (per-doc throughput improves at 5x the "
+        "corpus): BASELINE.md.",
+        "* Round-over-round: compare BENCH_r{N}.json, not absolute walls — "
+        "this VM swings +-30% between identical runs minutes apart; trust "
+        "within-run ratios (spin / multiprocessing / Spark are measured in "
+        "the same session for that reason).",
+        "",
+    ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines))
 
