@@ -150,16 +150,24 @@ ALL_FONT_CHARS = frozenset(_ALL_GLYPHS)
 
 
 def _build_tables(glyphs: dict[str, np.ndarray]):
-    """(by_width fuzzy patterns, exact trimmed-bitmap table) for a charset."""
-    by_width: dict[int, list[tuple[str, np.ndarray]]] = {}
+    """(by_width fuzzy patterns, exact trimmed-bitmap table) for a charset.
+
+    by_width maps width -> (chars, stacked (n, GLYPH_H, width) float array)
+    so the fuzzy fallback scores every glyph of a width in ONE vectorized
+    op (was a per-glyph np.mean loop — profiled hot in round 3)."""
+    acc: dict[int, list[tuple[str, np.ndarray]]] = {}
     table: dict[bytes, str] = {}
     for ch, g in glyphs.items():
         t = _trim_cols(g)
-        by_width.setdefault(t.shape[1], []).append((ch, t.astype(np.float64)))
+        acc.setdefault(t.shape[1], []).append((ch, t.astype(np.float64)))
         key = t.tobytes() + bytes([t.shape[1]])
         if key in table:  # pragma: no cover - guarded by tests
             raise AssertionError(f"font collision: {ch} vs {table[key]}")
         table[key] = ch
+    by_width = {
+        w: ([ch for ch, _ in items], np.stack([p for _, p in items]))
+        for w, items in acc.items()
+    }
     return by_width, table
 
 
@@ -343,12 +351,15 @@ def _match_glyph(
     # fractional-grid ink means against every trimmed font width
     g8 = glyph.astype(np.int8)
     best: tuple[float, str] | None = None
-    for gw, glyphs in by_width.items():
+    for gw, (chars, stack) in by_width.items():
         means = _grid_means(g8, gh, gw)
-        for ch, pattern in glyphs:
-            d = float(np.abs(means - pattern).mean())
-            if best is None or d < best[0]:
-                best = (d, ch)
+        # one vectorized pass over every glyph of this width; argmin keeps
+        # the first (insertion-order) glyph on ties like the scalar loop did
+        ds = np.abs(means[None, :, :] - stack).mean(axis=(1, 2))
+        i = int(np.argmin(ds))
+        d = float(ds[i])
+        if best is None or d < best[0]:
+            best = (d, chars[i])
     if best is not None and best[0] <= 0.3:
         return best[1]
     return None

@@ -117,3 +117,73 @@ class TestConfidence:
             + 0.15 * detect_repetition(t)
         )
         assert calculate_confidence(t) == pytest.approx(min(max(expected, 0.0), 1.0))
+
+
+class TestConfidenceFastPathEquivalence:
+    """Round-3 perf rewrite (translate/regex instead of per-char loops):
+    bit-identical scores vs the original loop forms on adversarial inputs."""
+
+    @staticmethod
+    def _ref_char_frequency(text):
+        from activestorage_ocr_spark.engine.confidence import _ASCII_PUNCT
+        total = len(text)
+        if total == 0:
+            return 0.0
+        specials = letters = 0
+        for ch in text:
+            if ch.isalpha():
+                letters += 1
+            elif not ch.isalnum() and not ch.isspace() and ch not in _ASCII_PUNCT:
+                specials += 1
+        return 0.6 * (1.0 - min(specials / total * 10.0, 1.0)) + 0.4 * min(
+            letters / total * 1.5, 1.0
+        )
+
+    @staticmethod
+    def _ref_whitespace(text):
+        total = len(text)
+        if total == 0:
+            return 0.0
+        pct = int(sum(1 for ch in text if ch.isspace()) / total * 100.0)
+        return 0.5 if pct <= 5 else 0.8 if pct <= 10 else 1.0 if pct <= 25 \
+            else 0.7 if pct <= 40 else 0.3
+
+    @staticmethod
+    def _ref_repetition(text):
+        longest = run = 0
+        prev = None
+        for ch in text:
+            if ch.isspace():
+                prev = None
+                run = 0
+                continue
+            run = run + 1 if ch == prev else 1
+            prev = ch
+            longest = max(longest, run)
+        return 1.0 if longest <= 3 else 0.8 if longest <= 5 else 0.5 \
+            if longest <= 10 else 0.2
+
+    def _cases(self):
+        import random
+
+        rng = random.Random(42)
+        pools = [
+            "abcdefgh ABZ 0123",
+            " \t\n  \x1c\x85",  # exotic unicode whitespace
+            "!@#$%^&*()_+{}|\\\"'",
+            "é世界Ж\U0001f600\U00010400",  # unicode alpha + emoji
+            "aaaa bbbbbb cccccccccccc",
+        ]
+        cases = ["", "a", "    ", "aaaa", "ab" * 500]
+        for _ in range(300):
+            pool = rng.choice(pools) + rng.choice(pools)
+            cases.append("".join(rng.choice(pool) for _ in range(rng.randint(1, 200))))
+        return cases
+
+    def test_bit_identical_scores(self):
+        from activestorage_ocr_spark.engine import confidence as c
+
+        for t in self._cases():
+            assert c.analyze_char_frequency(t) == self._ref_char_frequency(t), repr(t)
+            assert c.analyze_whitespace(t) == self._ref_whitespace(t), repr(t)
+            assert c.detect_repetition(t) == self._ref_repetition(t), repr(t)
