@@ -33,7 +33,7 @@ def synthetic_media_rows(n: int, kind: str) -> list[tuple[str, bytes]]:
     for i in range(n):
         url = f"https://media{i}.example/{kind}/{i}"
         if kind == "audio":
-            mod = i % 5
+            mod = i % 6
             if mod < 3:  # PCM WAV, varying rate/channels/length
                 rate = (8000, 16000, 44100)[i % 3]
                 ch = 1 + (i % 2)
@@ -47,6 +47,8 @@ def synthetic_media_rows(n: int, kind: str) -> list[tuple[str, bytes]]:
                 )
             elif mod == 3:  # mp3 -> frame-header metadata path
                 payload = make_mp3_payload(i)
+            elif mod == 4:  # ogg vorbis/opus -> container metadata path
+                payload = make_ogg_payload(i)
             else:  # junk -> skipped (not audio)
                 payload = b"\x00\x01junk" + bytes([i % 256]) * 8
         else:
@@ -78,6 +80,30 @@ def make_mp3_payload(i: int) -> bytes:
     return id3 + frame * n_frames
 
 
+def make_ogg_payload(i: int) -> bytes:
+    """A minimal Ogg stream (RFC 3533 pages): Vorbis or Opus identification
+    header on the first page, an EOS page whose granule position encodes the
+    sample count. Enough structure for the metadata parser; no audio data."""
+    codec = "vorbis" if i % 2 == 0 else "opus"
+    if codec == "vorbis":
+        rate = (8000, 22050, 44100)[i % 3]
+        ch = 1 + (i // 2) % 2
+        ident = (b"\x01vorbis" + struct.pack("<IBI", 0, ch, rate)
+                 + struct.pack("<iii", 0, 0, 0) + b"\xb8\x01")
+        n_samples = rate * (1 + i % 3)
+    else:
+        ch = 1 + (i // 2) % 2
+        ident = b"OpusHead" + bytes([1, ch]) + struct.pack("<HIhB", 312, 48000, 0, 0)
+        n_samples = 48000 + i * 960
+
+    def page(htype: int, granule: int, body: bytes, seq: int) -> bytes:
+        return (b"OggS\x00" + bytes([htype]) + struct.pack("<q", granule)
+                + struct.pack("<II", 77, seq) + b"\x00\x00\x00\x00"
+                + bytes([1, len(body)]) + body)
+
+    return page(2, 0, ident, 0) + page(4, n_samples, bytes(10), 1)
+
+
 def media_counts(n_docs: int) -> int:
     """Payload-table size for a given corpus size (one formula, shared by
     the registered queries and the golden builder)."""
@@ -102,7 +128,7 @@ def ensure_media_goldens(n_docs: int, base: str = "/tmp/asos_spark_corpus") -> s
     from ..operators.multimodal import AUDIO_META_ARROW, IMAGE_META_ARROW
     from .gen_corpus import ensure_corpus
 
-    d = os.path.join(base, f"media_goldens_n{n_docs}_v1")
+    d = os.path.join(base, f"media_goldens_n{n_docs}_v2")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d

@@ -108,10 +108,11 @@ def image_metadata(pages: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# audio: real RIFF/WAVE header parse (PCM metadata needs no codec) and real
-# MPEG-1 L3 frame-header metadata (sample rate/channels/duration — what a
-# media pipeline actually reads); full lossy decode and ogg stay labeled
-# stubs -> decode_error, never a crash
+# audio: real header/metadata parses for all three sniffed containers —
+# RIFF/WAVE (PCM), MPEG-1 L3 frame headers (Xing/CBR duration), and Ogg
+# pages (Vorbis/Opus id header + granule duration). Metadata is what a
+# media pipeline actually reads; full lossy decode stays out of scope and
+# malformed payloads land in decode_error, never a crash
 # ---------------------------------------------------------------------------
 
 AUDIO_META_SCHEMA = (
@@ -228,6 +229,64 @@ def parse_mp3_metadata(data: bytes) -> dict:
     }
 
 
+def parse_ogg_metadata(data: bytes) -> dict:
+    """Pure-stdlib Ogg container metadata: walk page headers (RFC 3533),
+    read the first codec identification header — Vorbis (sample rate,
+    channels) or Opus (channel count, 48 kHz output rate) — and estimate
+    duration from the last page's granule position. Metadata only; decode
+    stays out of scope. Raises ValueError on non-Ogg payloads."""
+    import struct as _s
+
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg container")
+    rate = None
+    channels = None
+    codec = None
+    last_granule = 0
+    pos = 0
+    n = len(data)
+    first = True
+    while pos + 27 <= n and data[pos : pos + 4] == b"OggS":
+        if data[pos + 4] != 0:
+            raise ValueError("unsupported Ogg stream structure version")
+        granule = _s.unpack("<q", data[pos + 6 : pos + 14])[0]
+        n_segs = data[pos + 26]
+        seg_table = data[pos + 27 : pos + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            raise ValueError("truncated Ogg page header")
+        body_len = sum(seg_table)
+        body = data[pos + 27 + n_segs : pos + 27 + n_segs + body_len]
+        if first:
+            # identification header is the sole packet of the first page
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                channels = body[11]
+                rate = _s.unpack("<I", body[12:16])[0]
+                codec = "vorbis"
+            elif body[:8] == b"OpusHead" and len(body) >= 10:
+                channels = body[9]
+                rate = 48000  # Opus granules always count 48 kHz samples
+                codec = "opus"
+            else:
+                raise ValueError("unknown Ogg codec (not Vorbis or Opus)")
+            if channels == 0 or not rate:
+                raise ValueError("degenerate Ogg identification header")
+            first = False
+        if granule > 0:
+            last_granule = granule
+        pos += 27 + n_segs + body_len
+    if codec is None:
+        raise ValueError("no Ogg identification header")
+    return {
+        "container": f"ogg-{codec}",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": None,  # lossy codec: no PCM width in the container
+        "n_samples": last_granule,
+        "duration_ms": last_granule * 1000 // 48000 if codec == "opus"
+        else last_granule * 1000 // rate,
+    }
+
+
 def _sniff_audio(data: bytes) -> str | None:
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
@@ -260,22 +319,19 @@ def audio_meta_row(url: str, payload: bytes) -> dict | None:
     kind = _sniff_audio(payload or b"")
     if kind is None:
         return None
+    parser = {"wav": parse_wav_header, "mp3": parse_mp3_metadata,
+              "ogg": parse_ogg_metadata}[kind]
     row: dict = {"url": url, "container": kind}
-    if kind in ("wav", "mp3"):
-        parser = parse_wav_header if kind == "wav" else parse_mp3_metadata
-        try:
-            meta = parser(payload)
-            for c in _AUDIO_META_COLS:
-                row[c] = meta[c]
-            row["decode_error"] = None
-        except ValueError as e:
-            for c in _AUDIO_META_COLS:
-                row[c] = None
-            row["decode_error"] = str(e)
-        return row
-    for c in _AUDIO_META_COLS:
-        row[c] = None
-    row["decode_error"] = f"{kind} decode not available in this sandbox (stubbed codec)"
+    try:
+        meta = parser(payload)
+        row["container"] = meta["container"]  # ogg refines to ogg-vorbis/opus
+        for c in _AUDIO_META_COLS:
+            row[c] = meta[c]
+        row["decode_error"] = None
+    except ValueError as e:
+        for c in _AUDIO_META_COLS:
+            row[c] = None
+        row["decode_error"] = str(e)
     return row
 
 
@@ -297,9 +353,10 @@ def _audio_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
 
 
 def audio_metadata(df: DataFrame, payload_col: str = "audio") -> DataFrame:
-    """(url, <payload_col>) -> typed audio metadata. Real parse for PCM WAV
-    headers and mp3 frame headers (Xing/CBR duration); ogg and malformed
-    payloads surface a labeled decode_error (quarantine posture)."""
+    """(url, <payload_col>) -> typed audio metadata. Real parses for PCM WAV
+    headers, mp3 frame headers (Xing/CBR duration), and Ogg Vorbis/Opus id
+    headers; malformed payloads surface a decode_error (quarantine
+    posture)."""
     from .extraction import ensure_workers_can_import
 
     ensure_workers_can_import(df.sparkSession)

@@ -803,9 +803,9 @@ def _synthetic_media(spark, sf_dir, kind: str):
 
 
 def q_multimodal_audio_meta(spark, sf_dir):
-    """Audio plumbing: real PCM-WAV header parse and real mp3 frame-header
-    metadata; ogg surfaces a labeled stub error. Oracled against the
-    single-node golden parquet (fixtures/gen_media.py)."""
+    """Audio plumbing: real PCM-WAV, mp3 frame-header, and Ogg Vorbis/Opus
+    metadata parses. Oracled against the single-node golden parquet
+    (fixtures/gen_media.py)."""
     from ..operators.multimodal import audio_metadata
 
     return audio_metadata(_synthetic_media(spark, sf_dir, "audio"))

@@ -78,13 +78,35 @@ class TestMp3Parse:
             mm.parse_mp3_metadata(bytes(bad[10:]))
 
 
+class TestOggParse:
+    def test_vorbis_and_opus_metadata(self):
+        from activestorage_ocr_spark.fixtures.gen_media import make_ogg_payload
+
+        v = mm.parse_ogg_metadata(make_ogg_payload(0))
+        assert v["container"] == "ogg-vorbis" and v["sample_rate"] == 8000
+        assert v["duration_ms"] == 1000
+        o = mm.parse_ogg_metadata(make_ogg_payload(1))
+        assert o["container"] == "ogg-opus" and o["sample_rate"] == 48000
+        assert o["channels"] == 1
+
+    def test_unknown_codec_rejected(self):
+        page = (b"OggS\x00\x02" + bytes(8) + bytes(8) + b"\x00\x00\x00\x00"
+                + bytes([1, 4]) + b"zzzz")
+        with pytest.raises(ValueError, match="unknown Ogg codec"):
+            mm.parse_ogg_metadata(page)
+
+    def test_truncated_rejected(self):
+        with pytest.raises(ValueError):
+            mm.parse_ogg_metadata(b"OggS" + bytes(5))
+
+
 class TestAudioKernel:
     def test_metadata_and_stub_errors(self, spark):
         df = spark.createDataFrame(
             [
                 ("u1", _wav(rate=8000, channels=1, n_samples=800)),
                 ("u2", _mp3(n_frames=3)),                # mp3 -> real metadata
-                ("u3", b"OggS" + bytes(16)),             # ogg -> stub error
+                ("u3", b"OggS" + bytes(16)),             # truncated ogg -> error
                 ("u4", b"not audio at all"),             # skipped
                 ("u5", _wav()[:20]),                     # truncated wav -> error
                 ("u6", b"ID3\x04" + bytes(16)),          # malformed mp3 -> error
@@ -96,7 +118,7 @@ class TestAudioKernel:
         assert rows["u1"].duration_ms == 100 and rows["u1"].decode_error is None
         assert rows["u2"].container == "mp3" and rows["u2"].decode_error is None
         assert rows["u2"].n_samples == 3 * 1152
-        assert "stub" in rows["u3"].decode_error
+        assert "Ogg" in rows["u3"].decode_error
         assert rows["u5"].decode_error is not None
         assert "sync" in rows["u6"].decode_error
 
