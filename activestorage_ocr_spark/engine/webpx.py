@@ -459,12 +459,62 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk (container spec): 1 option byte (compression + filter),
+    then either raw w*h alpha bytes or a headerless VP8L stream whose GREEN
+    channel carries the alpha values; the per-row predictive filter
+    (none/horizontal/vertical/gradient) is reversed afterwards."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    comp = body[0] & 3
+    filt = (body[0] >> 2) & 3
+    data = body[1:]
+    if comp == 0:
+        if len(data) < w * h:
+            raise ValueError("truncated raw ALPH data")
+        a = np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w).copy()
+    elif comp == 1:
+        argb = _decode_image(_Bits(data), w, h, True)
+        a = argb[:, :, 2].copy()  # green channel (ARGB order: A,R,G,B)
+    else:
+        raise ValueError(f"reserved ALPH compression method {comp}")
+    if filt == 0:
+        return a
+    out = a.astype(np.int32)
+    if filt == 1:  # horizontal: pred = left (row 0 seeds at 0; rows seed above)
+        out[0] = np.cumsum(out[0]) & 0xFF
+        for y in range(1, h):
+            row = out[y]
+            row[0] = (row[0] + out[y - 1, 0]) & 0xFF
+            row[:] = np.cumsum(row) & 0xFF
+    elif filt == 2:  # vertical: pred = above (row 0 unfiltered horizontally)
+        out[0] = np.cumsum(out[0]) & 0xFF
+        for y in range(1, h):
+            out[y] = (out[y] + out[y - 1]) & 0xFF
+    else:  # gradient: pred = clip(left + above - above_left)
+        out[0] = np.cumsum(out[0]) & 0xFF
+        for y in range(1, h):
+            prev = out[y - 1]
+            left = int(prev[0])
+            top_left = left
+            row = out[y]
+            for x in range(w):
+                top = int(prev[x])
+                p = left + top - top_left
+                left = (row[x] + (0 if p < 0 else 255 if p > 255 else p)) & 0xFF
+                top_left = top
+                row[x] = left
+    return out.astype(np.uint8)
+
+
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF container walk: VP8L decodes; VP8 (lossy) rejects with the
-    narrow reason; VP8X recurses into its image chunk."""
+    """RIFF container walk: VP8L decodes via this module, VP8 (lossy) via
+    the RFC 6386 keyframe decoder (`vp8x.py`); inside a VP8X container an
+    ALPH chunk's alpha plane is decoded and composited over white."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WEBP")
     pos = 12
+    alph: bytes | None = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -474,7 +524,15 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8 ":
             from .vp8x import decode_vp8
 
-            return decode_vp8(body)
+            rgb = decode_vp8(body)
+            if alph is None:
+                return rgb
+            h, w = rgb.shape[:2]
+            a = decode_alpha(alph, w, h).astype(np.float64) / 255.0
+            out = rgb.astype(np.float64) * a[:, :, None] + 255.0 * (1.0 - a[:, :, None])
+            return np.clip(np.round(out), 0, 255).astype(np.uint8)
+        if tag == b"ALPH":
+            alph = body
         # VP8X and metadata chunks: keep walking to the image chunk
         pos += 8 + ln + (ln % 2)
     raise ValueError("no image chunk in WEBP")

@@ -206,3 +206,80 @@ class TestErrors:
         webp = _libwebp_encode(rgb, 75.0)
         out = webpx.decode_webp(webp)
         assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+
+class TestAlphaChunk:
+    """ALPH (lossy WebP alpha) — webpx.decode_alpha + composite routing."""
+
+    @needs_libwebp
+    def test_alpha_plane_matches_libwebp(self):
+        rgba = np.zeros((40, 56, 4), dtype=np.uint8)
+        rng = np.random.RandomState(5)
+        rgba[:, :, :3] = _synthetic(56, 40, "gradient", 2)
+        # structured alpha: vertical ramp + a hole
+        rgba[:, :, 3] = np.linspace(0, 255, 40)[:, None].astype(np.uint8)
+        rgba[10:20, 10:30, 3] = 0
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        _LW.WebPEncodeRGBA.restype = ctypes.c_size_t
+        _LW.WebPEncodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        n = _LW.WebPEncodeRGBA(rgba.tobytes(), 56, 40, 56 * 4,
+                               ctypes.c_float(75.0), ctypes.byref(out))
+        assert n > 0
+        webp = ctypes.string_at(out, n)
+        _LW.WebPFree(out)
+        assert b"ALPH" in webp[:64], "encoder did not emit an ALPH chunk"
+        # our alpha plane == libwebp's decoded A channel, byte for byte
+        w = ctypes.c_int(); h = ctypes.c_int()
+        _LW.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        p = _LW.WebPDecodeRGBA(webp, len(webp), ctypes.byref(w), ctypes.byref(h))
+        truth = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+        _LW.WebPFree(p)
+        pos = 12
+        alph = None
+        while pos + 8 <= len(webp):
+            tag = webp[pos:pos + 4]
+            (ln,) = struct.unpack("<I", webp[pos + 4:pos + 8])
+            if tag == b"ALPH":
+                alph = webp[pos + 8:pos + 8 + ln]
+            pos += 8 + ln + (ln % 2)
+        got = webpx.decode_alpha(alph, 56, 40)
+        assert np.array_equal(got, truth[:, :, 3])
+        # end-to-end: decode_webp composites (opaque area unchanged hue-wise,
+        # transparent hole reads white)
+        rgb = webpx.decode_webp(webp)
+        assert rgb.shape == (40, 56, 3)
+        assert (rgb[12:18, 12:28] == 255).all()
+
+    def test_raw_alpha_and_filters_roundtrip(self):
+        rng = np.random.RandomState(9)
+        h, w = 13, 17
+        a = rng.randint(0, 256, (h, w)).astype(np.uint8)
+
+        def forward(a, filt):
+            src = a.astype(np.int32)
+            out = np.zeros_like(src)
+            for y in range(h):
+                for x in range(w):
+                    if filt == 1:
+                        p = src[y, x - 1] if x else (src[y - 1, 0] if y else 0)
+                    elif filt == 2:
+                        p = src[y - 1, x] if y else (src[y, x - 1] if x else 0)
+                    else:
+                        if y == 0:
+                            p = src[y, x - 1] if x else 0
+                        elif x == 0:
+                            p = src[y - 1, 0]
+                        else:
+                            g = int(src[y, x - 1]) + int(src[y - 1, x]) - int(src[y - 1, x - 1])
+                            p = min(255, max(0, g))
+                    out[y, x] = (src[y, x] - p) & 0xFF
+            return out.astype(np.uint8)
+
+        for filt in (0, 1, 2, 3):
+            residues = a if filt == 0 else forward(a, filt)
+            body = bytes([filt << 2]) + residues.tobytes()
+            got = webpx.decode_alpha(body, w, h)
+            assert np.array_equal(got, a), f"filter {filt}"
