@@ -262,3 +262,57 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 6,
+) -> DataFrame:
+    """Duplicate-cluster assignment: hash-min label propagation over the
+    verified near-dup pair graph -> (id_col, cluster_id) where cluster_id is
+    the smallest reachable id (singletons map to themselves).
+
+    This is the step after LSH -> verify in a real dedup pipeline: collapse
+    the pair list into components so one canonical document per cluster can
+    be kept. 100 TB posture: each iteration is one equi-join + partial/final
+    min aggregation on the (small) pair graph joined back to the label
+    table — no cartesian work, no driver-side graph. Hash-min converges in
+    graph-diameter iterations; LSH duplicate clusters are near-cliques
+    (diameter 1-3), so ``max_iters=6`` is a comfortable bound and keeps the
+    plan a fixed-depth composition (a production run on unknown graphs
+    would loop until a changed-label count reaches zero, checkpointing
+    between iterations to truncate lineage).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        # the pair graph is referenced once per iteration: materialize it so
+        # the (expensive) upstream candidate/verify pipeline runs exactly
+        # once, not max_iters times — the standard iterative-algorithm cache
+        .cache()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    for i in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        labels = labels.join(nbr, labels.id == nbr.src, "left").select(
+            F.col("id"),
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        if i % 2 == 1 and i < max_iters - 1:
+            # truncate lineage mid-loop: without this the label DAG deepens
+            # by two joins per iteration and the scheduler drowns in tiny
+            # stages (and at scale, in recovery lineage)
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))

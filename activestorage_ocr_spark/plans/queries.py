@@ -739,6 +739,20 @@ def q_dedup_lsh_verified(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Full fuzzy-dedup pipeline through the CLUSTER step: LSH candidates ->
+    exact-Jaccard verify (>= 0.5) -> connected components (hash-min label
+    propagation), yielding (doc_id, cluster_id = min id in component).
+    Singletons map to themselves; each injected near-dup (doc_id + 1e6)
+    clusters with its original."""
+    docs = _docs_with_neardups(spark, sf_dir)
+    cand = dd.lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_hashes=4, bands=2)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, candidates=cand
+    )
+    return dd.connected_components(docs, pairs)
+
+
 def q_emb_norms(spark, sf_dir):
     """Embedding feature stats (dim, L2 norm, mean) via higher-order fns."""
     return sim.embedding_norms(_t(spark, sf_dir, "embeddings"))
@@ -834,6 +848,7 @@ QUERIES.update(
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_clusters": q_dedup_clusters,
         "emb_norms": q_emb_norms,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -968,6 +983,24 @@ ORACLES.update(
         """,
         "dedup_jaccard_pairs": _jaccard_verified_sql(0.5),
         "dedup_lsh_verified": _jaccard_verified_sql(0.0),
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_NEARDUP_SQL_CTE.strip().lstrip()},
+            pairs AS ({_jaccard_verified_sql(0.5)}),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+            ),
+            minreach AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(m.m, d.doc_id)) AS cluster_id
+            FROM docs_nd d LEFT JOIN minreach m USING (doc_id)
+        """,
         "emb_norms": f"""
             SELECT vec_id, len(embedding)::BIGINT AS dim,
                    round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
