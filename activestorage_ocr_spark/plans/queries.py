@@ -739,6 +739,29 @@ def q_dedup_lsh_verified(spark, sf_dir):
     )
 
 
+def q_curation_keep_list(spark, sf_dir):
+    """End-to-end curation filter — the composition a training-data pipeline
+    actually ships: exact-dedup (keep the smallest doc_id per normalized
+    fingerprint), language gate (en), quality gate, token-length window.
+    Scale posture: one fingerprint groupBy + broadcast-eligible semi join;
+    every gate is a map-side column expression."""
+    docs = _t(spark, sf_dir, "documents")
+    with_fp = docs.withColumn("fp", ts.fingerprint(F.col("text")))
+    keepers = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = with_fp.join(keepers, ["fp", "doc_id"], "left_semi")
+    out = kept.select(
+        "doc_id",
+        ts.langid_label(F.col("text")).alias("lang_pred"),
+        F.round(ts.quality_score(F.col("text")), 9).alias("quality"),
+        ts.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return out.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.45)
+        & F.col("n_tokens").between(20, 100_000)
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Full fuzzy-dedup pipeline through the CLUSTER step: LSH candidates ->
     exact-Jaccard verify (>= 0.5) -> connected components (hash-min label
@@ -849,6 +872,7 @@ QUERIES.update(
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_clusters": q_dedup_clusters,
+        "curation_keep_list": q_curation_keep_list,
         "emb_norms": q_emb_norms,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -952,6 +976,12 @@ def _cosine_verified_sql(threshold: float) -> str:
     """
 
 
+_LANG_CASE_SQL = """CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
+                    WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END"""
+
 ORACLES.update(
     {
         "dedup_minhash_sig": f"""
@@ -983,6 +1013,44 @@ ORACLES.update(
         """,
         "dedup_jaccard_pairs": _jaccard_verified_sql(0.5),
         "dedup_lsh_verified": _jaccard_verified_sql(0.0),
+        "curation_keep_list": rf"""
+            WITH fp AS (
+                SELECT doc_id, text,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+            s AS (
+                SELECT f.doc_id, f.text,
+                       ({_stop_count_sql('der')} + {_stop_count_sql('die')} + {_stop_count_sql('und')}
+                        + {_stop_count_sql('das')} + {_stop_count_sql('ist')})::BIGINT AS score_de,
+                       ({_stop_count_sql('the')} + {_stop_count_sql('and')} + {_stop_count_sql('of')}
+                        + {_stop_count_sql('to')} + {_stop_count_sql('in')})::BIGINT AS score_en,
+                       ({_stop_count_sql('el')} + {_stop_count_sql('la', 'lower(text)')} + {_stop_count_sql('los')}
+                        + {_stop_count_sql('que')} + {_stop_count_sql('es')})::BIGINT AS score_es,
+                       ({_stop_count_sql('le')} + {_stop_count_sql('la', 'lower(text)')} + {_stop_count_sql('les')}
+                        + {_stop_count_sql('et')} + {_stop_count_sql('est')})::BIGINT AS score_fr
+                FROM fp f
+                JOIN keep k ON k.fp = f.fp AND k.doc_id = f.doc_id
+            ),
+            feats AS (
+                SELECT doc_id,
+                       {_LANG_CASE_SQL} AS lang_pred,
+                       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE (
+                           least(length(text) / 500.0, 1.0)
+                         + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)::DOUBLE
+                         + least(({_stop_count_sql('the')} + {_stop_count_sql('and')} + {_stop_count_sql('of')}
+                                  + {_stop_count_sql('to')} + {_stop_count_sql('in')}) / 10.0, 1.0)
+                       ) / 3.0 END::DOUBLE, 9) AS quality,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+                FROM s
+            )
+            SELECT doc_id, lang_pred, quality, n_tokens
+            FROM feats
+            WHERE lang_pred = 'en' AND quality >= 0.45
+              AND n_tokens BETWEEN 20 AND 100000
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_NEARDUP_SQL_CTE.strip().lstrip()},
             pairs AS ({_jaccard_verified_sql(0.5)}),
