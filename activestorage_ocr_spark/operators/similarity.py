@@ -143,6 +143,7 @@ def ivf_assign(
     centroid_rem: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_vec: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization with deterministic seeded centroids: the
     vectors whose id satisfies ``id % centroid_mod == centroid_rem`` act as
@@ -162,12 +163,19 @@ def ivf_assign(
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
         "cs", F.round(cosine(F.col("v"), F.col("cv")), 6)
     )
-    # max cosine, then smallest cent_id: max_by on (cs, -cent_id) struct
-    assign = scored.groupBy(id_col).agg(
+    # max cosine, then smallest cent_id: max_by on (cs, -cent_id) struct.
+    # carry_vec rides the vector through the agg (v is functionally
+    # dependent on the id) so callers need no big-to-big re-join with the
+    # vector table — this removed the one SortMergeJoin + exchange from the
+    # ivf_topk plan (round-3 plan audit).
+    aggs = [
         F.max_by("cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("neg"))).alias(
             "cent_id"
         )
-    )
+    ]
+    if carry_vec:
+        aggs.append(F.first("v").alias("v"))
+    assign = scored.groupBy(id_col).agg(*aggs)
     return cents, assign
 
 
@@ -187,7 +195,9 @@ def ivf_topk(
     `lsh_bucketed_topk` (IVF recall degrades gracefully with nprobe; LSH
     with band count)."""
     vecs = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-    cents, assign = ivf_assign(df, centroid_mod, centroid_rem, id_col, vec_col)
+    cents, assign = ivf_assign(
+        df, centroid_mod, centroid_rem, id_col, vec_col, carry_vec=True
+    )
     probes = vecs.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), F.col("v").alias("pv")
     )
@@ -200,7 +210,7 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("probe_id", "pv", "cent_id")
     )
-    members = assign.join(vecs, id_col).select(
+    members = assign.select(
         F.col(id_col).alias("neighbor_id"), "cent_id", F.col("v").alias("nv")
     )
     cand = (
