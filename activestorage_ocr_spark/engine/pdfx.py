@@ -123,16 +123,31 @@ def build_image_pdf(
     two fixture PDFs, SURVEY.md §5.1).
 
     ``images``: (array, colorspace) with colorspace in
-    {"DeviceGray", "DeviceRGB", "DeviceCMYK", "ICCBased", "BogusSpace"}.
-    Arrays: gray (h,w) for DeviceGray; rgb (h,w,3) for DeviceRGB/ICCBased;
-    cmyk (h,w,4) for DeviceCMYK. ``corrupt_data`` truncates sample data to
-    force the per-image decode-failure path (E2).
+    {"DeviceGray", "DeviceRGB", "DeviceCMYK", "ICCBased", "BogusSpace"},
+    or (jpeg_bytes, "DCT", width, height) for a /DCTDecode (JPEG) image
+    stream. Arrays: gray (h,w) for DeviceGray; rgb (h,w,3) for
+    DeviceRGB/ICCBased; cmyk (h,w,4) for DeviceCMYK. ``corrupt_data``
+    truncates sample data to force the per-image decode-failure path (E2).
     """
     objs: list[tuple[int, bytes, bytes | None]] = []
     next_id = 3
     img_entries = []
     extra = []
-    for arr, cs in images:
+    for entry in images:
+        if len(entry) == 4:  # pre-encoded DCTDecode stream
+            jpeg, cs, w, h = entry
+            img_id = next_id
+            next_id += 1
+            d = (
+                b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+                + str(len(jpeg)).encode() + b" /Filter /DCTDecode >>"
+            )
+            objs.append((img_id, d, jpeg))
+            img_entries.append(img_id)
+            continue
+        arr, cs = entry
         img_id = next_id
         next_id += 1
         h, w = arr.shape[:2]
@@ -439,17 +454,71 @@ def parse_objects(data: bytes) -> dict[int, PdfObject]:
     return objects
 
 
-def _decode_stream(obj: PdfObject) -> bytes:
-    filt = obj.dict.get("/Filter")
-    data = obj.stream or b""
-    if filt in (None,):
-        return data
-    if filt == "/FlateDecode" or (isinstance(filt, list) and filt == ["/FlateDecode"]):
+def _filter_list(d: dict) -> list:
+    filt = d.get("/Filter")
+    if filt is None:
+        return []
+    return list(filt) if isinstance(filt, list) else [filt]
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 32000-1 §7.4.5)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        l = data[pos]
+        pos += 1
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            out += data[pos : pos + l + 1]
+            pos += l + 1
+        else:
+            if pos >= n:
+                raise PdfError("truncated RunLengthDecode stream")
+            out += bytes([data[pos]]) * (257 - l)
+            pos += 1
+    return bytes(out)
+
+
+def _apply_filter(name: str, data: bytes) -> bytes:
+    if name == "/FlateDecode":
         try:
             return zlib.decompress(data)
         except zlib.error as e:
             raise PdfError(f"bad FlateDecode stream: {e}") from e
-    raise PdfError(f"unsupported stream filter: {filt}")
+    if name == "/ASCIIHexDecode":
+        body = data.split(b">")[0]
+        hexs = b"".join(body.split())
+        if len(hexs) % 2:
+            hexs += b"0"
+        try:
+            return bytes.fromhex(hexs.decode("ascii"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise PdfError(f"bad ASCIIHexDecode stream: {e}") from e
+    if name == "/ASCII85Decode":
+        import base64
+
+        body = b"".join(data.split())
+        if body.startswith(b"<~"):
+            body = body[2:]
+        if body.endswith(b"~>"):
+            body = body[:-2]
+        try:
+            return base64.a85decode(body)
+        except ValueError as e:
+            raise PdfError(f"bad ASCII85Decode stream: {e}") from e
+    if name == "/RunLengthDecode":
+        return _run_length_decode(data)
+    raise PdfError(f"unsupported stream filter: {name}")
+
+
+def _decode_stream(obj: PdfObject) -> bytes:
+    data = obj.stream or b""
+    for name in _filter_list(obj.dict):
+        data = _apply_filter(name, data)
+    return data
 
 
 _TEXT_OP_RE = re.compile(rb"\(|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|'|\[|\]")
@@ -560,6 +629,23 @@ def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.nd
     bpc = d.get("/BitsPerComponent", 8)
     if bpc != 8:
         raise PdfError(f"unsupported BitsPerComponent: {bpc}")
+    filts = _filter_list(d)
+    if filts and filts[-1] == "/DCTDecode":
+        # scanned-PDF mainline: the image stream IS a JPEG (round 3 — decode
+        # via engine.jpegx; the JPEG carries its own color model, so the
+        # declared /ColorSpace is advisory here, matching viewer behavior)
+        data = obj.stream or b""
+        for name in filts[:-1]:
+            data = _apply_filter(name, data)
+        from .jpegx import decode_jpeg as _dct
+
+        try:
+            img = _dct(data)
+        except ValueError as e:
+            raise PdfError(f"bad DCTDecode stream: {e}") from e
+        if img.ndim == 3:
+            return rgb_to_gray(img)
+        return img
     raw = _decode_stream(obj)
     raw_cs = _deref(d.get("/ColorSpace"), objects)
     if isinstance(raw_cs, list) and raw_cs and _deref(raw_cs[0], objects) == "/Indexed":

@@ -140,3 +140,76 @@ class TestErrors:
         r = pdfx.extract_pdf(pdfx.build_empty_pdf())
         assert r["path"] == "empty"
         assert r["warnings"] == [pdfx.EMPTY_PDF_WARNING]  # E10 exact string
+
+
+class TestStreamFilters:
+    """Round 3: the PDF filter chain beyond FlateDecode (32000-1 §7.4)."""
+
+    def test_run_length_roundtrip(self):
+        from activestorage_ocr_spark.engine.pdfx import _apply_filter
+
+        # literal run + repeat run + EOD
+        enc = b"\x02abc" + b"\xfeZ" + b"\x80trailing-ignored"
+        assert _apply_filter("/RunLengthDecode", enc) == b"abc" + b"Z" * 3
+
+    def test_ascii_hex(self):
+        from activestorage_ocr_spark.engine.pdfx import _apply_filter
+
+        assert _apply_filter("/ASCIIHexDecode", b"48 65 6C6C 6F3>") == b"Hello0"
+        assert _apply_filter("/ASCIIHexDecode", b"4865>") == b"He"
+
+    def test_ascii85(self):
+        import base64
+
+        from activestorage_ocr_spark.engine.pdfx import _apply_filter
+
+        payload = b"The quick brown fox."
+        enc = base64.a85encode(payload) + b"~>"
+        assert _apply_filter("/ASCII85Decode", enc) == payload
+
+    def test_filter_chain(self):
+        import base64
+        import zlib
+
+        from activestorage_ocr_spark.engine.pdfx import PdfObject, _decode_stream
+
+        payload = b"chained stream body"
+        enc = base64.a85encode(zlib.compress(payload)) + b"~>"
+        obj = PdfObject(9, {"/Filter": ["/ASCII85Decode", "/FlateDecode"]}, enc)
+        assert _decode_stream(obj) == payload
+
+    def test_unknown_filter_still_raises(self):
+        from activestorage_ocr_spark.engine.pdfx import PdfError, PdfObject, _decode_stream
+
+        with pytest.raises(PdfError, match="unsupported stream filter"):
+            _decode_stream(PdfObject(9, {"/Filter": "/JBIG2Decode"}, b""))
+
+
+class TestDctImages:
+    def test_dct_image_pdf_ocrs_end_to_end(self):
+        # scanned-PDF mainline: a /DCTDecode (JPEG) image XObject decodes via
+        # engine.jpegx and OCRs exactly like a Flate DeviceGray image
+        from tests.test_engine_jpeg import encode_jpeg
+
+        from activestorage_ocr_spark.engine import rasters
+        from activestorage_ocr_spark.engine.extract import extract_document
+        from activestorage_ocr_spark.engine.pdfx import build_image_pdf
+
+        img = rasters.render_text("DCT IN PDF 42", scale=2)
+        jpeg = encode_jpeg(img)
+        h, w = img.shape
+        pdf = build_image_pdf([(jpeg, "DCT", w, h)])
+        r = extract_document(pdf)
+        assert r["mime"] == "application/pdf"
+        assert r["status"] == "ok"
+        assert "DCT IN PDF 42" in r["extracted_text"]
+        assert any("scanned" in warn for warn in r["warnings"])
+
+    def test_corrupt_dct_stream_is_per_image_warning(self):
+        from activestorage_ocr_spark.engine.extract import extract_document
+        from activestorage_ocr_spark.engine.pdfx import build_image_pdf
+
+        pdf = build_image_pdf([(b"\xff\xd8\xff\xe0garbage", "DCT", 8, 8)])
+        r = extract_document(pdf)
+        # decode failure is recorded and skipped (E2), never a crash
+        assert r["status"] in ("ok", "empty", "PROCESSING_ERROR")
