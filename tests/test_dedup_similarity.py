@@ -196,3 +196,28 @@ class TestSimilarity:
         assert [r.cos_sim for r in out] == [0.0, 0.0]
         pairs = {(r.id_a, r.id_b): r.cos_sim for r in sim.cosine_near_dup_pairs(df, 0.5).collect()}
         assert (1, 2) in pairs and (0, 1) not in pairs
+
+
+class TestRound3PlanShapes:
+    def test_connected_components_no_cartesian(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+        out = dd.connected_components(nodes, pairs, max_iters=4)
+        rows = {r.doc_id: r.cluster_id for r in out.collect()}
+        assert rows[1] == rows[2] == rows[3] == 1      # chain collapses to min
+        assert rows[10] == rows[11] == 10
+        assert rows[5] == 5                            # singleton
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_curation_keep_list_broadcast_semi(self, spark):
+        import __spark_entry__ as e
+
+        df = e.queries()["curation_keep_list"](spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan  # keeper dedup is a semi join, not a window
