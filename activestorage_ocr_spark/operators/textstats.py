@@ -217,15 +217,37 @@ def langid_scores(text: Column) -> dict[str, Column]:
 
 def langid_label(text: Column) -> Column:
     """argmax language by stopword hits; ties -> lexicographic language order;
-    zero hits -> 'und'."""
+    zero hits -> 'und'.
+
+    Implementation note (round-3 perf): the 20 stopword counts are
+    expensive, and the earlier max/filter form referenced the score array
+    several times — Catalyst inlines each reference (and a pushed-down
+    filter predicate re-inlines the lot), multiplying the per-row string
+    work ~6-12x. This form references every score exactly ONCE: sort a
+    struct array by (score desc, tie-preference desc) and take the head,
+    with an ('und', score 0, top preference) sentinel standing in for the
+    "no hits" branch — scores are counts, so the sentinel wins iff every
+    real score is 0, and ties between real languages still resolve to the
+    lexicographically-first one."""
     scores = langid_scores(text)
-    pairs = F.array(
-        *[F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang")) for lang in sorted(scores)]
+    langs = sorted(scores)
+    n = len(langs)
+    entries = [
+        F.struct(
+            scores[lang].alias("score"),
+            F.lit(n - i).alias("pref"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    entries.append(
+        F.struct(
+            F.lit(0).cast("long").alias("score"),
+            F.lit(n + 1).alias("pref"),
+            F.lit("und").alias("lang"),
+        )
     )
-    max_score = F.array_max(F.transform(pairs, lambda p: p["score"]))
-    # ties pick the lexicographically-first language (pairs are lang-sorted)
-    first_best = F.filter(pairs, lambda p: p["score"] == max_score)[0]["lang"]
-    return F.when(max_score <= 0, F.lit("und")).otherwise(first_best)
+    return F.sort_array(F.array(*entries), asc=False)[0]["lang"]
 
 
 def documents_with_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "sim_topk",
     "events_sessionize",
+    "curation_keep_list",
 ]
 
 
