@@ -533,6 +533,14 @@ def decode_webp(data: bytes) -> np.ndarray:
             return np.clip(np.round(out), 0, 255).astype(np.uint8)
         if tag == b"ALPH":
             alph = body
+        if tag == b"ANMF" and len(body) > 16:
+            # animated WebP: decode the FIRST frame (16-byte frame params,
+            # then the frame's own ALPH/VP8/VP8L chunk sequence — recurse
+            # with a synthetic container around it)
+            sub = body[16:]
+            return decode_webp(
+                b"RIFF" + struct.pack("<I", 4 + len(sub)) + b"WEBP" + sub
+            )
         # VP8X and metadata chunks: keep walking to the image chunk
         pos += 8 + ln + (ln % 2)
     raise ValueError("no image chunk in WEBP")

@@ -283,3 +283,39 @@ class TestAlphaChunk:
             body = bytes([filt << 2]) + residues.tobytes()
             got = webpx.decode_alpha(body, w, h)
             assert np.array_equal(got, a), f"filter {filt}"
+
+
+class TestAnimatedWebp:
+    @needs_libwebp
+    def test_first_anmf_frame_decodes(self):
+        # wrap a real lossy still into a VP8X+ANIM+ANMF container (the
+        # animated-WebP layout) and check the first frame decodes
+        rgb = _synthetic(48, 32, "gradient", 4)
+        still = _libwebp_encode(rgb, 75.0)
+        vp8_chunk = None
+        pos = 12
+        while pos + 8 <= len(still):
+            tag = still[pos:pos + 4]
+            (ln,) = struct.unpack("<I", still[pos + 4:pos + 8])
+            if tag == b"VP8 ":
+                vp8_chunk = still[pos:pos + 8 + ln + (ln % 2)]
+            pos += 8 + ln + (ln % 2)
+        assert vp8_chunk
+
+        def chunk(tag, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return tag + struct.pack("<I", len(body)) + body + pad
+
+        vp8x = chunk(b"VP8X", bytes([0x02, 0, 0, 0]) + b"\x2f\x00\x00\x1f\x00\x00")
+        anim = chunk(b"ANIM", bytes(6))
+        anmf = chunk(b"ANMF", bytes(16) + vp8_chunk)
+        payload = b"WEBP" + vp8x + anim + anmf
+        webp = b"RIFF" + struct.pack("<I", len(payload)) + payload
+        out = webpx.decode_webp(webp)
+        assert out.shape == (32, 48, 3)
+
+    def test_animated_without_frames_still_errors(self):
+        payload = b"WEBPANIM\x06\x00\x00\x00" + bytes(6)
+        webp = b"RIFF" + struct.pack("<I", len(payload)) + payload
+        with pytest.raises(ValueError, match="no image chunk"):
+            webpx.decode_webp(webp)
