@@ -387,59 +387,159 @@ def encode_png(gray: np.ndarray) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos = 8
-    w = h = bit_depth = color_type = None
-    idat = b""
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-    if w is None or bit_depth != 8 or color_type != 0:
-        raise ValueError("unsupported PNG (need 8-bit grayscale)")
-    raw = zlib.decompress(idat)
-    stride = w + 1
-    if len(raw) < stride * h:
-        raise ValueError("truncated PNG data")
-    out = np.empty((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.uint8)
+#: channels per PNG color type (0 gray, 2 rgb, 3 palette idx, 4 gray+a, 6 rgba)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: legal bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+#: Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp_bits: int) -> tuple[np.ndarray, int]:
+    """Reverse per-scanline filtering for one (sub-)image; returns the
+    unfiltered byte rows (h, rowbytes) and the new stream offset. bpp_bits =
+    bits per pixel; the filter byte-lag is max(1, bpp_bits // 8)."""
+    rowbytes = (w * bpp_bits + 7) // 8
+    lag = max(1, bpp_bits // 8)
+    out = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
     for r in range(h):
-        row = raw[r * stride : (r + 1) * stride]
+        row = raw[off : off + 1 + rowbytes]
+        if len(row) < 1 + rowbytes:
+            raise ValueError("truncated PNG data")
+        off += 1 + rowbytes
         ftype, scan = row[0], np.frombuffer(row[1:], dtype=np.uint8)
-        if ftype == 0:  # None
+        if ftype == 0:
             line = scan.copy()
         elif ftype == 2:  # Up
             line = (scan.astype(np.int32) + prev).astype(np.uint8)
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth (bpp = 1 for gray8)
-            line = np.empty(w, dtype=np.uint8)
-            a = 0
-            for x in range(w):
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            line = np.empty(rowbytes, dtype=np.uint8)
+            for x in range(rowbytes):
+                a = int(line[x - lag]) if x >= lag else 0
                 b_ = int(prev[x])
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
                     pred = (a + b_) // 2
                 else:
-                    c = int(prev[x - 1]) if x > 0 else 0
+                    c = int(prev[x - lag]) if x >= lag else 0
                     p = a + b_ - c
                     pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
-                a = (int(scan[x]) + pred) & 0xFF
-                line[x] = a
+                line[x] = (int(scan[x]) + pred) & 0xFF
         else:
             raise ValueError(f"unsupported PNG filter {ftype}")
         out[r] = line
         prev = line
-    return out
+    return out, off
+
+
+def _png_samples(rows: np.ndarray, w: int, depth: int, nch: int) -> np.ndarray:
+    """Byte rows -> (h, w, nch) uint8 samples. Depth 16 keeps the MSB (the
+    spec's sample reduction); sub-byte depths unpack MSB-first."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        return rows[:, : w * nch * 2].reshape(h, w * nch, 2)[:, :, 0].reshape(h, w, nch)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    vals = np.zeros((h, w), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, :, b]
+    return vals[:, :, None]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Full PNG still decode (spec-complete for crawl images): color types
+    0/2/3/4/6, bit depths 1-16 (16 reduced to MSB), palette + tRNS alpha,
+    all five scanline filters, Adam7 interlace. Alpha composites over white
+    (the pipeline convention). Returns gray (h, w) for colorless images,
+    RGB (h, w, 3) otherwise."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = depth = color_type = interlace = None
+    idat = b""
+    plte = None
+    trns = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body[: (len(body) // 3) * 3], dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or w == 0 or h == 0:
+        raise ValueError("missing/empty PNG IHDR")
+    if color_type not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(f"unsupported PNG color type {color_type} / depth {depth}")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG interlace {interlace}")
+    if w * h > 64_000_000:
+        raise ValueError(f"PNG {w}x{h} exceeds the 64MP decode guard")
+    nch = _PNG_CHANNELS[color_type]
+    bpp_bits = depth * nch
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from e
+
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, w, h, bpp_bits)
+        samples = _png_samples(rows, w, depth, nch)
+    else:  # Adam7: seven independently-filtered sub-images
+        samples = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rows, off = _png_unfilter(raw, off, pw, ph, bpp_bits)
+            samples[y0::dy, x0::dx] = _png_samples(rows, pw, depth, nch)
+
+    def _scale(v: np.ndarray) -> np.ndarray:
+        if depth >= 8:
+            return v
+        return (v.astype(np.int32) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+
+    def _over_white(fg: np.ndarray, a: np.ndarray) -> np.ndarray:
+        f = fg.astype(np.int32)
+        al = a.astype(np.int32)
+        return ((f * al + (255 - al) * 255 + 127) // 255).astype(np.uint8)
+
+    if color_type == 0:
+        return _scale(samples[:, :, 0])
+    if color_type == 4:
+        return _over_white(samples[:, :, 0], samples[:, :, 1])
+    if color_type == 2:
+        return samples
+    if color_type == 6:
+        return _over_white(samples[:, :, :3], samples[:, :, 3:4].repeat(3, axis=2))
+    # palette
+    if plte is None or len(plte) == 0:
+        raise ValueError("palette PNG without PLTE chunk")
+    idx = np.minimum(samples[:, :, 0], len(plte) - 1)
+    rgb = plte[idx]
+    if trns:  # per-entry alpha, composited over white
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        n = min(len(trns), len(plte))
+        alpha[:n] = np.frombuffer(trns[:n], dtype=np.uint8)
+        a = alpha[idx]
+        rgb = _over_white(rgb, a[:, :, None].repeat(3, axis=2))
+    return rgb
 
 
 def encode_bmp(gray: np.ndarray) -> bytes:

@@ -81,3 +81,176 @@ class TestCodecs:
         assert rasters.rgb_to_gray(rgb)[0, 0] == round(255 * 0.299)
         rgb[0, 0] = (0, 255, 0)
         assert rasters.rgb_to_gray(rgb)[0, 0] == round(255 * 0.587)
+
+
+# ---------------------------------------------------------------------------
+# round 3: full PNG decode (color types 0/2/3/4/6, depths 1-16, Adam7)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunks(ihdr_body, extra_chunks, idat_raw):
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    for tag, body in extra_chunks:
+        out += chunk(tag, body)
+    return out + chunk(b"IDAT", zlib.compress(idat_raw, 6)) + chunk(b"IEND", b"")
+
+
+def _make_png(samples, color_type, depth=8, palette=None, trns=None, interlace=0):
+    """Test-side PNG encoder: filter-0 scanlines, optional Adam7 layout.
+    ``samples``: (h, w, nch) uint8 (depth<=8 values must fit the depth)."""
+    import struct
+
+    h, w, nch = samples.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+
+    def pack_rows(sub):
+        sh, sw, _ = sub.shape
+        raw = b""
+        for r in range(sh):
+            if depth == 8:
+                row = sub[r].tobytes()
+            elif depth == 16:
+                row = b"".join(bytes([v, v]) for v in sub[r].reshape(-1))
+            else:
+                bits = []
+                for v in sub[r].reshape(-1):
+                    bits += [int(b) for b in format(int(v), f"0{depth}b")]
+                while len(bits) % 8:
+                    bits.append(0)
+                row = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+            raw += b"\x00" + row
+        return raw
+
+    if interlace == 0:
+        idat = pack_rows(samples)
+    else:
+        from activestorage_ocr_spark.engine.rasters import _ADAM7
+
+        idat = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                idat += pack_rows(sub)
+    extra = []
+    if palette is not None:
+        extra.append((b"PLTE", palette.tobytes()))
+    if trns is not None:
+        extra.append((b"tRNS", trns))
+    return _png_chunks(ihdr, extra, idat)
+
+
+class TestPngFullFormat:
+    def test_rgb8(self):
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        out = rasters.decode_png(_make_png(img, color_type=2))
+        assert np.array_equal(out, img)
+
+    def test_rgba_composites_over_white(self):
+        img = np.zeros((4, 4, 4), dtype=np.uint8)
+        img[:, :, :3] = 10
+        img[:, :, 3] = 255
+        img[0, :, 3] = 0  # fully transparent row -> white
+        out = rasters.decode_png(_make_png(img, color_type=6))
+        assert (out[0] == 255).all() and (out[1:, :, 0] == 10).all()
+
+    def test_gray_alpha(self):
+        img = np.zeros((3, 5, 2), dtype=np.uint8)
+        img[:, :, 0] = 40
+        img[:, :, 1] = 255
+        img[2, :, 1] = 0
+        out = rasters.decode_png(_make_png(img, color_type=4))
+        assert out.shape == (3, 5)
+        assert (out[:2] == 40).all() and (out[2] == 255).all()
+
+    def test_palette_with_trns(self):
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8)
+        idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)[:, :, None]
+        png = _make_png(idx, color_type=3, depth=4, palette=pal, trns=bytes([255, 255, 0, 255]))
+        out = rasters.decode_png(png)
+        assert tuple(out[0, 0]) == (255, 0, 0)
+        assert tuple(out[1, 0]) == (255, 255, 255)  # entry 2 transparent -> white
+        assert tuple(out[1, 1]) == (9, 9, 9)
+
+    def test_gray_1bit_and_16bit(self):
+        one = np.array([[0, 1, 1, 0, 1, 0, 0, 1, 1]], dtype=np.uint8)[:, :, None]
+        out = rasters.decode_png(_make_png(one, color_type=0, depth=1))
+        assert np.array_equal(out[0], one[:, :, 0][0] * 255)
+        g16 = np.arange(12, dtype=np.uint8).reshape(3, 4, 1) * 20
+        out16 = rasters.decode_png(_make_png(g16, color_type=0, depth=16))
+        assert np.array_equal(out16, g16[:, :, 0])  # MSB == our byte
+
+    def test_adam7_rgb(self):
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+        out = rasters.decode_png(_make_png(img, color_type=2, interlace=1))
+        assert np.array_equal(out, img)
+
+    def test_adam7_gray(self):
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 256, (10, 17, 1)).astype(np.uint8)
+        out = rasters.decode_png(_make_png(img, color_type=0, interlace=1))
+        assert np.array_equal(out, img[:, :, 0])
+
+    def test_color_png_ocrs_end_to_end(self):
+        # dark text on white, as RGB: the OCR path grayscales and reads it
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        gray = rasters.render_text("RGB PNG 7", scale=2)
+        rgb = np.stack([gray, gray, gray], axis=2)
+        r = extract_document(_make_png(rgb, color_type=2))
+        assert r["status"] == "ok"
+        assert "RGB PNG 7" in r["extracted_text"]
+
+    def test_decode_bomb_guarded(self):
+        import struct
+
+        ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+        png = _png_chunks(ihdr, [], b"")
+        with pytest.raises(ValueError, match="64MP"):
+            rasters.decode_png(png)
+
+    def test_all_filters_rgb(self):
+        # forward-filter RGB rows with every filter type (byte lag = 3)
+        import struct
+        import zlib
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (5, 6, 3)).astype(np.uint8)
+        h, w, _ = img.shape
+        rowbytes = w * 3
+        raw = b""
+        prev = np.zeros(rowbytes, dtype=np.int32)
+        for r in range(h):
+            cur = img[r].reshape(-1).astype(np.int32)
+            ftype = r % 5
+            enc = np.zeros(rowbytes, dtype=np.int32)
+            for x in range(rowbytes):
+                a = int(cur[x - 3]) if x >= 3 else 0
+                b_ = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b_
+                elif ftype == 3:
+                    pred = (a + b_) // 2
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+            raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        out = rasters.decode_png(_png_chunks(ihdr, [], raw))
+        assert np.array_equal(out, img)
