@@ -649,20 +649,164 @@ def encode_tiff(gray: np.ndarray) -> bytes:
     return struct.pack("<2sHI", b"II", 42, ifd_off) + strip + ifd
 
 
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+
+
+def _tiff_tag_values(data: bytes, entry: bytes, e: str) -> list[int]:
+    """One IFD entry -> list of integer values (inline or via offset)."""
+    typ, cnt = struct.unpack(e + "HI", entry[2:8])
+    size = _TIFF_TYPE_SIZE.get(typ)
+    if size is None:
+        return []
+    total = size * cnt
+    raw = entry[8:12] if total <= 4 else None
+    if raw is None:
+        (off,) = struct.unpack(e + "I", entry[8:12])
+        raw = data[off : off + total]
+    if len(raw) < total:
+        raise ValueError("truncated TIFF tag data")
+    fmt = {1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i"}[typ]
+    return list(struct.unpack(e + fmt * cnt, raw[:total]))
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first codes, 8-bit roots, EarlyChange
+    code-width bumps at table size 2^n - 1."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code in TIFF stream")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+                width += 1
+    return bytes(out)
+
+
+def _tiff_packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and len(out) < expect:
+        b = data[pos]
+        pos += 1
+        if b < 128:
+            out += data[pos : pos + b + 1]
+            pos += b + 1
+        elif b > 128:
+            if pos >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - b)
+            pos += 1
+        # 128 = no-op
+    return bytes(out)
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
-    if data[:4] != b"II*\x00":
-        raise ValueError("unsupported TIFF (need little-endian)")
-    (ifd_off,) = struct.unpack("<I", data[4:8])
-    (n,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
-    tags = {}
+    """Baseline TIFF still decode for crawl images: both byte orders,
+    8-bit gray (either photometric polarity) and RGB, strip assembly,
+    compressions none/LZW/PackBits, horizontal-differencing predictor."""
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    (n,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
     for i in range(n):
-        tag, typ, cnt, val = struct.unpack("<HHII", data[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12])
-        tags[tag] = val
-    w, h = tags[256], tags[257]
-    if tags.get(259, 1) != 1 or tags.get(258, 8) != 8:
-        raise ValueError("unsupported TIFF encoding")
-    off, cnt = tags[273], tags[279]
-    return np.frombuffer(data[off : off + cnt], dtype=np.uint8).reshape(h, w).copy()
+        entry = data[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
+        if len(entry) < 12:
+            raise ValueError("truncated TIFF IFD entry")
+        (tag,) = struct.unpack(e + "H", entry[:2])
+        tags[tag] = _tiff_tag_values(data, entry, e)
+
+    def one(tag_id, default=None):
+        v = tags.get(tag_id)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise ValueError("TIFF missing dimensions")
+    if w * h > 64_000_000:
+        raise ValueError(f"TIFF {w}x{h} exceeds the 64MP decode guard")
+    spp = one(277, 1)
+    bps = tags.get(258, [8])
+    if spp not in (1, 3) or any(b != 8 for b in bps[:spp]):
+        raise ValueError(f"unsupported TIFF samples: spp={spp} bps={bps}")
+    comp = one(259, 1)
+    photometric = one(262, 1)
+    predictor = one(317, 1)
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("TIFF missing strip layout")
+    rows_per_strip = one(278, h)
+    raw = bytearray()
+    for off, cnt in zip(offs, cnts):
+        strip = data[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, h - len(raw) // (w * spp))
+        expect = n_rows * w * spp
+        if comp == 1:
+            raw += strip[:expect]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip)[:expect]
+        elif comp == 32773:
+            raw += _tiff_packbits_decode(strip, expect)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    if len(raw) < w * h * spp:
+        raise ValueError("TIFF pixel data too short")
+    px = np.frombuffer(bytes(raw[: w * h * spp]), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing (per sample)
+        px = np.cumsum(px.astype(np.int32), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if spp == 3:
+        return rgb_to_gray(px)
+    gray = px[:, :, 0]
+    if photometric == 0:  # WhiteIsZero
+        gray = (255 - gray.astype(np.int32)).astype(np.uint8)
+    return gray.copy()
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
@@ -771,7 +915,15 @@ def decode_gif(data: bytes) -> np.ndarray:
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             idx = np.frombuffer(_gif_lzw_decode(bytes(lzw), min_code)[: iw * ih], dtype=np.uint8)
-            rgb = palette[idx].reshape(ih, iw, 3)
+            rgb = palette[np.minimum(idx, len(palette) - 1)].reshape(ih, iw, 3)
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                out = np.empty_like(rgb)
+                r = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    n = len(range(start, ih, step))
+                    out[start::step] = rgb[r : r + n]
+                    r += n
+                rgb = out
             return rgb_to_gray(rgb)
         elif b == 0x21:  # extension
             pos += 2

@@ -254,3 +254,185 @@ class TestPngFullFormat:
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
         out = rasters.decode_png(_png_chunks(ihdr, [], raw))
         assert np.array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# round 3: baseline-TIFF variants (endianness, RGB, strips, LZW, PackBits)
+# ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Minimal valid TIFF LZW stream: CLEAR, then root codes only, with the
+    EarlyChange width bump mirrored from the decoder's table growth."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def put(code, width):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    width = 9
+    table_len = 258
+    first = True
+    put(CLEAR, width)
+    for b in data:
+        put(b, width)
+        if first:  # the decoder appends nothing for the first post-CLEAR code
+            first = False
+        else:
+            table_len += 1
+            if table_len == (1 << width) - 1 and width < 12:
+                width += 1
+            if table_len >= 4093:  # stay in range: reset
+                put(CLEAR, width)
+                width = 9
+                table_len = 258
+                first = True
+    put(EOI, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 100):
+        lit = data[i : i + 100]
+        out += bytes([len(lit) - 1]) + lit
+    return out
+
+
+def _make_tiff(img, *, big_endian=False, comp=1, photometric=None,
+               predictor=1, strips=1):
+    import struct
+
+    e = ">" if big_endian else "<"
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    h, w = img.shape[:2]
+    px = img if img.ndim == 3 else img[:, :, None]
+    if predictor == 2:
+        d = px.astype(np.int32)
+        diffed = d.copy()
+        diffed[:, 1:] = d[:, 1:] - d[:, :-1]
+        px = (diffed & 0xFF).astype(np.uint8)
+    rows_per = (h + strips - 1) // strips
+    strip_bytes = []
+    for s in range(strips):
+        part = px[s * rows_per : (s + 1) * rows_per].tobytes()
+        if comp == 5:
+            part = _tiff_lzw_encode(part)
+        elif comp == 32773:
+            part = _packbits_encode(part)
+        strip_bytes.append(part)
+    offs = []
+    pos = 8
+    for sb in strip_bytes:
+        offs.append(pos)
+        pos += len(sb)
+    ifd_off = pos
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+
+    def entry(tag, typ, cnt, val):
+        # SHORT count-1 values sit in the FIRST two bytes of the value
+        # field; everything else (LONGs, offsets) packs as one LONG
+        if typ == 3 and cnt == 1:
+            return struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack(e + "HHII", tag, typ, cnt, val)
+
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, comp),
+        (262, 3, 1, photometric), (277, 3, 1, spp),
+        (278, 3, 1, rows_per), (317, 3, 1, predictor),
+    ]
+    blobs = b""
+    blob_base = ifd_off + 2 + 12 * (len(entries) + 3) + 4
+    # BitsPerSample
+    if spp == 1:
+        entries.append((258, 3, 1, 8))
+    else:
+        entries.append((258, 3, 3, blob_base + len(blobs)))
+        blobs += struct.pack(e + "HHH", 8, 8, 8)
+    # strip offsets/counts
+    if strips == 1:
+        entries.append((273, 4, 1, offs[0]))
+        entries.append((279, 4, 1, len(strip_bytes[0])))
+    else:
+        entries.append((273, 4, strips, blob_base + len(blobs)))
+        blobs += struct.pack(e + "I" * strips, *offs)
+        entries.append((279, 4, strips, blob_base + len(blobs)))
+        blobs += struct.pack(e + "I" * strips, *[len(sb) for sb in strip_bytes])
+    entries.sort()
+    ifd = struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += entry(tag, typ, cnt, val)
+    ifd += struct.pack(e + "I", 0) + blobs
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", ifd_off)
+    return hdr + b"".join(strip_bytes) + ifd
+
+
+class TestTiffVariants:
+    def _img(self, seed=2, shape=(11, 13)):
+        return np.random.RandomState(seed).randint(0, 256, shape).astype(np.uint8)
+
+    def test_big_endian_gray(self):
+        img = self._img()
+        assert np.array_equal(rasters.decode_tiff(_make_tiff(img, big_endian=True)), img)
+
+    def test_rgb(self):
+        img = np.random.RandomState(5).randint(0, 256, (7, 9, 3)).astype(np.uint8)
+        out = rasters.decode_tiff(_make_tiff(img))
+        assert np.array_equal(out, rasters.rgb_to_gray(img))
+
+    def test_white_is_zero(self):
+        img = self._img(3)
+        out = rasters.decode_tiff(_make_tiff(img, photometric=0))
+        assert np.array_equal(out, 255 - img)
+
+    def test_packbits(self):
+        img = self._img(4)
+        assert np.array_equal(rasters.decode_tiff(_make_tiff(img, comp=32773)), img)
+
+    def test_lzw(self):
+        img = self._img(6, (23, 31))
+        assert np.array_equal(rasters.decode_tiff(_make_tiff(img, comp=5)), img)
+
+    def test_lzw_with_predictor(self):
+        img = self._img(7, (9, 40))
+        got = rasters.decode_tiff(_make_tiff(img, comp=5, predictor=2))
+        assert np.array_equal(got, img)
+
+    def test_multi_strip_big_endian_lzw(self):
+        img = self._img(8, (20, 15))
+        got = rasters.decode_tiff(_make_tiff(img, big_endian=True, comp=5, strips=4))
+        assert np.array_equal(got, img)
+
+    def test_unsupported_compression_still_raises(self):
+        img = self._img(9)
+        with pytest.raises(ValueError, match="compression"):
+            rasters.decode_tiff(_make_tiff(img, comp=7))
+
+
+class TestGifInterlace:
+    def test_interlaced_gif_roundtrip(self):
+        img = np.random.RandomState(11).randint(0, 256, (13, 9)).astype(np.uint8)
+        data = bytearray(rasters.encode_gif(_reorder_interlaced(img)))
+        # image descriptor flags byte: header(6)+LSD(7)+GCT(768)+\x2c+8
+        flag_pos = 6 + 7 + 768 + 9
+        assert data[flag_pos] == 0
+        data[flag_pos] = 0x40  # mark interlaced
+        out = rasters.decode_gif(bytes(data))
+        assert np.array_equal(out, img)
+
+
+def _reorder_interlaced(img):
+    rows = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, img.shape[0], step))
+    return img[np.array(rows)]
