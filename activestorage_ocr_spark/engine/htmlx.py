@@ -88,7 +88,14 @@ def _decode_entity(m: re.Match) -> str:
 
 
 def decode_payload(payload: bytes) -> str:
-    """Charset-sniffed decode (rule 1)."""
+    """Charset-sniffed decode (rule 1). A byte-order mark wins over any
+    declared charset (WHATWG encoding sniffing order)."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload[:2] == b"\xff\xfe":
+        return payload[2:].decode("utf-16-le", errors="replace")
+    if payload[:2] == b"\xfe\xff":
+        return payload[2:].decode("utf-16-be", errors="replace")
     m = _META_CHARSET_RE.search(payload[:2048])
     enc = "utf-8"
     if m:

@@ -61,6 +61,13 @@ def sniff_mime(payload: bytes) -> str:
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return MIME_TIFF
     head = payload[:1024].lstrip(b"\xef\xbb\xbf \t\r\n").lower()
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # UTF-16 BOM: transcode the head so the HTML markers are visible
+        enc = "utf-16-le" if payload[:2] == b"\xff\xfe" else "utf-16-be"
+        head = (
+            payload[2:2050].decode(enc, errors="replace")
+            .encode("utf-8", errors="replace").lstrip().lower()
+        )
     if any(m in head for m in _HTML_STRONG_MARKERS):
         return MIME_HTML
     if head.startswith(b"<") and any(m in head for m in _HTML_WEAK_MARKERS):

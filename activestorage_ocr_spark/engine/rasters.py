@@ -592,6 +592,22 @@ def decode_bmp(data: bytes) -> np.ndarray:
     (compression,) = struct.unpack("<I", data[30:34])
     flip = h > 0
     h = abs(h)
+    if bpp == 32 and compression in (0, 3):
+        # BGRA (BI_RGB) or BI_BITFIELDS with the standard 8-bit masks;
+        # alpha composited over white like every other format here
+        row_size = w * 4
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for r in range(h):
+            row = np.frombuffer(
+                data[offset + r * row_size : offset + r * row_size + w * 4], dtype=np.uint8
+            ).reshape(w, 4)
+            bgr = row[:, :3][:, ::-1].astype(np.int32)
+            a = row[:, 3].astype(np.int32)
+            if compression == 0 and not a.any():
+                a = np.full(w, 255, dtype=np.int32)  # BI_RGB often leaves alpha 0
+            px = (bgr * a[:, None] + (255 - a[:, None]) * 255 + 127) // 255
+            out[h - 1 - r if flip else r] = px.astype(np.uint8)
+        return rgb_to_gray(out)
     if bpp == 24 and compression == 0:
         row_size = (w * 3 + 3) & ~3
         out = np.empty((h, w, 3), dtype=np.uint8)

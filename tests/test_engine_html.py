@@ -136,3 +136,33 @@ class TestSelfClosingRawText:
         text, _ = htmlx.extract_main_content(page)
         assert "vector payload" not in text
         assert "Trailing content paragraph" in text
+
+
+class TestBomDecoding:
+    def test_utf16_le_bom(self):
+        from activestorage_ocr_spark.engine.htmlx import decode_payload
+
+        html = "<html><body><p>héllo wörld UTF sixteen</p></body></html>"
+        assert decode_payload(b"\xff\xfe" + html.encode("utf-16-le")) == html
+        assert decode_payload(b"\xfe\xff" + html.encode("utf-16-be")) == html
+
+    def test_utf8_bom_stripped(self):
+        from activestorage_ocr_spark.engine.htmlx import decode_payload
+
+        html = "<p>plain</p>"
+        assert decode_payload(b"\xef\xbb\xbf" + html.encode()) == html
+
+    def test_bom_beats_declared_charset(self):
+        from activestorage_ocr_spark.engine.htmlx import decode_payload
+
+        html = '<meta charset="latin-1"><p>ünïcode</p>'
+        assert decode_payload(b"\xff\xfe" + html.encode("utf-16-le")) == html
+
+    def test_utf16_page_extracts(self):
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        html = ("<html><body><main><p>A perfectly long paragraph of sixteen "
+                "bit encoded honest content words.</p></main></body></html>")
+        r = extract_document(b"\xff\xfe" + html.encode("utf-16-le"))
+        assert r["status"] == "ok"
+        assert "sixteen" in r["extracted_text"]

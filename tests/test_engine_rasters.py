@@ -436,3 +436,29 @@ def _reorder_interlaced(img):
     for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
         rows.extend(range(start, img.shape[0], step))
     return img[np.array(rows)]
+
+
+class TestBmp32:
+    def test_bgra_opaque(self):
+        import struct
+
+        img = np.random.RandomState(13).randint(0, 256, (5, 4, 3)).astype(np.uint8)
+        rows = b""
+        for r in range(4, -1, -1):  # bottom-up
+            for x in range(4):
+                b, g, rr = img[r, x, 2], img[r, x, 1], img[r, x, 0]
+                rows += bytes([b, g, rr, 255])
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 4, 5, 1, 32, 0, len(rows), 0, 0, 0, 0)
+        out = rasters.decode_bmp(hdr + info + rows)
+        assert np.array_equal(out, rasters.rgb_to_gray(img))
+
+    def test_zero_alpha_bi_rgb_treated_opaque(self):
+        import struct
+
+        rows = b"".join(bytes([10, 20, 30, 0]) for _ in range(4))
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 4, 1, 1, 32, 0, len(rows), 0, 0, 0, 0)
+        out = rasters.decode_bmp(hdr + info + rows)
+        expect = rasters.rgb_to_gray(np.array([[[30, 20, 10]] * 4], dtype=np.uint8))
+        assert np.array_equal(out, expect)
