@@ -739,6 +739,24 @@ def q_dedup_lsh_verified(spark, sf_dir):
     )
 
 
+def q_orders_price_percentiles(spark, sf_dir):
+    """Exact statistical aggregate (the percentile/quantile relational
+    category): interpolated p25/p50/p90 of order value per priority.
+    Determinism: percentile over INTEGERIZED cents — Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the interpolation
+    definition, and integer inputs make the arithmetic reproducible."""
+    o = _t(spark, sf_dir, "orders")
+    pcts = F.expr(
+        "percentile(cast(round(o_totalprice*100,0) as bigint), array(0.25, 0.5, 0.9))"
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.round(pcts[0] / 100.0, 9).alias("p25"),
+        F.round(pcts[1] / 100.0, 9).alias("p50"),
+        F.round(pcts[2] / 100.0, 9).alias("p90"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q_curation_keep_list(spark, sf_dir):
     """End-to-end curation filter — the composition a training-data pipeline
     actually ships: exact-dedup (keep the smallest doc_id per normalized
@@ -873,6 +891,7 @@ QUERIES.update(
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_clusters": q_dedup_clusters,
         "curation_keep_list": q_curation_keep_list,
+        "orders_price_percentiles": q_orders_price_percentiles,
         "emb_norms": q_emb_norms,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1013,6 +1032,14 @@ ORACLES.update(
         """,
         "dedup_jaccard_pairs": _jaccard_verified_sql(0.5),
         "dedup_lsh_verified": _jaccard_verified_sql(0.0),
+        "orders_price_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(round(o_totalprice*100,0)::BIGINT, 0.25)/100.0, 9) AS p25,
+                   round(quantile_cont(round(o_totalprice*100,0)::BIGINT, 0.5)/100.0, 9) AS p50,
+                   round(quantile_cont(round(o_totalprice*100,0)::BIGINT, 0.9)/100.0, 9) AS p90,
+                   count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY 1
+        """,
         "curation_keep_list": rf"""
             WITH fp AS (
                 SELECT doc_id, text,
