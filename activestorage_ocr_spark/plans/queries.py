@@ -380,9 +380,28 @@ def q_events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# extraction-domain queries (rows-only: pages corpus is not a DuckDB view;
-# the byte-identity pytest suite is their correctness gate)
+# extraction-domain queries (oracled against the single-node golden parquet
+# via extraction_oracles(); the byte-identity pytest suite proves the goldens)
 # ---------------------------------------------------------------------------
+
+
+def q_events_session_window(spark, sf_dir):
+    """Native ``session_window`` aggregation — Spark's built-in dynamic-gap
+    session assignment (the batch twin of the streaming stateful
+    sessionizer; q_events_sessionize is the hand-rolled lag+cumsum form).
+    Session end = last event + gap; an event landing exactly on the end
+    boundary starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
 
 
 def q_extract_flagship(spark, sf_dir):
@@ -476,6 +495,7 @@ QUERIES = {
     "sort_topk_docs": q_sort_topk_docs,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
     "extract_flagship": q_extract_flagship,
     "extract_quarantine": q_extract_quarantine,
     "extract_metrics": q_extract_metrics,
@@ -642,6 +662,27 @@ ORACLES = {
                count(*) AS n,
                sum(cast(round(value * 100, 0) AS BIGINT))::BIGINT AS value_cents
         FROM events GROUP BY 1, 2
+    """,
+    "events_session_window": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, sid
     """,
     "events_sessionize": """
         WITH gaps AS (
