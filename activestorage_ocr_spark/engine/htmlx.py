@@ -191,16 +191,14 @@ def extract_blocks(html: str) -> list[Block]:
         cur = None
 
     while pos < n:
-        lt = html.find("<", pos)
-        if lt == -1:
+        # one C-level regex search per tag (round-3 perf: replaces the
+        # find('<') + match pair; stray '<'s simply become part of the
+        # emitted inter-tag text, which joins to the identical block string)
+        m = _TAG_RE.search(html, pos)
+        if not m:
             emit_text(html[pos:])
             break
-        emit_text(html[pos:lt])
-        m = _TAG_RE.match(html, lt)
-        if not m:
-            emit_text("<")
-            pos = lt + 1
-            continue
+        emit_text(html[pos : m.start()])
         closing, tag, rawattrs = m.group(1), m.group(2).lower(), m.group(3)
         pos = m.end()
         self_closing = rawattrs.rstrip().endswith("/") or tag in ("br", "hr", "img", "input", "meta", "link")
