@@ -166,3 +166,38 @@ class TestBomDecoding:
         r = extract_document(b"\xff\xfe" + html.encode("utf-16-le"))
         assert r["status"] == "ok"
         assert "sixteen" in r["extracted_text"]
+
+
+class TestTokenizerInvariants:
+    """Property-style invariants over adversarial fragment soup: the
+    tokenizer never crashes, spans always index the returned text exactly,
+    and kept block text never contains markup."""
+
+    def test_fragment_soup_invariants(self):
+        import random
+
+        from activestorage_ocr_spark.engine.htmlx import extract_main_content
+
+        rng = random.Random(1234)
+        frags = ["<p>", "</p>", "<div class=x>", "</div>", "a<b", "1 < 2",
+                 "&amp;", "&am", "p;", "<script>var x='<p>hi</p>';</script>",
+                 "<a href='x'>link text</a>", "< notatag", "<", "<br/>",
+                 "<h1>", "</h1>", "honest words here ", "&#65;",
+                 "<nav id=menu>", "</nav>", "<SPAN>", "</span>", "<p", ">",
+                 "<style>p{}</style>", "é世", "<!-- c -->", "<!doctype html>",
+                 "<img src=x>", "<template><p>t</p></template>"]
+        for _ in range(500):
+            s = "".join(rng.choice(frags) for _ in range(rng.randint(1, 50)))
+            text, spans = extract_main_content(s.encode())
+            for start, end, kind in spans:
+                assert 0 <= start < end <= len(text)
+                assert kind in ("heading", "block")
+                piece = text[start:end]
+                assert "<script" not in piece and "<style" not in piece
+            # spans tile the text in order, separated by single newlines
+            last = 0
+            for start, end, _ in spans:
+                assert start in (0, last + 1)
+                last = end
+            if spans:
+                assert last == len(text)
