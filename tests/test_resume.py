@@ -153,3 +153,37 @@ class TestQuarantineReads:
         )
         assert r["n_rows"] == pages.count()
         assert ln.read_output(spark, out).count() + ln.read_quarantine(spark, out).count() == r["n_rows"]
+
+    def test_crash_between_data_and_manifest_commits(self, spark, pages, tmp_path, monkeypatch):
+        # the documented idempotence window: data parquet committed, crash
+        # before the manifest append -> the next run reprocesses those parts
+        # and dynamic overwrite replaces (never duplicates) their output
+        out = str(tmp_path / "out")
+        import pyspark.sql.readwriter as rw
+
+        real_save = rw.DataFrameWriter.parquet
+        def boom_on_manifest(self, path, *a, **k):
+            if path.endswith("_manifest"):
+                raise RuntimeError("simulated crash before manifest commit")
+            return real_save(self, path, *a, **k)
+
+        monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom_on_manifest)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ln.run_extraction_job(
+                spark, pages, out, run_id="crash", n_parts=N_PARTS, max_bytes=MAX_BYTES
+            )
+        monkeypatch.setattr(rw.DataFrameWriter, "parquet", real_save)
+        # data landed, manifest did not -> everything still pending
+        assert ln.read_manifest(spark, out).count() == 0
+        r = ln.run_extraction_job(
+            spark, pages, out, run_id="retry", n_parts=N_PARTS, max_bytes=MAX_BYTES
+        )
+        assert r["parts_done"] == N_PARTS and r["parts_skipped"] == 0
+        got = ln.read_output(spark, out).select("url").union(
+            ln.read_quarantine(spark, out).select("url")
+        )
+        assert got.count() == pages.count()                 # exactly once
+        assert got.distinct().count() == pages.count()
+        # and every persisted row carries the retry run_id (overwritten)
+        runs = {r.run_id for r in ln.read_output(spark, out).select("run_id").distinct().collect()}
+        assert runs == {"retry"}
