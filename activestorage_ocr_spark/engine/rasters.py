@@ -110,6 +110,20 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "É": ("...X.", "XXXXX", "X....", "XXXX.", "X....", "X....", "XXXXX"),
         "Á": ("...X.", ".XXX.", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
     },
+    # round 3: two more of the reference's 13 languages get real packs
+    "ita": {
+        "È": (".X...", "XXXXX", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+        "Ì": (".X...", "XXXXX", "..X..", "..X..", "..X..", "..X..", "XXXXX"),
+        "Ò": (".X...", ".XXX.", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+        "Ù": (".X...", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+    },
+    "por": {
+        "Ã": (".XX.X", ".XXX.", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+        "Õ": (".XX.X", ".XXX.", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+        "Â": ("..X..", ".X.X.", ".XXX.", "X...X", "XXXXX", "X...X", "X...X"),
+        "Ê": ("..X..", ".X.X.", "XXXXX", "X....", "XXXX.", "X....", "XXXXX"),
+        "Ç": (".XXXX", "X....", "X....", "X....", ".XXXX", "..X..", ".XX.."),
+    },
 }
 
 #: the 13 languages the reference's leptess engine reports

@@ -92,3 +92,25 @@ class TestPerEngineInfo:
 def test_health_probe():
     h = ex.health()
     assert h == {"status": "ok", "version": "0.1.0"}
+
+
+class TestRound3Packs:
+    def test_italian_pack(self):
+        img = rasters.render_text("PERÒ GIÙ LÌ È", scale=2)
+        ita, _ = rasters.ocr_decode_image(img, ("ita",))
+        assert ita == "PERÒ GIÙ LÌ È"
+        eng, _ = rasters.ocr_decode_image(img)
+        assert "Ò" not in eng and "Ù" not in eng  # pack not loaded -> degraded
+
+    def test_portuguese_pack(self):
+        img = rasters.render_text("AÇÃO VÕES VÊ", scale=2)
+        por, _ = rasters.ocr_decode_image(img, ("por",))
+        assert por == "AÇÃO VÕES VÊ"
+
+    def test_shared_chars_agree_across_packs(self):
+        # Ç is in fra AND por, È in fra AND ita: identical bitmaps, so both
+        # requests recognize them identically
+        img = rasters.render_text("ÇÈ", scale=2)
+        fra, _ = rasters.ocr_decode_image(img, ("fra",))
+        ita_por, _ = rasters.ocr_decode_image(img, ("ita", "por"))
+        assert fra == "ÇÈ" == ita_por
