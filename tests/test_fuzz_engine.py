@@ -106,3 +106,40 @@ def test_real_jpeg_truncations_total(cut, fill):
         jpegx.decode_jpeg(mutated)
     except ValueError:
         pass
+
+
+# round 3: property round-trips for the expanded codec surface — any image
+# the test encoders can express must decode back exactly
+_dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@given(_dims, st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_rgb_roundtrip_property(dims, seed):
+    import numpy as np
+
+    from activestorage_ocr_spark.engine import rasters
+    from tests.test_engine_rasters import _make_png
+
+    h, w = dims
+    img = np.random.RandomState(seed % 2**31).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    interlace = seed % 2
+    assert np.array_equal(
+        rasters.decode_png(_make_png(img, color_type=2, interlace=interlace)), img
+    )
+
+
+@given(_dims, st.integers(0, 2**32 - 1), st.sampled_from([1, 5, 32773]))
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(dims, seed, comp):
+    import numpy as np
+
+    from activestorage_ocr_spark.engine import rasters
+    from tests.test_engine_rasters import _make_tiff
+
+    h, w = dims
+    img = np.random.RandomState(seed % 2**31).randint(0, 256, (h, w)).astype(np.uint8)
+    big = bool(seed % 2)
+    pred = 2 if (comp == 5 and seed % 3 == 0) else 1
+    got = rasters.decode_tiff(_make_tiff(img, big_endian=big, comp=comp, predictor=pred))
+    assert np.array_equal(got, img)
