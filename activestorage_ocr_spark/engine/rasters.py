@@ -607,20 +607,45 @@ def decode_bmp(data: bytes) -> np.ndarray:
     flip = h > 0
     h = abs(h)
     if bpp == 32 and compression in (0, 3):
-        # BGRA (BI_RGB) or BI_BITFIELDS with the standard 8-bit masks;
-        # alpha composited over white like every other format here
-        row_size = w * 4
-        out = np.empty((h, w, 3), dtype=np.uint8)
-        for r in range(h):
-            row = np.frombuffer(
-                data[offset + r * row_size : offset + r * row_size + w * 4], dtype=np.uint8
-            ).reshape(w, 4)
-            bgr = row[:, :3][:, ::-1].astype(np.int32)
-            a = row[:, 3].astype(np.int32)
-            if compression == 0 and not a.any():
-                a = np.full(w, 255, dtype=np.int32)  # BI_RGB often leaves alpha 0
-            px = (bgr * a[:, None] + (255 - a[:, None]) * 255 + 127) // 255
-            out[h - 1 - r if flip else r] = px.astype(np.uint8)
+        # BGRA (BI_RGB) or BI_BITFIELDS; alpha composited over white like
+        # every other format here
+        if compression == 3:
+            # masks live at byte 54 for every header variant: appended after
+            # a 40-byte BITMAPINFOHEADER, embedded at the same position in
+            # V4/V5 headers; an alpha mask exists from V3 on (hdr >= 56 or
+            # pixel data leaving room for a 4th dword)
+            rm, gm, bm = struct.unpack("<III", data[54:66])
+            am = struct.unpack("<I", data[66:70])[0] if (hdr_size >= 56 or offset >= 70) else 0
+        else:
+            rm, gm, bm, am = 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000
+
+        def _shift(mask):
+            if mask == 0:
+                return None
+            s = (mask & -mask).bit_length() - 1
+            if (mask >> s) != 0xFF:
+                raise ValueError(f"unsupported BMP bitfields mask {mask:#x} (only 8-bit channels)")
+            return s
+        rs, gs, bs, as_ = _shift(rm), _shift(gm), _shift(bm), _shift(am)
+        if None in (rs, gs, bs):
+            raise ValueError("BMP bitfields with a missing color mask")
+        px32 = np.frombuffer(data[offset : offset + h * w * 4], dtype="<u4").reshape(h, w)
+        rgb = np.stack(
+            [(px32 >> s).astype(np.uint8) for s in (rs, gs, bs)], axis=-1
+        ).astype(np.int32)
+        if as_ is None:
+            a = np.full((h, w), 255, dtype=np.int32)
+        else:
+            a = ((px32 >> as_) & 0xFF).astype(np.int32)
+            if not a.any():
+                # BI_RGB writers often leave the alpha byte 0 on fully opaque
+                # images: decide the opaque fallback ONCE over the whole
+                # image, never per scanline (a genuinely-transparent row in a
+                # real RGBA image must not flip to opaque)
+                a = np.full((h, w), 255, dtype=np.int32)
+        out = ((rgb * a[..., None] + (255 - a[..., None]) * 255 + 127) // 255).astype(np.uint8)
+        if flip:
+            out = out[::-1]
         return rgb_to_gray(out)
     if bpp == 24 and compression == 0:
         row_size = (w * 3 + 3) & ~3

@@ -757,6 +757,13 @@ def decode_frame_planes(data: bytes):
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
     if tag & 1:
         raise ValueError("VP8 interframe: only still-image keyframes supported")
+    # RFC 6386 9.1: the 3-bit version selects the reconstruction/loop-filter
+    # profile — 0 = as signaled, 1-2 = simple filter, 3 = no filter, >3
+    # reserved. libwebp always emits 0, but honoring the field keeps
+    # pixel-exact parity on conformant streams from other encoders.
+    version = (tag >> 1) & 7
+    if version > 3:
+        raise ValueError(f"reserved VP8 bitstream version {version}")
     first_part_size = tag >> 5
     if data[3:6] != b"\x9d\x01\x2a":
         raise ValueError("bad VP8 keyframe start code")
@@ -776,6 +783,11 @@ def decode_frame_planes(data: bytes):
 
     bd = BoolDecoder(data[10 : 10 + first_part_size])
     hdr = _parse_header(bd)
+    # version overrides the signaled filter profile (RFC 6386 9.1)
+    if version in (1, 2):
+        hdr.filter_simple = 1
+    elif version == 3:
+        hdr.filter_level = 0
     nparts = 1 << bd.literal(2)
     _parse_quant(bd, hdr)
     bd.literal(1)  # refresh_entropy_probs (irrelevant for a single still)

@@ -180,7 +180,9 @@ def run_extraction_job(
         .collect()
     )
     wall_ms = int((time.perf_counter() - t0) * 1000)
-    committed_at = datetime.datetime.now()
+    # UTC regardless of driver timezone: manifests from different drivers
+    # must sort consistently (naive value — Spark TimestampType strips tz)
+    committed_at = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
     manifest = spark.createDataFrame(
         [
             (

@@ -462,3 +462,50 @@ class TestBmp32:
         out = rasters.decode_bmp(hdr + info + rows)
         expect = rasters.rgb_to_gray(np.array([[[30, 20, 10]] * 4], dtype=np.uint8))
         assert np.array_equal(out, expect)
+
+    def test_genuine_alpha_whole_image_decision(self):
+        # one fully-transparent row + one opaque row: the transparent row
+        # must composite to white, NOT flip to opaque via a per-row fallback
+        import struct
+
+        row_transparent = b"".join(bytes([0, 0, 0, 0]) for _ in range(4))
+        row_opaque = b"".join(bytes([10, 20, 30, 255]) for _ in range(4))
+        rows = row_opaque + row_transparent  # bottom-up: opaque is LAST row
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 32, 0, len(rows), 0, 0, 0, 0)
+        out = rasters.decode_bmp(hdr + info + rows)
+        expect = rasters.rgb_to_gray(
+            np.array(
+                [[[255, 255, 255]] * 4, [[30, 20, 10]] * 4], dtype=np.uint8
+            )
+        )
+        assert np.array_equal(out, expect)
+
+    def test_bitfields_nonstandard_masks(self):
+        # BI_BITFIELDS with RGBA byte order (R in the low byte) — the masks
+        # must be parsed, not assumed BGRA
+        import struct
+
+        img = np.random.RandomState(17).randint(0, 256, (3, 4, 3)).astype(np.uint8)
+        rows = b""
+        for r in range(2, -1, -1):
+            for x in range(4):
+                px = img[r, x, 0] | (int(img[r, x, 1]) << 8) | (int(img[r, x, 2]) << 16) | (255 << 24)
+                rows += struct.pack("<I", px)
+        offset = 54 + 16
+        hdr = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+        info = struct.pack("<IiiHHIIiiII", 40, 4, 3, 1, 32, 3, len(rows), 0, 0, 0, 0)
+        masks = struct.pack("<IIII", 0x000000FF, 0x0000FF00, 0x00FF0000, 0xFF000000)
+        out = rasters.decode_bmp(hdr + info + masks + rows)
+        assert np.array_equal(out, rasters.rgb_to_gray(img))
+
+    def test_bitfields_565_rejected(self):
+        import struct
+
+        rows = b"\x00" * 16
+        offset = 54 + 16
+        hdr = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+        info = struct.pack("<IiiHHIIiiII", 40, 4, 1, 1, 32, 3, len(rows), 0, 0, 0, 0)
+        masks = struct.pack("<IIII", 0xF800, 0x07E0, 0x001F, 0)
+        with pytest.raises(ValueError, match="bitfields"):
+            rasters.decode_bmp(hdr + info + masks + rows)

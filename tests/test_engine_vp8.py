@@ -171,6 +171,26 @@ class TestErrors:
         with pytest.raises(ValueError, match="64MP"):
             vp8x.decode_frame_planes(b"\x00\x00\x00\x9d\x01\x2a" + dims + bytes(32))
 
+    def test_reserved_version_rejected(self):
+        dims = struct.pack("<HH", 48, 32)
+        tag = bytes([(4 << 1), 0x00, 0x00])  # version 4 = reserved
+        with pytest.raises(ValueError, match="version"):
+            vp8x.decode_frame_planes(tag + b"\x9d\x01\x2a" + dims + bytes(32))
+
+    def test_version_overrides_loop_filter(self):
+        # RFC 6386 9.1: version 3 = no loop filter regardless of the signaled
+        # filter level. Patch a libwebp stream (version 0, filtered) to
+        # version 3: it must still decode, and the output must differ from
+        # the version-0 decode exactly when the filter was active.
+        if _LW is None:
+            pytest.skip("needs libwebp to build a lossy stream")
+        payload = bytearray(_vp8_payload(_libwebp_encode(_synthetic(64, 64, "gradient", 5), 30.0)))
+        y0, u0, v0 = vp8x.decode_frame_planes(bytes(payload))
+        payload[0] = (payload[0] & ~0x0E) | (3 << 1)
+        y3, u3, v3 = vp8x.decode_frame_planes(bytes(payload))
+        assert y3.shape == y0.shape
+        assert not np.array_equal(y3, y0), "filter override had no effect"
+
     def test_garbage_payloads_never_crash(self):
         # realistic corruption: valid small dims, garbage partitions
         rng = np.random.RandomState(7)
