@@ -123,23 +123,42 @@ def lsh_candidate_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+
+# hex digits whose 4-bit value has bit j set (j=0 is the MSB of the digit):
+# bit b of a token's 64-bit signature is bit (b % 4) of hex digit (b // 4)
+# of md5(token) — 4 bits per digit x 16 digits = 64 bits, reproducible in
+# any engine with md5 + substring (the DuckDB oracle uses the same sets).
+SIMHASH_HEX_SETS = [
+    "89abcdef",  # value & 8
+    "4567cdef",  # value & 4
+    "2367abef",  # value & 2
+    "13579bdf",  # value & 1
+]
 
 
 def simhash_bits(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc 16-bit SimHash over whitespace tokens. Bit i of a token is the
-    parity class of hex digit i of md5(token) (>= '8'); bit i of the doc is
-    the sign of the sum of (+1/-1) votes. Returns (id, simhash string of
-    '0'/'1' x16) — engine-portable (md5-based)."""
+    """Per-doc 64-bit SimHash over whitespace tokens. Bit b of a token is
+    bit (b % 4) of hex digit (b // 4) of md5(token); bit b of the doc is the
+    sign of the sum of (+1/-1) votes. Returns (id, simhash string of
+    '0'/'1' x64) — engine-portable (md5-based).
+
+    64 bits is the production calibration (VERDICT r3): with 16-bit
+    signatures banded into 3 segments the band keys carry ~5 bits each, so
+    at crawl scale every band bucket holds ~n/32 documents and the candidate
+    join explodes; 64 bits / 4 x 16-bit segments keeps bucket populations
+    bounded."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.md5(F.col("tok").cast("binary"))
     votes = [
         F.sum(
-            F.when(F.substring(h, i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"v_{i}")
-        for i in range(SIMHASH_BITS)
+            F.when(
+                F.substring(h, b // 4 + 1, 1).isin(*SIMHASH_HEX_SETS[b % 4]), 1
+            ).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     bits = F.concat(
@@ -148,7 +167,7 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), bits.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2) -> DataFrame:
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, candidate-bounded by
     banding the bit string into (max_hamming+1) segments (pigeonhole: any pair
     within max_hamming shares at least one exact segment)."""

@@ -754,9 +754,17 @@ def q_dedup_lsh_pairs(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """Per-doc 16-bit SimHash signature."""
+    """Per-doc 64-bit SimHash signature."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.simhash_bits(docs, "doc_id", "text")
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) over the corpus with injected
+    near-duplicates: 64-bit signatures banded into 4 x 16-bit segment keys
+    (pigeonhole guarantee), bucket equi-join — never all-pairs."""
+    docs = _docs_with_neardups(spark, sf_dir)
+    return dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
@@ -928,6 +936,7 @@ QUERIES.update(
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_clusters": q_dedup_clusters,
@@ -960,13 +969,19 @@ _MINHASH_AGG = ", ".join(
     f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(4)
 )
 
+def _sql_hexset(chars: str) -> str:
+    return ", ".join(f"'{c}'" for c in chars)
+
+
 _SIMHASH_VOTES = ", ".join(
-    "sum(CASE WHEN substr(md5(tok), {i}, 1) IN ('8','9','a','b','c','d','e','f') "
-    "THEN 1 ELSE -1 END) AS v_{j}".format(i=i + 1, j=i)
-    for i in range(16)
+    "sum(CASE WHEN substr(md5(tok), {i}, 1) IN ({hs}) "
+    "THEN 1 ELSE -1 END) AS v_{b}".format(
+        i=b // 4 + 1, hs=_sql_hexset(dd.SIMHASH_HEX_SETS[b % 4]), b=b
+    )
+    for b in range(dd.SIMHASH_BITS)
 )
-_SIMHASH_BITS = " || ".join(
-    f"CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
+_SIMHASH_BITS_SQL = " || ".join(
+    f"CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END" for i in range(dd.SIMHASH_BITS)
 )
 
 _COS_SQL = (
@@ -1069,7 +1084,36 @@ ORACLES.update(
                 SELECT doc_id, {_SIMHASH_VOTES}
                 FROM toks WHERE tok <> '' GROUP BY doc_id
             )
-            SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM votes
+            SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM votes
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH {_NEARDUP_SQL_CTE},
+            toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM docs_nd
+            ),
+            votes AS (
+                SELECT doc_id, {_SIMHASH_VOTES}
+                FROM toks WHERE tok <> '' GROUP BY doc_id
+            ),
+            sig AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM votes),
+            buckets AS (
+                SELECT doc_id, simhash, b.band,
+                       substr(simhash, b.band * 16 + 1, 16) AS key
+                FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.simhash AS sh_a, b.simhash AS sh_b
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   len(list_filter(generate_series(1, {dd.SIMHASH_BITS}),
+                       i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1)))::BIGINT AS hamming
+            FROM cand
+            WHERE len(list_filter(generate_series(1, {dd.SIMHASH_BITS}),
+                      i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
         """,
         "dedup_jaccard_pairs": _jaccard_verified_sql(0.5),
         "dedup_lsh_verified": _jaccard_verified_sql(0.0),

@@ -56,14 +56,64 @@ class TestMinHashLSH:
 class TestSimHash:
     def test_bits_shape(self, docs):
         rows = {r.doc_id: r.simhash for r in dd.simhash_bits(docs, "doc_id", "text").collect()}
-        assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in rows.values())
+        assert all(len(v) == dd.SIMHASH_BITS and set(v) <= {"0", "1"} for v in rows.values())
+        assert dd.SIMHASH_BITS == 64  # production calibration (VERDICT r3)
         assert rows[1] == rows[2]
 
     def test_near_pairs_by_hamming(self, docs):
         pairs = {(r.id_a, r.id_b): r.hamming for r in
-                 dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=2).collect()}
+                 dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
         assert pairs[(1, 2)] == 0
         assert (4, 5) not in pairs
+
+    def test_recall_on_injected_near_dups(self, spark):
+        # 20 long docs + a 1-token-appended mutation of each: the mutation
+        # moves each of the 64 vote sums by +-1, so signatures stay within
+        # a few bits; every pair that IS within max_hamming must be found
+        # (pigeonhole banding = 100% recall on in-range pairs), and with
+        # 200-token docs the large majority of injected pairs are in range.
+        base_words = [f"w{(i * 37) % 211}" for i in range(200)]
+        rows = []
+        for d in range(20):
+            text = " ".join(base_words[(d * 11) % 199 :] + base_words[: (d * 11) % 199]) + f" doc{d}"
+            rows.append((d, text))
+            rows.append((d + 1000, text + " mutated"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = {r.doc_id: r.simhash for r in dd.simhash_bits(docs, "doc_id", "text").collect()}
+        in_range = {
+            (d, d + 1000)
+            for d in range(20)
+            if sum(a != b for a, b in zip(sig[d], sig[d + 1000])) <= 3
+        }
+        found = {(r.id_a, r.id_b) for r in
+                 dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+        assert in_range, "calibration broke: no injected pair within hamming 3"
+        assert in_range <= found  # pigeonhole recall guarantee
+        assert len(in_range) >= 10  # 64-bit sigs keep 1-token edits close
+
+    def test_band_keys_do_not_collapse(self, spark):
+        # the r3 scale flaw: 16-bit signatures banded into 3 segments gave
+        # ~32 distinct keys per band, so every band bucket held ~n/32 docs.
+        # With 64-bit / 4x16-bit banding, distinct keys per band must grow
+        # with corpus size (here: several hundred docs -> no collapse).
+        rows = [
+            (i, " ".join(f"t{(i * 13 + j * 7) % 997}" for j in range(60)))
+            for i in range(400)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = dd.simhash_bits(docs, "doc_id", "text")
+        n_bands = 4
+        seg = dd.SIMHASH_BITS // n_bands
+        for b in range(n_bands):
+            n_keys = (
+                sig.select(F.substring("simhash", b * seg + 1, seg).alias("k"))
+                .distinct()
+                .count()
+            )
+            # 16-bit/3-band signatures capped every band at <= 2^6 = 64
+            # possible keys (observed ~32); 16-bit segments must give
+            # hundreds on a 400-doc corpus
+            assert n_keys > 200, f"band {b} collapsed to {n_keys} keys"
 
 
 class TestJaccard:
