@@ -254,7 +254,7 @@ class TestRound3PlanShapes:
             [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
         )
         nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
-        out = dd.connected_components(nodes, pairs, max_iters=4)
+        out = dd.connected_components(nodes, pairs)
         rows = {r.doc_id: r.cluster_id for r in out.collect()}
         assert rows[1] == rows[2] == rows[3] == 1      # chain collapses to min
         assert rows[10] == rows[11] == 10
@@ -263,11 +263,53 @@ class TestRound3PlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_curation_keep_list_broadcast_semi(self, spark):
+    def test_lsh_signature_computed_once(self, spark):
+        # VERDICT r3 item 5: the bucket self-join must not recompute the
+        # MinHash signature subtree (shingle explode + n_hashes min-aggs)
+        # on both sides. lsh_candidate_pairs persists the bucket table, so
+        # BOTH join sides must read it via TableCacheQueryStage /
+        # InMemoryTableScan — the signature aggregation then runs exactly
+        # once, at cache-fill time.
+        rows = [
+            (i, " ".join(f"t{(i * 13 + j * 7) % 97}" for j in range(30)))
+            for i in range(50)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dd.lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("TableCacheQueryStage") == 2, plan
+        assert "InMemoryTableScan" in plan
+
+    def test_connected_components_long_chain_converges(self, spark):
+        # VERDICT r3: a path graph of diameter > 6 — the old fixed
+        # max_iters=6 silently split this chain; the convergence loop must
+        # label every node with the chain minimum.
+        n = 15
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+        out = dd.connected_components(nodes, pairs)
+        rows = {r.doc_id: r.cluster_id for r in out.collect()}
+        assert all(rows[i] == 1 for i in range(1, n + 1)), rows
+
+    def test_connected_components_iteration_backstop_raises(self, spark):
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+        with pytest.raises(RuntimeError, match="converge"):
+            dd.connected_components(nodes, pairs, max_iters=2)
+
+    def test_curation_keep_list_single_scan(self, spark):
+        # r4 rework (VERDICT r3): keeper dedup is a window min over fp —
+        # ONE scan of documents, ONE shuffle, no join at all (the r3
+        # groupBy+semi shape scanned documents twice and claimed a broadcast
+        # that cannot hold when keepers ~ corpus-sized)
         import __spark_entry__ as e
 
         df = e.queries()["curation_keep_list"](spark, "/root/testdata/sf0.001")
         assert df.count() > 0
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
-        assert "LeftSemi" in plan  # keeper dedup is a semi join, not a window
+        assert plan.count("Scan parquet") == 1
+        assert "Join" not in plan  # keeper dedup carries no join
