@@ -29,7 +29,7 @@ from __future__ import annotations
 import time
 from typing import Any
 
-from . import htmlx, mime as mimex, pdfx, rasters
+from . import budget, htmlx, mime as mimex, pdfx, rasters
 from .confidence import calculate_confidence
 from .preprocess import parse_preset, run_pipeline
 
@@ -41,6 +41,12 @@ E_TOO_LARGE = "IMAGE_TOO_LARGE"
 E_MISSING = "MISSING_FILE"
 E_INVALID = "INVALID_REQUEST"
 E_INTERNAL = "INTERNAL"
+#: per-document wall-budget overrun — the batch analog of the reference's
+#: request timeout (`lib/activestorage/ocr/configuration.rb:58-59`)
+E_TIMEOUT = "TIMEOUT"
+
+#: default per-document budget: the reference's 30 s request timeout.
+DEFAULT_DOC_TIMEOUT_MS = 30_000
 
 STATUS_OK = "ok"
 STATUS_EMPTY = "empty"
@@ -99,6 +105,8 @@ def pipeline_info() -> dict[str, Any]:
         "max_file_size": DEFAULT_MAX_BYTES,
         "default_engine": ENGINES[0],
         "presets": ["none", "minimal", "default", "aggressive"],
+        # per-document wall budget (configuration.rb request_timeout analog)
+        "doc_timeout_ms": DEFAULT_DOC_TIMEOUT_MS,
     }
 
 
@@ -157,11 +165,45 @@ def extract_document(
     preset: str = "minimal",
     max_bytes: int = DEFAULT_MAX_BYTES,
     languages: str | None = None,
+    timeout_ms: int | None = None,
 ) -> dict[str, Any]:
     """Extract one document. Pure function of (payload, engine, preset,
-    max_bytes, languages); never raises. ``languages`` is the reference's
-    '+'-separated request field ('eng+deu'); None -> the default language."""
+    max_bytes, languages, timeout_ms); never raises. ``languages`` is the
+    reference's '+'-separated request field ('eng+deu'); None -> the default
+    language. ``timeout_ms`` arms a per-document wall budget (the batch
+    analog of the reference's 30 s request timeout,
+    `configuration.rb:58-59`): overruns return a ``TIMEOUT`` quarantine row
+    instead of straggling the task; None/0 disables."""
     t0 = time.perf_counter()
+    try:
+        with budget.deadline(timeout_ms):
+            return _dispatch(
+                payload, engine=engine, preset=preset, max_bytes=max_bytes,
+                languages=languages, t0=t0,
+            )
+    except budget.DocTimeout as e:
+        return _result(
+            mime=mimex.sniff_mime(payload[:1024]) if payload else mimex.MIME_OCTET,
+            status=E_TIMEOUT, error_code=E_TIMEOUT,
+            warnings=[str(e)], engine=engine, preset=preset, t0=t0,
+        )
+    except Exception as e:  # noqa: BLE001 — O7: quarantine, never raise
+        return _result(
+            mime=mimex.sniff_mime(payload[:1024]) if payload else mimex.MIME_OCTET,
+            status=E_PROCESSING, error_code=E_PROCESSING,
+            warnings=[f"{type(e).__name__}: {e}"], engine=engine, preset=preset, t0=t0,
+        )
+
+
+def _dispatch(
+    payload: bytes | None,
+    *,
+    engine: str,
+    preset: str,
+    max_bytes: int,
+    languages: str | None,
+    t0: float,
+) -> dict[str, Any]:
     try:
         if engine not in ENGINES:
             return _result(
@@ -225,6 +267,8 @@ def extract_document(
             mime=mime, status=E_UNSUPPORTED, error_code=E_UNSUPPORTED,
             warnings=[f"unsupported format: {mime}"], engine=engine, preset=preset, t0=t0,
         )
+    except budget.DocTimeout:
+        raise  # handled by extract_document -> stable TIMEOUT code
     except Exception as e:  # noqa: BLE001 — O7: quarantine, never raise
         return _result(
             mime=mimex.sniff_mime(payload[:1024]) if payload else mimex.MIME_OCTET,

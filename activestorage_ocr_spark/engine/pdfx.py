@@ -45,6 +45,7 @@ import zlib
 
 import numpy as np
 
+from . import budget
 from .confidence import PDF_TEXT_LAYER_CONFIDENCE, calculate_confidence
 from .rasters import ocr_decode_image, rgb_to_gray
 
@@ -737,6 +738,7 @@ def extract_pdf(
     confs: list[float] = []
     decoded_any = False
     for obj in image_objs:
+        budget.check()  # per-image guard on the OCR-fallback scan (E2-E7)
         try:
             gray = decode_image_xobject(obj, objects)
         except PdfError as e:

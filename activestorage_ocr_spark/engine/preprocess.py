@@ -27,6 +27,7 @@ import time
 
 import numpy as np
 
+from . import budget
 from .rasters import rgb_to_gray
 
 PRESETS = ("none", "minimal", "default", "aggressive")
@@ -196,11 +197,13 @@ def estimate_skew_angle(img: np.ndarray) -> float:
     best_a, best_s = 0.0, -1.0
     coarse = np.arange(-DESKEW_RANGE, DESKEW_RANGE + 1e-9, DESKEW_COARSE)
     for a in coarse:
+        budget.check()  # the angle search is the engine's worst straggler
         sc = _skew_score(dark, float(a))
         if sc > best_s:
             best_a, best_s = float(a), sc
     fine = np.arange(best_a - DESKEW_COARSE, best_a + DESKEW_COARSE + 1e-9, DESKEW_FINE)
     for a in fine:
+        budget.check()
         sc = _skew_score(dark, float(a))
         if sc > best_s:
             best_a, best_s = float(a), sc
@@ -280,6 +283,7 @@ def run_pipeline(img: np.ndarray, preset: str) -> tuple[np.ndarray, list[tuple[s
     steps = _PRESET_STEPS[parse_preset(preset)]
     timings: list[tuple[str, int]] = []
     for name, fn in steps:
+        budget.check()  # per-stage guard (SURVEY.md §1.1 timeout mapping)
         t0 = time.perf_counter()
         img = fn(img)
         timings.append((name, int((time.perf_counter() - t0) * 1000)))

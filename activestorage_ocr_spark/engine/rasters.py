@@ -37,6 +37,8 @@ import zlib
 
 import numpy as np
 
+from . import budget
+
 # --------------------------------------------------------------------------
 # 5x7 pixel font ("X" = ink). Every glyph is unique after blank-column trim.
 # --------------------------------------------------------------------------
@@ -296,6 +298,7 @@ def ocr_decode_image(
         return "", warnings
     lines_out: list[str] = []
     for r0, r1 in _segments(dark.any(axis=1)):
+        budget.check()  # per-line guard: glyph matching over huge rasters
         band = dark[r0:r1, :]
         h = r1 - r0
         scale = max(1, round(h / GLYPH_H))

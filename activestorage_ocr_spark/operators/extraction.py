@@ -153,6 +153,7 @@ def make_extract_kernel(
     defer_over: int | None = None,
     default_language: str | None = None,
     forced_languages: str | None = None,
+    timeout_ms: int | None = None,
 ):
     """Build the mapInArrow kernel. All per-document work happens in
     `engine.extract.extract_document` — the same function the golden oracle
@@ -215,6 +216,7 @@ def make_extract_kernel(
                         languages=forced_languages
                         or _lang_request(lg)
                         or default_language,
+                        timeout_ms=timeout_ms,
                     )
                     rows["url"].append(u)
                     rows["lang"].append(lg)
@@ -254,6 +256,7 @@ def make_finish_kernel(
     max_bytes: int,
     default_language: str | None = None,
     forced_languages: str | None = None,
+    timeout_ms: int | None = None,
 ):
     """Pass 2 of single-scan skew routing: finish rows deferred by
     `make_extract_kernel(defer_over=...)` after the redistribution exchange.
@@ -300,6 +303,7 @@ def make_finish_kernel(
                         languages=forced_languages
                         or _lang_request(lg)
                         or default_language,
+                        timeout_ms=timeout_ms,
                     )
                     rows["url"].append(u)
                     rows["lang"].append(lg)
@@ -384,6 +388,7 @@ def extract_pages(
     salt_buckets: int = 64,
     skew_handling: bool | str = "giants",
     giant_bytes: int = GIANT_BYTES,
+    doc_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Run the extraction pipeline over a pages DataFrame.
 
@@ -430,7 +435,10 @@ def extract_pages(
     # main.rs clap-env analog, engine/config.py). Env is only read — and
     # only validated — when at least one knob was actually left unset:
     # explicit arguments must not be vetoed by a stale ASOS_OCR_* variable.
-    if engine is None or preset is None or max_bytes is None or default_language is None:
+    if (
+        engine is None or preset is None or max_bytes is None
+        or default_language is None or doc_timeout_ms is None
+    ):
         from ..engine.config import EngineConfig
 
         cfg = EngineConfig.from_env()
@@ -438,6 +446,10 @@ def extract_pages(
         preset = cfg.preset if preset is None else preset
         max_bytes = cfg.max_bytes if max_bytes is None else max_bytes
         default_language = cfg.default_language if default_language is None else default_language
+        # per-document wall budget (the reference's 30 s request timeout):
+        # overruns quarantine with the stable TIMEOUT code instead of
+        # straggling a task; 0 disables
+        doc_timeout_ms = cfg.doc_timeout_ms if doc_timeout_ms is None else doc_timeout_ms
     if languages is not None:
         # fail fast on the driver — a bad forced request must not
         # quarantine an entire run row-by-row
@@ -453,6 +465,7 @@ def extract_pages(
     kernel = make_extract_kernel(
         engine, preset, max_bytes,
         default_language=default_language, forced_languages=languages,
+        timeout_ms=doc_timeout_ms,
     )
     mode = {True: "full", False: "off"}.get(skew_handling, skew_handling)
 
@@ -485,6 +498,7 @@ def extract_pages(
     pass1_kernel = make_extract_kernel(
         engine, preset, max_bytes, defer_over=giant_bytes,
         default_language=default_language, forced_languages=languages,
+        timeout_ms=doc_timeout_ms,
     )
     pass1 = proj.mapInArrow(pass1_kernel, DEFERRED_SCHEMA)
     redistributed = _repart(pass1, F.col("url"))
@@ -492,6 +506,7 @@ def extract_pages(
         make_finish_kernel(
             engine, max_bytes,
             default_language=default_language, forced_languages=languages,
+            timeout_ms=doc_timeout_ms,
         ),
         EXTRACTED_SCHEMA,
     )
