@@ -1,0 +1,344 @@
+"""CCITT Group 4 (ITU-T T.6, MMR) codec for the PDF ``/CCITTFaxDecode``
+filter — the dominant encoding of real-world scanned PDFs.
+
+Strictly BEYOND the reference (its raster path errors on anything but raw
+Gray/RGB/CMYK sample streams, `rust/src/engines/ocrs.rs:467-582`); added
+because crawl-reality scanned PDFs are overwhelmingly G4 (VERDICT r3 item 6,
+COVERAGE.md "Remaining labeled gaps").
+
+Implemented from the public specs only:
+
+* ITU-T T.4 §2.2.2 — the Modified Huffman white/black run-length code
+  tables (terminating 0-63, make-up 64-1728, extended make-up 1792-2560);
+* ITU-T T.6 §2.2.3-2.2.5 — the two-dimensional (MMR) coding modes: pass
+  (0001), horizontal (001 + two MH runs), vertical V0/VR1-3/VL1-3, and the
+  EOFB terminator (two EOLs).
+
+Both directions are provided: :func:`encode_g4` so tests can synthesize
+fixture PDFs without any external tool, and :func:`decode_g4` for the
+extraction path. The encoder and decoder are independent walks of the same
+published tables, so a round-trip failure localizes a transcription error.
+
+Scale posture: runs inside the per-document Arrow kernel (map-only); the
+line loop is pure Python but bounded by the 64 MP decode-bomb guard shared
+with the other codecs, and the per-document wall budget (engine/budget.py)
+checks each scanline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import budget
+
+__all__ = ["encode_g4", "decode_g4", "G4Error"]
+
+
+class G4Error(ValueError):
+    """Malformed or unsupported G4 stream."""
+
+
+# ---------------------------------------------------------------------------
+# ITU-T T.4 Modified Huffman run-length tables: run -> (code value, bit count)
+# ---------------------------------------------------------------------------
+
+_WHITE_TERM = {
+    0: ("00110101"), 1: ("000111"), 2: ("0111"), 3: ("1000"),
+    4: ("1011"), 5: ("1100"), 6: ("1110"), 7: ("1111"),
+    8: ("10011"), 9: ("10100"), 10: ("00111"), 11: ("01000"),
+    12: ("001000"), 13: ("000011"), 14: ("110100"), 15: ("110101"),
+    16: ("101010"), 17: ("101011"), 18: ("0100111"), 19: ("0001100"),
+    20: ("0001000"), 21: ("0010111"), 22: ("0000011"), 23: ("0000100"),
+    24: ("0101000"), 25: ("0101011"), 26: ("0010011"), 27: ("0100100"),
+    28: ("0011000"), 29: ("00000010"), 30: ("00000011"), 31: ("00011010"),
+    32: ("00011011"), 33: ("00010010"), 34: ("00010011"), 35: ("00010100"),
+    36: ("00010101"), 37: ("00010110"), 38: ("00010111"), 39: ("00101000"),
+    40: ("00101001"), 41: ("00101010"), 42: ("00101011"), 43: ("00101100"),
+    44: ("00101101"), 45: ("00000100"), 46: ("00000101"), 47: ("00001010"),
+    48: ("00001011"), 49: ("01010010"), 50: ("01010011"), 51: ("01010100"),
+    52: ("01010101"), 53: ("00100100"), 54: ("00100101"), 55: ("01011000"),
+    56: ("01011001"), 57: ("01011010"), 58: ("01011011"), 59: ("01001010"),
+    60: ("01001011"), 61: ("00110010"), 62: ("00110011"), 63: ("00110100"),
+}
+
+_WHITE_MAKEUP = {
+    64: ("11011"), 128: ("10010"), 192: ("010111"), 256: ("0110111"),
+    320: ("00110110"), 384: ("00110111"), 448: ("01100100"),
+    512: ("01100101"), 576: ("01101000"), 640: ("01100111"),
+    704: ("011001100"), 768: ("011001101"), 832: ("011010010"),
+    896: ("011010011"), 960: ("011010100"), 1024: ("011010101"),
+    1088: ("011010110"), 1152: ("011010111"), 1216: ("011011000"),
+    1280: ("011011001"), 1344: ("011011010"), 1408: ("011011011"),
+    1472: ("010011000"), 1536: ("010011001"), 1600: ("010011010"),
+    1664: ("011000"), 1728: ("010011011"),
+}
+
+_BLACK_TERM = {
+    0: ("0000110111"), 1: ("010"), 2: ("11"), 3: ("10"),
+    4: ("011"), 5: ("0011"), 6: ("0010"), 7: ("00011"),
+    8: ("000101"), 9: ("000100"), 10: ("0000100"), 11: ("0000101"),
+    12: ("0000111"), 13: ("00000100"), 14: ("00000111"), 15: ("000011000"),
+    16: ("0000010111"), 17: ("0000011000"), 18: ("0000001000"),
+    19: ("00001100111"), 20: ("00001101000"), 21: ("00001101100"),
+    22: ("00000110111"), 23: ("00000101000"), 24: ("00000010111"),
+    25: ("00000011000"), 26: ("000011001010"), 27: ("000011001011"),
+    28: ("000011001100"), 29: ("000011001101"), 30: ("000001101000"),
+    31: ("000001101001"), 32: ("000001101010"), 33: ("000001101011"),
+    34: ("000011010010"), 35: ("000011010011"), 36: ("000011010100"),
+    37: ("000011010101"), 38: ("000011010110"), 39: ("000011010111"),
+    40: ("000001101100"), 41: ("000001101101"), 42: ("000011011010"),
+    43: ("000011011011"), 44: ("000001010100"), 45: ("000001010101"),
+    46: ("000001010110"), 47: ("000001010111"), 48: ("000001100100"),
+    49: ("000001100101"), 50: ("000001010010"), 51: ("000001010011"),
+    52: ("000000100100"), 53: ("000000110111"), 54: ("000000111000"),
+    55: ("000000100111"), 56: ("000000101000"), 57: ("000001011000"),
+    58: ("000001011001"), 59: ("000000101011"), 60: ("000000101100"),
+    61: ("000001011010"), 62: ("000001100110"), 63: ("000001100111"),
+}
+
+_BLACK_MAKEUP = {
+    64: ("0000001111"), 128: ("000011001000"), 192: ("000011001001"),
+    256: ("000001011011"), 320: ("000000110011"), 384: ("000000110100"),
+    448: ("000000110101"), 512: ("0000001101100"), 576: ("0000001101101"),
+    640: ("0000001001010"), 704: ("0000001001011"), 768: ("0000001001100"),
+    832: ("0000001001101"), 896: ("0000001110010"), 960: ("0000001110011"),
+    1024: ("0000001110100"), 1088: ("0000001110101"), 1152: ("0000001110110"),
+    1216: ("0000001110111"), 1280: ("0000001010010"), 1344: ("0000001010011"),
+    1408: ("0000001010100"), 1472: ("0000001010101"), 1536: ("0000001011010"),
+    1600: ("0000001011011"), 1664: ("0000001100100"), 1728: ("0000001100101"),
+}
+
+#: extended make-up codes (T.4 table 3), shared by both colors
+_EXT_MAKEUP = {
+    1792: ("00000001000"), 1856: ("00000001100"), 1920: ("00000001101"),
+    1984: ("000000010010"), 2048: ("000000010011"), 2112: ("000000010100"),
+    2176: ("000000010101"), 2240: ("000000010110"), 2304: ("000000010111"),
+    2368: ("000000011100"), 2432: ("000000011101"), 2496: ("000000011110"),
+    2560: ("000000011111"),
+}
+
+_EOL = "000000000001"
+
+# decoder lookups: bitstring -> (run, is_terminating)
+_WHITE_DECODE = {c: (r, True) for r, c in _WHITE_TERM.items()}
+_WHITE_DECODE.update({c: (r, False) for r, c in _WHITE_MAKEUP.items()})
+_WHITE_DECODE.update({c: (r, False) for r, c in _EXT_MAKEUP.items()})
+_BLACK_DECODE = {c: (r, True) for r, c in _BLACK_TERM.items()}
+_BLACK_DECODE.update({c: (r, False) for r, c in _BLACK_MAKEUP.items()})
+_BLACK_DECODE.update({c: (r, False) for r, c in _EXT_MAKEUP.items()})
+_MAX_CODE_LEN = 13
+
+
+def _emit_run(bits: list[str], run: int, white: bool) -> None:
+    """MH-encode one run length (make-ups then the mandatory terminator)."""
+    makeup = _WHITE_MAKEUP if white else _BLACK_MAKEUP
+    while run >= 2624:  # largest extended make-up covers to 2560+63
+        bits.append(_EXT_MAKEUP[2560])
+        run -= 2560
+    if run >= 1792 and (run - (run % 64)) in _EXT_MAKEUP:
+        bits.append(_EXT_MAKEUP[run - (run % 64)])
+        run %= 64
+    elif run >= 64:
+        bits.append(makeup[run - (run % 64)])
+        run %= 64
+    bits.append((_WHITE_TERM if white else _BLACK_TERM)[run])
+
+
+def _transitions(line: np.ndarray) -> list[int]:
+    """Positions where the pixel color changes, with an imaginary white pixel
+    before position 0 (T.6 changing elements). line is bool (True=black)."""
+    if line.size == 0:
+        return []
+    prev = np.concatenate(([False], line[:-1]))
+    return np.flatnonzero(line != prev).tolist()
+
+
+def encode_g4(image: np.ndarray) -> bytes:
+    """Encode a bool array (True = black) as a G4/MMR stream with EOFB,
+    byte-padded — the exact body of a PDF ``/CCITTFaxDecode`` stream with
+    ``/K -1 /Columns w /Rows h`` (and default BlackIs1=false: 0 bits black
+    is the PDF sample convention, but the G4 layer itself codes runs, not
+    bit polarity)."""
+    img = np.asarray(image, dtype=bool)
+    if img.ndim != 2:
+        raise G4Error("encode_g4 expects a 2-D bool array")
+    h, w = img.shape
+    bits: list[str] = []
+    ref: list[int] = []  # imaginary all-white reference line
+    for y in range(h):
+        cur = _transitions(img[y])
+        a0 = -1
+        color_white = True
+        while a0 < w:
+            a1 = _next_change(cur, a0, color_white, w)
+            b1 = _next_change(ref, a0, color_white, w)
+            b2 = _following_change(ref, b1, w)
+            if b2 < a1:
+                bits.append("0001")  # pass
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                d = a1 - b1
+                bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                             -1: "010", -2: "000010", -3: "0000010"}[d])
+                a0 = a1
+                color_white = not color_white
+            else:
+                a2 = _following_change(cur, a1, w)
+                bits.append("001")  # horizontal
+                run1 = a1 - (a0 if a0 >= 0 else 0)
+                run2 = a2 - a1
+                _emit_run(bits, run1, color_white)
+                _emit_run(bits, run2, not color_white)
+                a0 = a2
+        ref = cur
+    bits.append(_EOL)
+    bits.append(_EOL)  # EOFB
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+
+
+def _next_change(trans: list[int], a0: int, color_white: bool, w: int) -> int:
+    """First changing element strictly right of a0 whose new color is the
+    opposite of the current (a0) color. Transitions alternate white->black
+    (even index) / black->white (odd index) because every line starts with an
+    imaginary white pixel — so parity of the index IS the target color."""
+    want_to_black = color_white
+    for i, t in enumerate(trans):
+        if t > a0 and ((i % 2 == 0) == want_to_black):
+            return t
+    return w
+
+
+def _following_change(trans: list[int], pos: int, w: int) -> int:
+    for t in trans:
+        if t > pos:
+            return t
+    return w
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def peek_str(self, n: int) -> str:
+        out = []
+        for i in range(self.pos, min(self.pos + n, self.nbits)):
+            out.append("1" if self.data[i >> 3] & (0x80 >> (i & 7)) else "0")
+        return "".join(out)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+
+_MODE_CODES = (
+    ("1", "V0"), ("011", "VR1"), ("010", "VL1"), ("001", "H"),
+    ("0001", "P"), ("000011", "VR2"), ("000010", "VL2"),
+    ("0000011", "VR3"), ("0000010", "VL3"), (_EOL, "EOL"),
+)
+
+
+def _read_mode(br: _BitReader) -> str:
+    window = br.peek_str(12)
+    for code, mode in _MODE_CODES:
+        if window.startswith(code):
+            br.skip(len(code))
+            return mode
+    raise G4Error(f"bad mode code at bit {br.pos}: {window!r}")
+
+
+def _read_run(br: _BitReader, white: bool) -> int:
+    """One complete MH run: zero or more make-ups, then a terminating code."""
+    table = _WHITE_DECODE if white else _BLACK_DECODE
+    total = 0
+    for _ in range(64):  # more make-ups than any sane run needs
+        window = br.peek_str(_MAX_CODE_LEN)
+        for ln in range(2, _MAX_CODE_LEN + 1):
+            hit = table.get(window[:ln])
+            if hit is not None:
+                run, terminating = hit
+                br.skip(ln)
+                total += run
+                if terminating:
+                    return total
+                break
+        else:
+            raise G4Error(f"bad {'white' if white else 'black'} run code at bit {br.pos}")
+    raise G4Error("runaway make-up sequence")
+
+
+def decode_g4(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
+    """Decode a G4/MMR stream to a bool array (True = black) of width
+    ``columns``. ``rows`` bounds the output (PDF /Rows or /Height); when
+    None, decoding stops at EOFB or stream end."""
+    if columns <= 0:
+        raise G4Error("columns must be positive")
+    if rows is not None and rows * columns > 64_000_000:
+        raise G4Error("G4 image too large")  # decode-bomb guard parity
+    br = _BitReader(data)
+    w = columns
+    out: list[np.ndarray] = []
+    ref: list[int] = []
+    max_rows = rows if rows is not None else 1 << 30
+    while len(out) < max_rows:
+        budget.check()  # per-scanline guard (engine wall budget)
+        if br.pos >= br.nbits:
+            break
+        if br.peek_str(12) == _EOL:
+            break  # EOFB
+        cur: list[int] = []
+        a0 = -1
+        color_white = True
+        while a0 < w:
+            mode = _read_mode(br)
+            if mode == "EOL":
+                raise G4Error("unexpected EOL mid-line")
+            b1 = _next_change(ref, a0, color_white, w)
+            b2 = _following_change(ref, b1, w)
+            if mode == "P":
+                a0 = b2
+            elif mode == "H":
+                start = a0 if a0 >= 0 else 0
+                run1 = _read_run(br, color_white)
+                run2 = _read_run(br, not color_white)
+                a1 = start + run1
+                a2 = a1 + run2
+                if a2 > w or run1 < 0:
+                    raise G4Error("horizontal runs overflow the line")
+                if a1 < w:
+                    cur.append(a1)
+                if a2 < w:
+                    cur.append(a2)
+                a0 = a2
+            else:  # vertical family
+                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+                a1 = b1 + delta
+                if a1 < 0 or a1 > w:
+                    raise G4Error("vertical mode out of line bounds")
+                if a1 < w:
+                    cur.append(a1)
+                a0 = a1
+                color_white = not color_white
+        # materialize the line from its changing elements
+        line = np.zeros(w, dtype=bool)
+        black = False
+        prev_t = 0
+        for t in cur:
+            if black:
+                line[prev_t:t] = True
+            black = not black
+            prev_t = t
+        if black:
+            line[prev_t:] = True
+        out.append(line)
+        ref = cur
+    if rows is not None and len(out) < rows:
+        raise G4Error(f"G4 stream ended after {len(out)} of {rows} rows")
+    if not out:
+        return np.zeros((0, columns), dtype=bool)
+    return np.stack(out)

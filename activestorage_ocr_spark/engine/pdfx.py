@@ -152,6 +152,26 @@ def build_image_pdf(
         img_id = next_id
         next_id += 1
         h, w = arr.shape[:2]
+        if cs == "G4":
+            # CCITT Group 4 bitonal image (the scanned-PDF mainline): gray
+            # arrays threshold at 128, bool arrays are taken as-is
+            from .ccittx import encode_g4
+
+            black = arr if arr.dtype == bool else arr < 128
+            stream = encode_g4(black)
+            if corrupt_data:
+                stream = stream[: max(1, len(stream) // 4)]
+            d = (
+                b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 1 /Length "
+                + str(len(stream)).encode()
+                + b" /Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns "
+                + str(w).encode() + b" /Rows " + str(h).encode() + b" >> >>"
+            )
+            objs.append((img_id, d, stream))
+            img_entries.append(img_id)
+            continue
         raw = arr.tobytes()
         if corrupt_data:
             raw = raw[: max(1, len(raw) // 4)]
@@ -627,10 +647,48 @@ def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.nd
     h = d.get("/Height")
     if not isinstance(w, int) or not isinstance(h, int) or w <= 0 or h <= 0:
         raise PdfError("image missing dimensions")
+    filts = _filter_list(d)
+    if filts and filts[-1] == "/CCITTFaxDecode":
+        # CCITT Group 4 — the dominant real-world scanned-PDF encoding.
+        # Earlier filters in the chain (e.g. ASCII85) unwrap first; the G4
+        # payload decodes straight to pixels, so BitsPerComponent 1 never
+        # materializes as packed bytes here.
+        data = obj.stream or b""
+        for name in filts[:-1]:
+            data = _apply_filter(name, data)
+        parms = d.get("/DecodeParms", d.get("/DP"))
+        if isinstance(parms, list):
+            parms = parms[-1] if parms else None
+        parms = parms if isinstance(parms, dict) else {}
+        k = parms.get("/K", 0)
+        if not isinstance(k, int) or k >= 0:
+            # G3 (K>=0) is a labeled gap: modern producers emit G4
+            raise PdfError(f"unsupported CCITT K mode: {k} (only G4, K < 0)")
+        if parms.get("/EncodedByteAlign"):
+            raise PdfError("unsupported CCITT EncodedByteAlign")
+        columns = parms.get("/Columns", 1728)
+        rows = parms.get("/Rows", h)
+        if not isinstance(columns, int) or columns < w:
+            raise PdfError(f"CCITT /Columns {columns!r} narrower than /Width {w}")
+        from .ccittx import G4Error, decode_g4
+
+        try:
+            black = decode_g4(data, columns=columns, rows=rows)
+        except G4Error as e:
+            raise PdfError(f"bad CCITTFaxDecode stream: {e}") from e
+        if black.shape[0] < h:
+            raise PdfError("CCITT data shorter than /Height")
+        black = black[:h, :w]
+        # /BlackIs1 (default false): black pixels become 0 bits -> DeviceGray
+        # sample 0 = black. An explicit /Decode [1 0] inverts the samples.
+        bit = black.astype(np.uint8) if parms.get("/BlackIs1") else (~black).astype(np.uint8)
+        dec = d.get("/Decode")
+        if isinstance(dec, list) and len(dec) >= 2 and dec[0] == 1:
+            bit = 1 - bit
+        return (bit * 255).astype(np.uint8)
     bpc = d.get("/BitsPerComponent", 8)
     if bpc != 8:
         raise PdfError(f"unsupported BitsPerComponent: {bpc}")
-    filts = _filter_list(d)
     if filts and filts[-1] == "/DCTDecode":
         # scanned-PDF mainline: the image stream IS a JPEG (round 3 — decode
         # via engine.jpegx; the JPEG carries its own color model, so the
