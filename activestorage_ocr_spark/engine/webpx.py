@@ -515,10 +515,16 @@ def decode_webp(data: bytes) -> np.ndarray:
         raise ValueError("not a WEBP")
     pos = 12
     alph: bytes | None = None
+    canvas_wh: tuple[int, int] | None = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"VP8X" and len(body) >= 10:
+            # canvas size: 24-bit LE width-1 / height-1 after flags+reserved
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas_wh = (cw, ch)
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
@@ -536,11 +542,26 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"ANMF" and len(body) > 16:
             # animated WebP: decode the FIRST frame (16-byte frame params,
             # then the frame's own ALPH/VP8/VP8L chunk sequence — recurse
-            # with a synthetic container around it)
+            # with a synthetic container around it), then composite it at
+            # its x/y offset onto the VP8X canvas over white (pipeline
+            # background convention) — a first frame smaller than the
+            # canvas must not change the image's dimensions (ADVICE r3)
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
             sub = body[16:]
-            return decode_webp(
+            frame = decode_webp(
                 b"RIFF" + struct.pack("<I", 4 + len(sub)) + b"WEBP" + sub
             )
+            if canvas_wh is None:
+                return frame
+            cw, ch = canvas_wh
+            if frame.ndim == 2:  # grayscale sub-decode: lift to RGB canvas
+                frame = np.stack([frame] * 3, axis=-1)
+            canvas = np.full((ch, cw, 3), 255, dtype=np.uint8)
+            fh = min(frame.shape[0], max(ch - fy, 0))
+            fw = min(frame.shape[1], max(cw - fx, 0))
+            canvas[fy : fy + fh, fx : fx + fw] = frame[:fh, :fw]
+            return canvas
         # VP8X and metadata chunks: keep walking to the image chunk
         pos += 8 + ln + (ln % 2)
     raise ValueError("no image chunk in WEBP")

@@ -334,6 +334,54 @@ class TestAnimatedWebp:
         out = webpx.decode_webp(webp)
         assert out.shape == (32, 48, 3)
 
+    def test_anmf_frame_composites_onto_vp8x_canvas(self):
+        # ADVICE r3: a first frame smaller than the canvas must decode to
+        # CANVAS dimensions, placed at its x/y offset over white — not to
+        # the frame's own size. Uses the pure-Python VP8L encoder so no
+        # libwebp is needed.
+        from tests.test_engine_webp import encode_vp8l
+
+        fh, fw = 6, 8
+        frame_rgb = np.zeros((fh, fw, 3), dtype=np.uint8)
+        frame_rgb[..., 0] = 200  # solid dark red
+        still = encode_vp8l(frame_rgb)
+        vp8l_chunk = None
+        pos = 12
+        while pos + 8 <= len(still):
+            tag = still[pos:pos + 4]
+            (ln,) = struct.unpack("<I", still[pos + 4:pos + 8])
+            if tag == b"VP8L":
+                vp8l_chunk = still[pos:pos + 8 + ln + (ln % 2)]
+            pos += 8 + ln + (ln % 2)
+        assert vp8l_chunk
+
+        def chunk(tag, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return tag + struct.pack("<I", len(body)) + body + pad
+
+        cw, ch = 20, 16
+        fx, fy = 4, 2  # stored as /2 per the container spec
+        vp8x = chunk(
+            b"VP8X",
+            bytes([0x02, 0, 0, 0])
+            + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little"),
+        )
+        anim = chunk(b"ANIM", bytes(6))
+        params = (
+            (fx // 2).to_bytes(3, "little") + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+            + (100).to_bytes(3, "little") + bytes([0])
+        )
+        anmf = chunk(b"ANMF", params + vp8l_chunk)
+        payload = b"WEBP" + vp8x + anim + anmf
+        webp = b"RIFF" + struct.pack("<I", len(payload)) + payload
+        out = webpx.decode_webp(webp)
+        assert out.shape == (ch, cw, 3)
+        assert np.array_equal(out[fy:fy + fh, fx:fx + fw], frame_rgb)
+        mask = np.ones((ch, cw), dtype=bool)
+        mask[fy:fy + fh, fx:fx + fw] = False
+        assert (out[mask] == 255).all()  # white background everywhere else
+
     def test_animated_without_frames_still_errors(self):
         payload = b"WEBPANIM\x06\x00\x00\x00" + bytes(6)
         webp = b"RIFF" + struct.pack("<I", len(payload)) + payload
