@@ -1390,6 +1390,124 @@ ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# round-4 training-data pipeline operators: deterministic stratified
+# sampling and benchmark decontamination — the two curation steps between
+# dedup and training-mix assembly.
+# ---------------------------------------------------------------------------
+
+
+def q_curation_sample_stratified(spark, sf_dir):
+    """Deterministic hash-stratified sampling — the training-mix op that
+    downsamples each stratum at its own rate. Strata = declared language;
+    rates: en 50%, de 25%, everything else ~10%. The keep decision compares
+    a salted md5 of doc_id against the stratum's hex threshold — stable
+    across runs, engines, and partitionings (no RNG, no sampleBy seed
+    drift), so the exact same sample reproduces anywhere.
+
+    100 TB posture: pure map-side column expressions — ZERO shuffles; the
+    filter pushes nothing to the scan (md5 of an id) but costs one
+    whole-stage-codegen pass. Per-stratum rates scale to any corpus because
+    no stratum ever materializes as a table (contrast df.stat.sampleBy,
+    which needs fractions per observed key up front)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")).cast("binary")),
+        1, 2,
+    )
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit("80"))   # 128/256 = 50%
+        .when(F.col("lang") == "de", F.lit("40"))    # 64/256 = 25%
+        .otherwise(F.lit("1a"))                       # 26/256 ~ 10.2%
+    )
+    return (
+        docs.withColumn("sample_key", key)
+        .filter(F.col("sample_key") < threshold)
+        .select("doc_id", "lang", "sample_key", "n_chars")
+    )
+
+
+def q_decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination — flag training documents that share 8-gram
+    (word) overlap with an evaluation set, the standard leakage guard before
+    training. The eval set here is the deterministic doc_id % 10 == 0 slice
+    of the corpus (self-contained; in production it is the benchmark suite).
+
+    Shape: explode distinct 8-grams (md5-hashed so the join key is a fixed
+    32-byte string), inner-join train grams against the BROADCAST eval-gram
+    set, count hits per doc, emit overlap ratio. 100 TB posture: eval
+    benchmarks are tiny (MBs) next to the corpus -> broadcast hash join, no
+    shuffle of the train grams at all; per-doc totals ride the same
+    hash-partitioned aggregation as the hit counts. The injected near-dup
+    docs guarantee non-trivial overlap at test scale."""
+    docs = _docs_with_neardups(spark, sf_dir)
+    grams = dd.exploded_shingles(docs, "doc_id", "text", k=8).select(
+        "doc_id", F.md5(F.col("shingle").cast("binary")).alias("gram")
+    )
+    is_eval = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    train = grams.filter(~is_eval)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id", "n_hits", "n_grams",
+            F.round(F.col("n_hits") / F.col("n_grams"), 9).alias("overlap"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "curation_sample_stratified": q_curation_sample_stratified,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
+    }
+)
+
+_SHINGLE8_CTE = r"""
+words8 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM docs_nd),
+g8 AS (
+    SELECT DISTINCT doc_id,
+           md5(CASE WHEN len(w) >= 8 THEN array_to_string(w[i:i+7], ' ')
+                    ELSE array_to_string(w, ' ') END) AS gram
+    FROM words8, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS t(i)
+)
+"""
+
+ORACLES.update(
+    {
+        "curation_sample_stratified": """
+            SELECT doc_id, lang,
+                   substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key,
+                   n_chars
+            FROM documents
+            WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                  < CASE WHEN lang = 'en' THEN '80'
+                         WHEN lang = 'de' THEN '40'
+                         ELSE '1a' END
+        """,
+        "decontaminate_ngrams": f"""
+            WITH {_NEARDUP_SQL_CTE}, {_SHINGLE8_CTE},
+            ev AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 10 = 0),
+            tr AS (SELECT * FROM g8 WHERE doc_id % 10 <> 0),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM tr GROUP BY doc_id),
+            hits AS (
+                SELECT tr.doc_id, count(*)::BIGINT AS n_hits
+                FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+            )
+            SELECT h.doc_id, n_hits, n_grams,
+                   round(n_hits::DOUBLE / n_grams, 9) AS overlap
+            FROM hits h JOIN tot USING (doc_id)
+        """,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # extraction-domain oracles (VERDICT r1 #9): the single-node golden parquet
 # IS the oracle relation — DuckDB reads it via read_parquet and re-aggregates
 # independently. Correctness chain: the pytest byte-identity suite proves

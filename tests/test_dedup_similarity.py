@@ -300,6 +300,46 @@ class TestRound3PlanShapes:
         with pytest.raises(RuntimeError, match="converge"):
             dd.connected_components(nodes, pairs, max_iters=2)
 
+    def test_stratified_sample_is_map_only(self, spark):
+        # r4: deterministic hash-stratified sampling must be pure map-side —
+        # zero exchanges, zero joins; and the sample must be reproducible
+        import __spark_entry__ as e
+
+        q = e.queries()["curation_sample_stratified"]
+        df = q(spark, "/root/testdata/sf0.001")
+        rows1 = {r.doc_id for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        rows2 = {r.doc_id for r in q(spark, "/root/testdata/sf0.001").collect()}
+        assert rows1 == rows2 and rows1  # deterministic, non-empty
+        # en stratum (50%) keeps more than the ~10% default stratum
+        by_lang = (
+            q(spark, "/root/testdata/sf0.001")
+            .groupBy("lang").count().collect()
+        )
+        counts = {r.lang: r["count"] for r in by_lang}
+        assert counts.get("en", 0) > counts.get("fr", 0)
+
+    def test_decontaminate_broadcasts_eval_grams(self, spark):
+        # r4: the eval-gram join must be a broadcast hash join (benchmarks
+        # are tiny next to the corpus) and never a cartesian; injected
+        # near-dups guarantee flagged docs
+        import __spark_entry__ as e
+
+        df = e.queries()["decontaminate_ngrams"](spark, "/root/testdata/sf0.001")
+        out = df.collect()
+        assert out, "no contaminated docs flagged"
+        assert all(0.0 < r.overlap <= 1.0 for r in out)
+        # the mutated copy of an eval doc (doc_id % 10 == 0, +1e6) must be
+        # flagged with near-total overlap
+        flagged = {r.doc_id: r.overlap for r in out}
+        assert any(d >= 1_000_000 and v > 0.9 for d, v in flagged.items()), flagged
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_curation_keep_list_single_scan(self, spark):
         # r4 rework (VERDICT r3): keeper dedup is a window min over fp —
         # ONE scan of documents, ONE shuffle, no join at all (the r3
