@@ -126,6 +126,16 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "Ê": ("..X..", ".X.X.", "XXXXX", "X....", "XXXX.", "X....", "XXXXX"),
         "Ç": (".XXXX", "X....", "X....", "X....", ".XXXX", "..X..", ".XX.."),
     },
+    # round 4: Dutch — the sixth language with glyphs distinct from base
+    # latin (the remaining six of the reference's 13 are non-latin scripts
+    # whose letterforms this pixel font cannot distinguish; documented as
+    # pack-less)
+    "nld": {
+        "Ë": ("X...X", "XXXXX", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+        "Ï": ("X...X", "XXXXX", "..X..", "..X..", "..X..", "..X..", "XXXXX"),
+        "É": ("...X.", "XXXXX", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+        "Ĳ": ("X...X", "X...X", "X...X", "X...X", "X...X", "XX..X", "X.XX."),
+    },
 }
 
 #: the 13 languages the reference's leptess engine reports

@@ -73,6 +73,7 @@ def run_extraction_job(
     engine: str | None = None,
     preset: str | None = None,
     max_bytes: int | None = None,
+    doc_timeout_ms: int | None = None,
     only_parts: list[int] | None = None,
     repartition: int | None = None,
 ) -> dict:
@@ -114,6 +115,7 @@ def run_extraction_job(
         engine=engine,
         preset=preset,
         max_bytes=max_bytes,
+        doc_timeout_ms=doc_timeout_ms,
         repartition=repartition,
     )
     # C7 (`lib/activestorage/ocr/result.rb:103`): stamp the persisted rows

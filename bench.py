@@ -43,6 +43,7 @@ HEADLINE = [
     "sim_topk",
     "events_sessionize",
     "curation_keep_list",
+    "decontaminate_ngrams",
 ]
 
 
@@ -204,6 +205,11 @@ def bench_queries() -> dict:
         for name in HEADLINE:
             q = QUERIES[name]
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
+            # the warm run may have left persisted blocks that the timed
+            # run's logically-identical plan would silently reuse (Spark's
+            # CacheManager matches by plan equality) — clear so the timed
+            # run measures COLD data with a warm JVM
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)

@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--engine", default=None, choices=["pixelocr", "pixelocr-alt"])
     ap.add_argument("--preset", default=None, choices=["none", "minimal", "default", "aggressive"])
     ap.add_argument("--max-bytes", type=int, default=None)
+    ap.add_argument("--doc-timeout-ms", type=int, default=None,
+                    help="per-document wall budget; overruns quarantine as TIMEOUT (default: env/30000)")
     ap.add_argument("--master", default=None, help="override master for local runs")
     args = ap.parse_args()
 
@@ -64,6 +66,7 @@ def main() -> None:
         engine=args.engine,
         preset=args.preset,
         max_bytes=args.max_bytes,
+        doc_timeout_ms=args.doc_timeout_ms,
     )
     print(json.dumps(summary))
     spark.stop()

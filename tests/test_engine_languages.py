@@ -29,6 +29,14 @@ class TestOcrLanguagePacks:
         spa, _ = rasters.ocr_decode_image(img, ("spa",))
         assert spa == "AÑO ÁGIL"
 
+    def test_dutch_pack(self):
+        # round 4: nld — the sixth (and last latin-script) language pack
+        img = rasters.render_text("RĲST ÉÉN IDEEËN", scale=2)
+        nld, _ = rasters.ocr_decode_image(img, ("nld",))
+        assert nld == "RĲST ÉÉN IDEEËN"
+        eng, _ = rasters.ocr_decode_image(img)
+        assert "Ë" not in eng and "Ĳ" not in eng  # pack not loaded -> degrades
+
     def test_all_glyphs_unique_across_packs(self):
         # the import-time collision check covers this; pin it explicitly
         rasters._build_tables(rasters._ALL_GLYPHS)
