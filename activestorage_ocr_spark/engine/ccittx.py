@@ -31,7 +31,7 @@ import numpy as np
 
 from . import budget
 
-__all__ = ["encode_g4", "decode_g4", "G4Error"]
+__all__ = ["encode_g4", "decode_g4", "encode_g3_1d", "decode_g3_1d", "G4Error"]
 
 
 class G4Error(ValueError):
@@ -153,19 +153,22 @@ def _transitions(line: np.ndarray) -> list[int]:
     return np.flatnonzero(line != prev).tolist()
 
 
-def encode_g4(image: np.ndarray) -> bytes:
+def encode_g4(image: np.ndarray, byte_align: bool = False) -> bytes:
     """Encode a bool array (True = black) as a G4/MMR stream with EOFB,
     byte-padded — the exact body of a PDF ``/CCITTFaxDecode`` stream with
     ``/K -1 /Columns w /Rows h`` (and default BlackIs1=false: 0 bits black
     is the PDF sample convention, but the G4 layer itself codes runs, not
-    bit polarity)."""
+    bit polarity). ``byte_align`` pads each coding line to a byte boundary
+    (PDF /EncodedByteAlign)."""
     img = np.asarray(image, dtype=bool)
     if img.ndim != 2:
         raise G4Error("encode_g4 expects a 2-D bool array")
     h, w = img.shape
-    bits: list[str] = []
+    bits = _BitList()
     ref: list[int] = []  # imaginary all-white reference line
     for y in range(h):
+        if byte_align:
+            bits.pad_to_byte()
         cur = _transitions(img[y])
         a0 = -1
         color_white = True
@@ -193,9 +196,99 @@ def encode_g4(image: np.ndarray) -> bytes:
         ref = cur
     bits.append(_EOL)
     bits.append(_EOL)  # EOFB
-    s = "".join(bits)
-    s += "0" * (-len(s) % 8)
-    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+    return bits.to_bytes()
+
+
+class _BitList(list):
+    """A list of bit-string fragments with an O(1) running length, so
+    per-line byte alignment doesn't re-scan the whole stream."""
+
+    def __init__(self):
+        super().__init__()
+        self.nbits = 0
+
+    def append(self, code: str) -> None:  # noqa: A003
+        super().append(code)
+        self.nbits += len(code)
+
+    def pad_to_byte(self) -> None:
+        self.append("0" * (-self.nbits % 8))
+
+    def to_bytes(self) -> bytes:
+        s = "".join(self)
+        s += "0" * (-len(s) % 8)
+        return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+
+
+def encode_g3_1d(image: np.ndarray, byte_align: bool = False) -> bytes:
+    """Encode a bool array (True = black) as a CCITT Group 3 one-dimensional
+    (pure Modified-Huffman) stream — the PDF ``/CCITTFaxDecode`` body with
+    ``/K 0``. Each line is an alternating white/black MH run sequence
+    starting with a (possibly zero-length) white run; no EOLs are emitted
+    (the PDF default ``/EndOfLine false``)."""
+    img = np.asarray(image, dtype=bool)
+    if img.ndim != 2:
+        raise G4Error("encode_g3_1d expects a 2-D bool array")
+    h, w = img.shape
+    bits = _BitList()
+    for y in range(h):
+        if byte_align:
+            bits.pad_to_byte()
+        trans = _transitions(img[y]) + [w]
+        pos = 0
+        white = True
+        for t in trans:
+            _emit_run(bits, t - pos, white)
+            pos = t
+            white = not white
+    return bits.to_bytes()
+
+
+def decode_g3_1d(
+    data: bytes, columns: int, rows: int | None = None, byte_align: bool = False
+) -> np.ndarray:
+    """Decode a G3 1-D (K=0, pure MH) stream to a bool array (True = black).
+    Tolerates optional EOL codes between lines (T.4 emitters may include
+    them even when the PDF says ``/EndOfLine false``)."""
+    if columns <= 0:
+        raise G4Error("columns must be positive")
+    if rows is not None and rows * columns > 64_000_000:
+        raise G4Error("G3 image too large")
+    br = _BitReader(data)
+    w = columns
+    out: list[np.ndarray] = []
+    max_rows = rows if rows is not None else 1 << 30
+    while len(out) < max_rows:
+        budget.check()
+        if byte_align:
+            br.align_to_byte()
+        while br.peek_str(12) == _EOL:  # optional EOL/fill before a line
+            br.skip(12)
+        if br.pos >= br.nbits:
+            break
+        if rows is None and br.nbits - br.pos < 13 and "1" not in br.peek_str(13):
+            break  # trailing byte-pad zeros, not a line
+        line = np.zeros(w, dtype=bool)
+        pos = 0
+        white = True
+        while pos < w:
+            run = _read_run(br, white)
+            if run == 0 and not (pos == 0 and white):
+                # only the leading white run may be zero-length (a line
+                # starting black); anything else cannot advance -> corrupt
+                raise G4Error("zero-length run mid-line")
+            if pos + run > w:
+                raise G4Error("G3 run overflows the line")
+            if not white:
+                line[pos : pos + run] = True
+            pos += run
+            white = not white
+        out.append(line)
+    if rows is not None and len(out) < rows:
+        raise G4Error(f"G3 stream ended after {len(out)} of {rows} rows")
+    if not out:
+        return np.zeros((0, columns), dtype=bool)
+    return np.stack(out)
 
 
 def _next_change(trans: list[int], a0: int, color_white: bool, w: int) -> int:
@@ -234,6 +327,9 @@ class _BitReader:
     def skip(self, n: int) -> None:
         self.pos += n
 
+    def align_to_byte(self) -> None:
+        self.pos += -self.pos % 8
+
 
 _MODE_CODES = (
     ("1", "V0"), ("011", "VR1"), ("010", "VL1"), ("001", "H"),
@@ -271,10 +367,13 @@ def _read_run(br: _BitReader, white: bool) -> int:
     raise G4Error("runaway make-up sequence")
 
 
-def decode_g4(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
+def decode_g4(
+    data: bytes, columns: int, rows: int | None = None, byte_align: bool = False
+) -> np.ndarray:
     """Decode a G4/MMR stream to a bool array (True = black) of width
     ``columns``. ``rows`` bounds the output (PDF /Rows or /Height); when
-    None, decoding stops at EOFB or stream end."""
+    None, decoding stops at EOFB or stream end. ``byte_align`` re-aligns the
+    reader to a byte boundary before every coding line (/EncodedByteAlign)."""
     if columns <= 0:
         raise G4Error("columns must be positive")
     if rows is not None and rows * columns > 64_000_000:
@@ -286,6 +385,8 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
     max_rows = rows if rows is not None else 1 << 30
     while len(out) < max_rows:
         budget.check()  # per-scanline guard (engine wall budget)
+        if byte_align:
+            br.align_to_byte()
         if br.pos >= br.nbits:
             break
         if br.peek_str(12) == _EOL:

@@ -123,14 +123,61 @@ class TestPdfIntegration:
         back = pdfx.decode_image_xobject(img_obj, objs)
         assert (back[img] == 0).all()
 
-    def test_g3_and_bytealign_are_labeled_gaps(self):
+    def test_g3_2d_is_a_labeled_gap(self):
         img = rasters.render_text("X", scale=2) < 128
         objs = pdfx.parse_objects(pdfx.build_image_pdf([(img, "G4")]))
         img_obj = next(o for o in objs.values() if o.dict.get("/Subtype") == "/Image")
-        img_obj.dict["/DecodeParms"]["/K"] = 0
-        with pytest.raises(pdfx.PdfError, match="only G4"):
+        img_obj.dict["/DecodeParms"]["/K"] = 4  # G3 two-dimensional
+        with pytest.raises(pdfx.PdfError, match="K mode"):
             pdfx.decode_image_xobject(img_obj, objs)
-        img_obj.dict["/DecodeParms"]["/K"] = -1
-        img_obj.dict["/DecodeParms"]["/EncodedByteAlign"] = True
-        with pytest.raises(pdfx.PdfError, match="EncodedByteAlign"):
-            pdfx.decode_image_xobject(img_obj, objs)
+
+    def test_g3_1d_pdf_extracts_end_to_end(self):
+        pdf = pdfx.build_image_pdf([(rasters.render_text("G3 FAX 1988", scale=3), "G3")])
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert "G3 FAX 1988" in r["extracted_text"]
+
+    def test_byte_aligned_g4_pdf_extracts_end_to_end(self):
+        pdf = pdfx.build_image_pdf(
+            [(rasters.render_text("ALIGNED 55", scale=3), "G4A")]
+        )
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert "ALIGNED 55" in r["extracted_text"]
+
+
+class TestG3RoundTrip:
+    @pytest.mark.parametrize("byte_align", [False, True])
+    def test_random_images(self, byte_align):
+        rng = np.random.default_rng(42)
+        for shape, density in [((1, 1), 0.5), ((5, 8), 0.0), ((5, 8), 1.0),
+                               ((30, 211), 0.15), ((3, 2600), 0.02)]:
+            img = rng.random(shape) < density
+            dec = ccittx.decode_g3_1d(
+                ccittx.encode_g3_1d(img, byte_align=byte_align),
+                columns=shape[1], rows=shape[0], byte_align=byte_align,
+            )
+            assert (dec == img).all(), shape
+
+    def test_rows_none_stops_at_padding(self):
+        img = np.tri(7, 19, dtype=bool)
+        dec = ccittx.decode_g3_1d(ccittx.encode_g3_1d(img), columns=19)
+        assert (dec == img).all()
+
+    def test_g4_byte_align_roundtrip(self):
+        img = rasters.render_text("ALIGN", scale=2) < 128
+        enc = ccittx.encode_g4(img, byte_align=True)
+        dec = ccittx.decode_g4(enc, columns=img.shape[1], rows=img.shape[0],
+                               byte_align=True)
+        assert (dec == img).all()
+
+    def test_zero_run_corruption_raises(self):
+        # a mid-line zero-length run can never advance -> must raise, not hang
+        from activestorage_ocr_spark.engine.ccittx import _BitList, _emit_run
+
+        bits = _BitList()
+        _emit_run(bits, 3, True)
+        _emit_run(bits, 0, False)   # invalid: zero black run mid-line
+        _emit_run(bits, 0, True)    # invalid: zero white run mid-line
+        with pytest.raises(G4Error):
+            ccittx.decode_g3_1d(bits.to_bytes(), columns=10, rows=1)
