@@ -55,10 +55,48 @@ def synthetic_media_rows(n: int, kind: str) -> list[tuple[str, bytes]]:
             if i % 4 < 3:  # fake container, 1-8 frames at 40ms
                 frames = [bytes(((i * 7 + f) % 256,)) * 64 for f in range(1 + i % 8)]
                 payload = encode_fake_video(frames, frame_ms=40)
-            else:  # a "real" codec payload -> dropped by the stub decode
-                payload = b"\x00\x00\x00\x20ftypisom" + bytes(24)
+            else:  # real ISO-BMFF container -> metadata box-walk path
+                # (frame sampling still drops it: no sample decode ships)
+                payload = make_mp4_payload(i)
         rows.append((url, payload))
     return rows
+
+
+def make_mp4_payload(i: int) -> bytes:
+    """Minimal ISO-BMFF (MP4): ftyp + moov(mvhd + trak(tkhd)[+ trak]) +
+    mdat (public structure, ISO/IEC 14496-12). Varies brand, box versions,
+    timescale, dims, and track count with ``i``; every 5th payload omits
+    moov to exercise the decode_error path."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    brand = (b"isom", b"mp42", b"avc1")[i % 3]
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    if i % 5 == 4:
+        return ftyp + box(b"mdat", bytes(16))  # no moov -> decode_error
+    ts = (600, 1000, 90000)[i % 3]
+    dur_ms = 1000 + (i * 337) % 60000
+    dur = dur_ms * ts // 1000
+    if i % 2:  # version-1 (64-bit times) boxes
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                   + struct.pack(">IQ", ts, dur) + bytes(80))
+    else:
+        mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", ts, dur) + bytes(80))
+    w, h = 320 + 16 * (i % 40), 240 + 16 * (i % 30)
+
+    def tkhd(width: int, height: int, v1: bool) -> bytes:
+        if v1:
+            body = bytes([1, 0, 0, 0]) + bytes(84) + struct.pack(">II", width << 16, height << 16)
+        else:
+            body = bytes(76) + struct.pack(">II", width << 16, height << 16)
+        return box(b"tkhd", body)
+
+    traks = box(b"trak", tkhd(w, h, bool(i % 2)))
+    if i % 3 == 0:  # an extra non-visual (audio) track, 0x0 dims
+        traks = box(b"trak", tkhd(0, 0, False)) + traks
+    moov = box(b"moov", mvhd + traks)
+    return ftyp + moov + box(b"mdat", bytes((i + j) % 256 for j in range(32)))
 
 
 def make_mp3_payload(i: int) -> bytes:
@@ -124,11 +162,13 @@ def ensure_media_goldens(n_docs: int, base: str = "/tmp/asos_spark_corpus") -> s
     """Write (once, cached) the three multimodal golden parquets for a corpus
     of ``n_docs`` pages; returns the dir. Pure single-node execution of the
     kernels' per-payload functions — no Spark session involved."""
-    from ..operators.multimodal import audio_meta_row, image_meta_row, sample_video_frames
-    from ..operators.multimodal import AUDIO_META_ARROW, IMAGE_META_ARROW
+    from ..operators.multimodal import (
+        audio_meta_row, image_meta_row, sample_video_frames, video_meta_row,
+    )
+    from ..operators.multimodal import AUDIO_META_ARROW, IMAGE_META_ARROW, VIDEO_META_ARROW
     from .gen_corpus import ensure_corpus
 
-    d = os.path.join(base, f"media_goldens_n{n_docs}_v2")
+    d = os.path.join(base, f"media_goldens_n{n_docs}_v3")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
@@ -174,6 +214,17 @@ def ensure_media_goldens(n_docs: int, base: str = "/tmp/asos_spark_corpus") -> s
         os.path.join(d, "video_frames.parquet"),
         compression="zstd",
     )
+
+    meta_rows = []
+    for u, payload in synthetic_media_rows(n_media, "video"):
+        row = video_meta_row(u, payload)
+        if row is not None:
+            meta_rows.append(row)
+    pq.write_table(
+        pa.Table.from_pylist(meta_rows, schema=VIDEO_META_ARROW),
+        os.path.join(d, "video_meta.parquet"),
+        compression="zstd",
+    )
     with open(done, "w") as f:
         f.write("ok")
     return d
@@ -198,5 +249,10 @@ def media_oracles(n_docs: int = 2_000) -> dict[str, str]:
         "multimodal_video_frames": f"""
             SELECT url, frame_idx, ts_ms, frame_md5
             FROM read_parquet('{d}/video_frames.parquet')
+        """,
+        "multimodal_video_meta": f"""
+            SELECT url, container, brand, duration_ms, width, height,
+                   n_tracks, decode_error
+            FROM read_parquet('{d}/video_meta.parquet')
         """,
     }

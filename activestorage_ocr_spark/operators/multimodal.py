@@ -457,3 +457,141 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000, payload_col: str = "
 
     proj = df.select("url", F.col(payload_col).alias("video"))
     return proj.mapInArrow(kernel, VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video metadata: ISO-BMFF (MP4) box walk — crawl-reality video metadata
+# (dims, duration, track count) WITHOUT any sample decode. Public structure:
+# ISO/IEC 14496-12 (ftyp / moov / mvhd / trak / tkhd).
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """Walk an ISO base-media container's box tree: ftyp major brand, mvhd
+    timescale+duration, per-track tkhd 16.16-fixed width/height (the first
+    visual track wins). Raises ValueError on malformed boxes or a missing
+    moov — the caller surfaces it as decode_error."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    brand = data[8:12].decode("latin-1")
+    meta = {"container": "mp4", "brand": brand, "duration_ms": None,
+            "width": None, "height": None, "n_tracks": 0}
+    saw_moov = False
+
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal saw_moov
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(data[pos : pos + 4], "big")
+            typ = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box")
+                size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"malformed box size in {typ!r}")
+            body = data[pos + hdr : pos + size]
+            if typ in (b"moov", b"trak") and depth < 8:
+                if typ == b"moov":
+                    saw_moov = True
+                else:
+                    meta["n_tracks"] += 1
+                walk(pos + hdr, pos + size, depth + 1)
+            elif typ == b"mvhd" and len(body) >= 20:
+                ver = body[0]
+                if ver == 1 and len(body) >= 32:
+                    ts = int.from_bytes(body[20:24], "big")
+                    dur = int.from_bytes(body[24:32], "big")
+                else:
+                    ts = int.from_bytes(body[12:16], "big")
+                    dur = int.from_bytes(body[16:20], "big")
+                if ts:
+                    meta["duration_ms"] = dur * 1000 // ts
+            elif typ == b"tkhd":
+                off = 76 if body[0] == 0 else 88  # after matrix (v0/v1 layout)
+                if len(body) >= off + 8:
+                    w = int.from_bytes(body[off : off + 4], "big") >> 16
+                    h = int.from_bytes(body[off + 4 : off + 8], "big") >> 16
+                    if w and h and meta["width"] is None:  # first visual track
+                        meta["width"], meta["height"] = w, h
+            pos += size
+
+    walk(0, len(data), 0)
+    if not saw_moov:
+        raise ValueError("no moov box")
+    return meta
+
+
+VIDEO_META_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("container", pa.string()),
+        pa.field("brand", pa.string()),
+        pa.field("duration_ms", pa.int64()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("n_tracks", pa.int32()),
+        pa.field("decode_error", pa.string()),
+    ]
+)
+
+VIDEO_META_SCHEMA = (
+    "url string, container string, brand string, duration_ms bigint, "
+    "width int, height int, n_tracks int, decode_error string"
+)
+
+
+def video_meta_row(url: str, payload: bytes) -> dict | None:
+    """Single-payload video metadata (pure; None for non-video payloads).
+    Shared by the Arrow kernel and the golden builder (fixtures/gen_media.py)."""
+    data = payload or b""
+    row: dict = {"url": url, "container": None, "brand": None,
+                 "duration_ms": None, "width": None, "height": None,
+                 "n_tracks": None, "decode_error": None}
+    if data[:4] == _VIDEO_MAGIC and len(data) >= 12:
+        import struct as _s
+
+        n, frame_ms = _s.unpack("<II", data[4:12])
+        row.update(container="asvf", duration_ms=n * frame_ms, n_tracks=1)
+        return row
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        try:
+            meta = parse_mp4_metadata(data)
+            row.update(meta)
+        except ValueError as e:
+            row.update(container="mp4", decode_error=str(e))
+        return row
+    return None
+
+
+def _video_meta_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    out_schema = VIDEO_META_ARROW
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("video").to_pylist()
+        rows = {f.name: [] for f in out_schema}
+        for u, payload in zip(urls, payloads):
+            row = video_meta_row(u, payload)
+            if row is None:
+                continue
+            for f in out_schema:
+                rows[f.name].append(row[f.name])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(rows[f.name], type=f.type) for f in out_schema], schema=out_schema
+        )
+
+
+def video_metadata(df: DataFrame, payload_col: str = "video") -> DataFrame:
+    """(url, <payload_col>) -> typed video metadata: a real ISO-BMFF (MP4)
+    box walk for dims/duration/track-count — no sample decode needed — plus
+    the ASVF fake container; malformed mp4s surface a decode_error
+    (quarantine posture). Map-only Arrow kernel."""
+    from .extraction import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+    proj = df.select("url", F.col(payload_col).alias("video"))
+    return proj.mapInArrow(_video_meta_kernel, VIDEO_META_SCHEMA)

@@ -921,6 +921,17 @@ def q_multimodal_audio_meta(spark, sf_dir):
     return audio_metadata(_synthetic_media(spark, sf_dir, "audio"))
 
 
+def q_multimodal_video_meta(spark, sf_dir):
+    """Video metadata without decode: a real ISO-BMFF (MP4) box walk for
+    dims/duration/track count plus the fake container's header — the
+    metadata pass a video-curation pipeline runs before deciding what to
+    decode. Map-only Arrow kernel; malformed mp4s surface a decode_error.
+    Oracled against the single-node golden parquet (fixtures/gen_media.py)."""
+    from ..operators.multimodal import video_metadata
+
+    return video_metadata(_synthetic_media(spark, sf_dir, "video"))
+
+
 def q_multimodal_video_frames(spark, sf_dir):
     """Video plumbing: frame sampling fan-out (one payload -> many frame
     rows) over the deterministic fake container; real codecs drop with the
@@ -939,6 +950,7 @@ QUERIES.update(
     {
         "multimodal_audio_meta": q_multimodal_audio_meta,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_video_meta": q_multimodal_video_meta,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,

@@ -149,3 +149,71 @@ class TestVideoFrameSample:
     def test_real_codec_marked_not_implemented(self):
         with pytest.raises(NotImplementedError, match="not available in this sandbox"):
             list(mm._iter_fake_video_frames(b"\x00\x00\x00\x20ftypisom"))
+
+
+class TestMp4Metadata:
+    def test_parse_versions_tracks_and_error_paths(self):
+        from activestorage_ocr_spark.fixtures.gen_media import make_mp4_payload
+        from activestorage_ocr_spark.operators.multimodal import parse_mp4_metadata
+
+        m0 = parse_mp4_metadata(make_mp4_payload(0))  # v0 boxes, audio+video
+        assert m0 == {"container": "mp4", "brand": "isom", "duration_ms": 1000,
+                      "width": 320, "height": 240, "n_tracks": 2}
+        m1 = parse_mp4_metadata(make_mp4_payload(1))  # v1 (64-bit) boxes
+        assert (m1["duration_ms"], m1["width"], m1["n_tracks"]) == (1337, 336, 1)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="no moov"):
+            parse_mp4_metadata(make_mp4_payload(4))
+        with _pt.raises(ValueError, match="not an ISO-BMFF"):
+            parse_mp4_metadata(b"\x00\x01\x02")
+
+    def test_largesize_and_zero_size_boxes(self):
+        import struct
+        from activestorage_ocr_spark.operators.multimodal import parse_mp4_metadata
+
+        def box(typ, body):
+            return struct.pack(">I", 8 + len(body)) + typ + body
+
+        mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 2500) + bytes(80))
+        tkhd = box(b"tkhd", bytes(76) + struct.pack(">II", 64 << 16, 48 << 16))
+        moov_body = mvhd + box(b"trak", tkhd)
+        # moov with 64-bit largesize header
+        moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_body)) + moov_body
+        # trailing size-0 mdat (extends to EOF)
+        payload = box(b"ftyp", b"isom" + bytes(4) + b"isom") + moov + struct.pack(">I", 0) + b"mdat" + bytes(7)
+        m = parse_mp4_metadata(payload)
+        assert (m["duration_ms"], m["width"], m["height"]) == (2500, 64, 48)
+
+    def test_malformed_box_size_raises(self):
+        import struct
+        from activestorage_ocr_spark.operators.multimodal import parse_mp4_metadata
+
+        bad = struct.pack(">I", 8) + b"ftypisomxxxx" + struct.pack(">I", 3) + b"moov"
+        with pytest.raises(ValueError):
+            parse_mp4_metadata(bad)
+
+    def test_video_meta_row_asvf_and_nonvideo(self):
+        from activestorage_ocr_spark.operators.multimodal import (
+            encode_fake_video, video_meta_row,
+        )
+
+        row = video_meta_row("u", encode_fake_video([b"\x00" * 64] * 5, frame_ms=40))
+        assert (row["container"], row["duration_ms"], row["n_tracks"]) == ("asvf", 200, 1)
+        assert video_meta_row("u", b"not a video at all") is None
+
+    def test_video_meta_kernel(self, spark):
+        from activestorage_ocr_spark.fixtures.gen_media import synthetic_media_rows
+        from activestorage_ocr_spark.operators.multimodal import video_metadata
+
+        rows = synthetic_media_rows(40, "video")
+        df = spark.createDataFrame(rows, "url string, video binary")
+        out = video_metadata(df).collect()
+        by_container = {}
+        for r in out:
+            by_container.setdefault(r.container, []).append(r)
+        assert len(by_container["asvf"]) == 30
+        assert len(by_container["mp4"]) == 10
+        errs = [r for r in by_container["mp4"] if r.decode_error]
+        oks = [r for r in by_container["mp4"] if not r.decode_error]
+        assert errs and oks
+        assert all(r.width and r.height and r.duration_ms for r in oks)
