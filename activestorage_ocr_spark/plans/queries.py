@@ -1473,10 +1473,101 @@ def q_decontaminate_ngrams(spark, sf_dir):
     )
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition quality metrics — the published filters a
+    webtext training pipeline runs per document: duplicate-word fraction,
+    most-frequent-word fraction, and the character fraction covered by the
+    most frequent word 2-gram, plus the keep decision.
+
+    100 TB posture: two partial-aggregable hash aggregations (word counts,
+    bigram counts) rolled up per doc and equi-joined on doc_id — no
+    cartesian work, no windows over the corpus; every count is
+    map-side-combinable. Thresholds mirror the published Gopher ranges."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "n_chars",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "n_chars", "w").agg(F.count("*").alias("c"))
+    word_stats = wc.groupBy("doc_id", "n_chars").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_word_count"),
+    )
+    # non-distinct word 2-grams (word_shingles dedups; repetition needs counts)
+    warr = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(warr)
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    bigrams = docs.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(warr, i + 1, 2), " "))
+        ).alias("bg"),
+    )
+    bc = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    # chars covered by the most frequent 2-gram: count * (len(bigram) - 1)
+    # (the joining space does not exist in the original text)
+    bg_stats = bc.groupBy("doc_id").agg(
+        F.max(F.col("c") * (F.length("bg") - 1)).alias("top_bigram_chars")
+    )
+    out = word_stats.join(bg_stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 9).alias("dup_word_frac"),
+        F.round(F.col("top_word_count") / F.col("n_words"), 9).alias("top_word_frac"),
+        F.round(F.coalesce(F.col("top_bigram_chars"), F.lit(0)) / F.col("n_chars"), 9).alias(
+            "top_bigram_char_frac"
+        ),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= 0.85)
+        & (F.col("top_word_frac") <= 0.30)
+        & (F.col("top_bigram_char_frac") <= 0.20),
+    )
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing — redact emails and dashed phone numbers before
+    training, reporting per-doc redaction counts. The corpus carries no PII,
+    so a deterministic injection (doc_id % 7 == 0 gains an email, % 11 == 0
+    a phone) guarantees both classes at any scale; production replaces the
+    injection with the raw text column. Pure map-side regexes (one
+    whole-stage-codegen pass, zero shuffles); the scrubbed text is md5'd so
+    the driver value-checks it without hauling full texts."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.pmod("doc_id", F.lit(7)) == 0,
+                   F.concat(F.lit(" contact"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.pmod("doc_id", F.lit(11)) == 0,
+                   F.concat(F.lit(" call 555-123-"),
+                            F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    phone_re = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(phone_re)).cast("long").alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
 QUERIES.update(
     {
         "curation_sample_stratified": q_curation_sample_stratified,
         "decontaminate_ngrams": q_decontaminate_ngrams,
+        "quality_repetition": q_quality_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
     }
 )
 
@@ -1501,6 +1592,60 @@ ORACLES.update(
                   < CASE WHEN lang = 'en' THEN '80'
                          WHEN lang = 'de' THEN '40'
                          ELSE '1a' END
+        """,
+        "quality_repetition": r"""
+            WITH words AS (
+                SELECT doc_id, n_chars, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents
+            ),
+            wc AS (SELECT doc_id, n_chars, w, count(*)::BIGINT AS c FROM words GROUP BY 1,2,3),
+            word_stats AS (
+                SELECT doc_id, n_chars, sum(c)::BIGINT AS n_words,
+                       count(*)::BIGINT AS n_distinct, max(c) AS top_word_count
+                FROM wc GROUP BY 1,2
+            ),
+            warr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                     FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+            bg AS (
+                SELECT doc_id, array_to_string(a[i:i+1], ' ') AS bg
+                FROM warr, unnest(generate_series(1, greatest(len(a) - 1, 1))) AS t(i)
+            ),
+            bc AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM bg GROUP BY 1,2),
+            bg_stats AS (
+                SELECT doc_id, max(c * (length(bg) - 1)) AS top_bigram_chars
+                FROM bc GROUP BY 1
+            ),
+            m AS (
+                SELECT w.doc_id, w.n_words,
+                       round(1.0 - w.n_distinct::DOUBLE / w.n_words, 9) AS dup_word_frac,
+                       round(w.top_word_count::DOUBLE / w.n_words, 9) AS top_word_frac,
+                       round(coalesce(b.top_bigram_chars, 0)::DOUBLE / w.n_chars, 9) AS top_bigram_char_frac
+                FROM word_stats w LEFT JOIN bg_stats b USING (doc_id)
+            )
+            SELECT *,
+                   (dup_word_frac <= 0.85 AND top_word_frac <= 0.30
+                    AND top_bigram_char_frac <= 0.20) AS keep
+            FROM m
+        """,
+        "text_pii_scrub": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' contact' || CAST(doc_id AS VARCHAR) || '@example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]'))::BIGINT AS n_phones,
+                   md5(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                        '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM injected
         """,
         "decontaminate_ngrams": f"""
             WITH {_NEARDUP_SQL_CTE}, {_SHINGLE8_CTE},

@@ -340,6 +340,28 @@ class TestRound3PlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_pii_scrub_is_map_only(self, spark):
+        # r4: PII redaction must be one codegen pass — zero exchanges/joins
+        import __spark_entry__ as e
+
+        df = e.queries()["text_pii_scrub"](spark, "/root/testdata/sf0.001")
+        rows = {r.doc_id: r for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+        assert rows[0].n_emails == 1 and rows[0].n_phones == 1  # 0 % 7 == 0 % 11 == 0
+        assert rows[1].n_emails == 0 and rows[1].n_phones == 0
+
+    def test_quality_repetition_is_two_aggs_no_cartesian(self, spark):
+        import __spark_entry__ as e
+
+        df = e.queries()["quality_repetition"](spark, "/root/testdata/sf0.001")
+        out = df.collect()
+        assert len(out) == 500
+        assert any(not r.keep for r in out)  # repetitive docs get dropped
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_curation_keep_list_single_scan(self, spark):
         # r4 rework (VERDICT r3): keeper dedup is a window min over fp —
         # ONE scan of documents, ONE shuffle, no join at all (the r3
