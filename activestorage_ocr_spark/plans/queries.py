@@ -1562,12 +1562,53 @@ def q_text_pii_scrub(spark, sf_dir):
     )
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL deduplication — the crawl-side twin of content dedup:
+    scheme/host lowercasing, default-port stripping, www. stripping,
+    tracking-parameter (utm_*) removal, trailing-slash/empty-query cleanup,
+    then keep the smallest doc_id per canonical URL. The corpus ships no
+    messy URLs, so a deterministic synthesizer derives one per doc with
+    doc_id-seeded mess (upper-case scheme/host, :443, www., utm params,
+    trailing slash) — production replaces it with the crawl url column.
+
+    100 TB posture: normalization is pure map-side string exprs; the keeper
+    is the same single-scan window-min shape as curation_keep_list (one
+    shuffle on the canonical key)."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = lambda n: F.pmod(F.col("doc_id"), F.lit(n))  # noqa: E731
+    raw = F.concat(
+        F.when(mod(2) == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(mod(3) == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), mod(20).cast("string"), F.lit(".Example"),
+        F.when(mod(5) == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), mod(100).cast("string"),
+        F.when(mod(7) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(mod(4) == 0,
+               F.concat(F.lit("?utm_source=feed&utm_campaign=c"), mod(6).cast("string"))
+               ).otherwise(F.lit("")),
+    )
+    canon = F.lower(raw)
+    canon = F.regexp_replace(canon, r"^https://www\.", "https://")
+    canon = F.regexp_replace(canon, r":443/", "/")
+    canon = F.regexp_replace(canon, r"\?utm_[a-z_]+=[^&#]*(&utm_[a-z_]+=[^&#]*)*$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    with_url = docs.select("doc_id", raw.alias("raw_url"), canon.alias("canonical_url"))
+    kept = with_url.withColumn(
+        "keeper_id", F.min("doc_id").over(Window.partitionBy("canonical_url"))
+    )
+    return kept.select(
+        "doc_id", "raw_url", "canonical_url",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+
+
 QUERIES.update(
     {
         "curation_sample_stratified": q_curation_sample_stratified,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "quality_repetition": q_quality_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "url_canonical_dedup": q_url_canonical_dedup,
     }
 )
 
@@ -1592,6 +1633,35 @@ ORACLES.update(
                   < CASE WHEN lang = 'en' THEN '80'
                          WHEN lang = 'de' THEN '40'
                          ELSE '1a' END
+        """,
+        "url_canonical_dedup": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+                       || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                       || 'site' || CAST(doc_id % 20 AS VARCHAR) || '.Example'
+                       || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+                       || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+                       || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+                       || (CASE WHEN doc_id % 4 = 0
+                               THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 6 AS VARCHAR)
+                               ELSE '' END) AS raw_url
+                FROM documents
+            ),
+            canon AS (
+                SELECT doc_id, raw_url,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(lower(raw_url), '^https://www\.', 'https://'),
+                             ':443/', '/'),
+                           '\?utm_[a-z_]+=[^&#]*(&utm_[a-z_]+=[^&#]*)*$', ''),
+                         '/$', '') AS canonical_url
+                FROM raw
+            )
+            SELECT doc_id, raw_url, canonical_url,
+                   doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_keeper
+            FROM canon
         """,
         "quality_repetition": r"""
             WITH words AS (

@@ -39,15 +39,22 @@ def extract_pages_stream(
     engine: str = "pixelocr",
     preset: str = "minimal",
     max_bytes: int = 52_428_800,
+    doc_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming variant of the extraction pipeline: same kernel, map-only
     (no repartition — a streaming micro-batch is one file group; the
-    in-kernel byte-budget slicing still guards memory)."""
+    in-kernel byte-budget slicing still guards memory). The per-document
+    wall budget matters MORE here than in batch: a straggling document
+    stalls the whole micro-batch and every trigger behind it. None resolves
+    from env config (ASOS_OCR_DOC_TIMEOUT_MS, default 30 s)."""
+    from ..engine.config import EngineConfig
     from ..operators.extraction import ensure_workers_can_import
 
     ensure_workers_can_import(pages.sparkSession)
+    if doc_timeout_ms is None:
+        doc_timeout_ms = EngineConfig.from_env().doc_timeout_ms
     proj = pages.select("url", "warc_ts", "html", "lang")
-    kernel = make_extract_kernel(engine, preset, max_bytes)
+    kernel = make_extract_kernel(engine, preset, max_bytes, timeout_ms=doc_timeout_ms)
     return proj.mapInArrow(kernel, EXTRACTED_SCHEMA)
 
 

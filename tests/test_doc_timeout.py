@@ -88,6 +88,42 @@ class TestBudgetConfig:
         assert pipeline_info()["doc_timeout_ms"] == DEFAULT_DOC_TIMEOUT_MS
 
 
+class TestStreamingBudget:
+    def test_streaming_straggler_quarantines_and_stream_completes(
+        self, spark, tmp_path
+    ):
+        # a straggling document stalls a whole micro-batch — the budget must
+        # quarantine it and let the trigger finish
+        from activestorage_ocr_spark.streaming.ingest import (
+            read_pages_stream,
+            extract_pages_stream,
+        )
+
+        landing = str(tmp_path / "landing")
+        html = b"<html><body><p>" + b"words here " * 30 + b"</p></body></html>"
+        rows = [(f"https://s.example/{i}", None, html, "en") for i in range(4)]
+        rows.append(("https://s.example/slow", None, _slow_image_payload(), "en"))
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, lang string"
+        ).write.parquet(landing)
+        out = extract_pages_stream(
+            read_pages_stream(spark, landing),
+            preset="aggressive", doc_timeout_ms=1,
+        )
+        sink = str(tmp_path / "out")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.url: r.status for r in spark.read.parquet(sink).collect()}
+        assert got["https://s.example/slow"] == E_TIMEOUT
+        assert sum(1 for s in got.values() if s == "ok") == 4
+
+
 class TestBatchCompletes:
     def test_batch_with_straggler_completes_and_accounts_every_row(self, spark):
         # one pathological image doc among fast HTML docs, kernel armed with
