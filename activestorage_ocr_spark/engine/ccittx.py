@@ -262,11 +262,11 @@ def decode_g3_1d(
         budget.check()
         if byte_align:
             br.align_to_byte()
-        while br.peek_str(12) == _EOL:  # optional EOL/fill before a line
+        while br.window(12) == 1:  # optional EOL/fill before a line
             br.skip(12)
         if br.pos >= br.nbits:
             break
-        if rows is None and br.nbits - br.pos < 13 and "1" not in br.peek_str(13):
+        if rows is None and br.nbits - br.pos < 13 and br.window(13) == 0:
             break  # trailing byte-pad zeros, not a line
         line = np.zeros(w, dtype=bool)
         pos = 0
@@ -311,18 +311,21 @@ def _following_change(trans: list[int], pos: int, w: int) -> int:
 
 
 class _BitReader:
+    """Integer-window bit reader: ``window(n)`` returns the next ``n`` bits
+    as an int in O(1) (zero-padded past the stream end) — the string-per-bit
+    peek this replaced dominated decode profiles at fax-page sizes."""
+
     __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes):
-        self.data = data
+        self.data = data + b"\x00\x00\x00\x00"  # window() overscan pad
         self.pos = 0
         self.nbits = len(data) * 8
 
-    def peek_str(self, n: int) -> str:
-        out = []
-        for i in range(self.pos, min(self.pos + n, self.nbits)):
-            out.append("1" if self.data[i >> 3] & (0x80 >> (i & 7)) else "0")
-        return "".join(out)
+    def window(self, n: int) -> int:
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte : byte + 4], "big")
+        return (chunk >> (32 - n - (self.pos & 7))) & ((1 << n) - 1)
 
     def skip(self, n: int) -> None:
         self.pos += n
@@ -331,39 +334,63 @@ class _BitReader:
         self.pos += -self.pos % 8
 
 
+def _build_run_lut(table: dict) -> list:
+    """Flat 2^13 lookup: any 13-bit window -> (run, terminating, code_len).
+    Prefix-freeness of the T.4 tables (pinned in tests) makes the fill
+    unambiguous."""
+    lut: list = [None] * (1 << _MAX_CODE_LEN)
+    for code, (run, term) in table.items():
+        pad = _MAX_CODE_LEN - len(code)
+        base = int(code, 2) << pad
+        entry = (run, term, len(code))
+        for i in range(1 << pad):
+            lut[base + i] = entry
+    return lut
+
+
+_WHITE_LUT = _build_run_lut(_WHITE_DECODE)
+_BLACK_LUT = _build_run_lut(_BLACK_DECODE)
+
 _MODE_CODES = (
     ("1", "V0"), ("011", "VR1"), ("010", "VL1"), ("001", "H"),
     ("0001", "P"), ("000011", "VR2"), ("000010", "VL2"),
-    ("0000011", "VR3"), ("0000010", "VL3"), (_EOL, "EOL"),
+    ("0000011", "VR3"), ("0000010", "VL3"),
 )
+
+#: 7-bit window -> (mode, code_len); windows starting with 7 zeros stay None
+#: (EOL or corrupt — resolved by the caller's 12-bit check)
+_MODE_LUT: list = [None] * 128
+for _code, _mode in _MODE_CODES:
+    _pad = 7 - len(_code)
+    _base = int(_code, 2) << _pad
+    for _i in range(1 << _pad):
+        _MODE_LUT[_base + _i] = (_mode, len(_code))
 
 
 def _read_mode(br: _BitReader) -> str:
-    window = br.peek_str(12)
-    for code, mode in _MODE_CODES:
-        if window.startswith(code):
-            br.skip(len(code))
-            return mode
-    raise G4Error(f"bad mode code at bit {br.pos}: {window!r}")
+    hit = _MODE_LUT[br.window(7)]
+    if hit is None:
+        if br.window(12) == 1:  # EOL
+            br.skip(12)
+            return "EOL"
+        raise G4Error(f"bad mode code at bit {br.pos}")
+    br.skip(hit[1])
+    return hit[0]
 
 
 def _read_run(br: _BitReader, white: bool) -> int:
     """One complete MH run: zero or more make-ups, then a terminating code."""
-    table = _WHITE_DECODE if white else _BLACK_DECODE
+    lut = _WHITE_LUT if white else _BLACK_LUT
     total = 0
     for _ in range(64):  # more make-ups than any sane run needs
-        window = br.peek_str(_MAX_CODE_LEN)
-        for ln in range(2, _MAX_CODE_LEN + 1):
-            hit = table.get(window[:ln])
-            if hit is not None:
-                run, terminating = hit
-                br.skip(ln)
-                total += run
-                if terminating:
-                    return total
-                break
-        else:
+        hit = lut[br.window(_MAX_CODE_LEN)]
+        if hit is None:
             raise G4Error(f"bad {'white' if white else 'black'} run code at bit {br.pos}")
+        run, terminating, ln = hit
+        br.skip(ln)
+        total += run
+        if terminating:
+            return total
     raise G4Error("runaway make-up sequence")
 
 
@@ -383,44 +410,60 @@ def decode_g4(
     out: list[np.ndarray] = []
     ref: list[int] = []
     max_rows = rows if rows is not None else 1 << 30
+    vdelta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+              "VL1": -1, "VL2": -2, "VL3": -3}
     while len(out) < max_rows:
         budget.check()  # per-scanline guard (engine wall budget)
         if byte_align:
             br.align_to_byte()
         if br.pos >= br.nbits:
             break
-        if br.peek_str(12) == _EOL:
+        if br.window(12) == 1:
             break  # EOFB
         cur: list[int] = []
         a0 = -1
         color_white = True
+        nref = len(ref)
+        ri = 0  # monotone pointer: smallest index with ref[ri] > a0
         while a0 < w:
             mode = _read_mode(br)
             if mode == "EOL":
                 raise G4Error("unexpected EOL mid-line")
-            b1 = _next_change(ref, a0, color_white, w)
-            b2 = _following_change(ref, b1, w)
+            # b1: first ref change right of a0 whose color is opposite the
+            # current color. ref indices alternate (even -> to-black), and
+            # a0 only moves right, so ri advances monotonically — O(changes)
+            # per line instead of a from-scratch scan per mode code.
+            while ri < nref and ref[ri] <= a0:
+                ri += 1
+            i = ri
+            if i < nref and (i & 1) != (0 if color_white else 1):
+                i += 1
+            b1 = ref[i] if i < nref else w
             if mode == "P":
-                a0 = b2
+                a0 = ref[i + 1] if i + 1 < nref else w
             elif mode == "H":
                 start = a0 if a0 >= 0 else 0
                 run1 = _read_run(br, color_white)
                 run2 = _read_run(br, not color_white)
                 a1 = start + run1
                 a2 = a1 + run2
-                if a2 > w or run1 < 0:
+                if a2 > w:
                     raise G4Error("horizontal runs overflow the line")
+                if a2 <= a0 and a0 >= 0:
+                    raise G4Error("non-advancing horizontal runs")
                 if a1 < w:
                     cur.append(a1)
                 if a2 < w:
                     cur.append(a2)
                 a0 = a2
             else:  # vertical family
-                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = b1 + delta
+                a1 = b1 + vdelta[mode]
                 if a1 < 0 or a1 > w:
                     raise G4Error("vertical mode out of line bounds")
+                if a1 <= a0 and a0 >= 0:
+                    # a corrupt stream can code a non-advancing a1 — without
+                    # this guard the line loop never terminates
+                    raise G4Error("non-monotonic changing element")
                 if a1 < w:
                     cur.append(a1)
                 a0 = a1
