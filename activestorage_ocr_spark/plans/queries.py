@@ -1602,8 +1602,37 @@ def q_url_canonical_dedup(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing — assign documents to fixed-token-budget training
+    bins (2048 tokens) by greedy CONTIGUOUS packing in deterministic
+    (lang, doc_id) order: bin_id = floor(preceding-cumulative-tokens /
+    budget). The contiguous variant trades a few percent of fill efficiency
+    for full determinism and SQL-expressibility (first-fit-decreasing is
+    order-dependent and unreproducible across partitionings).
+
+    100 TB posture: ONE window over (lang-partitioned, doc_id-ordered)
+    running sums — a single shuffle on lang; bins never materialize as a
+    table. Skew note: partitioning by lang is coarse (en dominates a real
+    crawl) — a production run subpartitions the window key by a doc_id hash
+    prefix (e.g. (lang, pmod(xxhash64(url), 1024))) and accepts one
+    partially-filled bin per subpartition, keeping the same plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", ts.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 2048).cast("long").alias("bin_id"),
+        (cum - F.col("n_tokens") - F.floor((cum - F.col("n_tokens")) / 2048) * 2048)
+        .cast("long").alias("bin_offset"),
+    )
+
+
 QUERIES.update(
     {
+        "pack_sequences": q_pack_sequences,
         "curation_sample_stratified": q_curation_sample_stratified,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "quality_repetition": q_quality_repetition,
@@ -1633,6 +1662,24 @@ ORACLES.update(
                   < CASE WHEN lang = 'en' THEN '80'
                          WHEN lang = 'de' THEN '40'
                          ELSE '1a' END
+        """,
+        "pack_sequences": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+                FROM toks
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor(prev_cum / 2048) AS BIGINT) AS bin_id,
+                   CAST(prev_cum - floor(prev_cum / 2048) * 2048 AS BIGINT) AS bin_offset
+            FROM c
         """,
         "url_canonical_dedup": r"""
             WITH raw AS (
