@@ -10,6 +10,9 @@ Implemented from the public specs only:
 
 * ITU-T T.4 §2.2.2 — the Modified Huffman white/black run-length code
   tables (terminating 0-63, make-up 64-1728, extended make-up 1792-2560);
+* ITU-T T.4 §2.2.4 — Group 3 two-dimensional framing (PDF /K > 0): each
+  line is EOL + a one-bit tag selecting 1-D (MH) or 2-D coding, at most
+  k-1 consecutive 2-D lines, RTC (six EOL+1) terminator;
 * ITU-T T.6 §2.2.3-2.2.5 — the two-dimensional (MMR) coding modes: pass
   (0001), horizontal (001 + two MH runs), vertical V0/VR1-3/VL1-3, and the
   EOFB terminator (two EOLs).
@@ -31,7 +34,10 @@ import numpy as np
 
 from . import budget
 
-__all__ = ["encode_g4", "decode_g4", "encode_g3_1d", "decode_g3_1d", "G4Error"]
+__all__ = [
+    "encode_g4", "decode_g4", "encode_g3_1d", "decode_g3_1d",
+    "encode_g3_2d", "decode_g3_2d", "G4Error",
+]
 
 
 class G4Error(ValueError):
@@ -153,6 +159,47 @@ def _transitions(line: np.ndarray) -> list[int]:
     return np.flatnonzero(line != prev).tolist()
 
 
+def _encode_2d_line(bits: _BitList, cur: list[int], ref: list[int], w: int) -> None:
+    """Emit one two-dimensional (MMR) coding line: ``cur``/``ref`` are the
+    changing-element positions of the coding and reference lines (T.6
+    §2.2.4 mode decisions: pass / vertical / horizontal)."""
+    a0 = -1
+    color_white = True
+    while a0 < w:
+        a1 = _next_change(cur, a0, color_white, w)
+        b1 = _next_change(ref, a0, color_white, w)
+        b2 = _following_change(ref, b1, w)
+        if b2 < a1:
+            bits.append("0001")  # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                         -1: "010", -2: "000010", -3: "0000010"}[d])
+            a0 = a1
+            color_white = not color_white
+        else:
+            a2 = _following_change(cur, a1, w)
+            bits.append("001")  # horizontal
+            run1 = a1 - (a0 if a0 >= 0 else 0)
+            run2 = a2 - a1
+            _emit_run(bits, run1, color_white)
+            _emit_run(bits, run2, not color_white)
+            a0 = a2
+
+
+def _encode_1d_line(bits: _BitList, line: np.ndarray, w: int) -> None:
+    """Emit one one-dimensional (MH) coding line: alternating white/black
+    runs starting with a (possibly zero-length) white run."""
+    trans = _transitions(line) + [w]
+    pos = 0
+    white = True
+    for t in trans:
+        _emit_run(bits, t - pos, white)
+        pos = t
+        white = not white
+
+
 def encode_g4(image: np.ndarray, byte_align: bool = False) -> bytes:
     """Encode a bool array (True = black) as a G4/MMR stream with EOFB,
     byte-padded — the exact body of a PDF ``/CCITTFaxDecode`` stream with
@@ -170,32 +217,47 @@ def encode_g4(image: np.ndarray, byte_align: bool = False) -> bytes:
         if byte_align:
             bits.pad_to_byte()
         cur = _transitions(img[y])
-        a0 = -1
-        color_white = True
-        while a0 < w:
-            a1 = _next_change(cur, a0, color_white, w)
-            b1 = _next_change(ref, a0, color_white, w)
-            b2 = _following_change(ref, b1, w)
-            if b2 < a1:
-                bits.append("0001")  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
-                             -1: "010", -2: "000010", -3: "0000010"}[d])
-                a0 = a1
-                color_white = not color_white
-            else:
-                a2 = _following_change(cur, a1, w)
-                bits.append("001")  # horizontal
-                run1 = a1 - (a0 if a0 >= 0 else 0)
-                run2 = a2 - a1
-                _emit_run(bits, run1, color_white)
-                _emit_run(bits, run2, not color_white)
-                a0 = a2
+        _encode_2d_line(bits, cur, ref, w)
         ref = cur
     bits.append(_EOL)
     bits.append(_EOL)  # EOFB
+    return bits.to_bytes()
+
+
+def encode_g3_2d(image: np.ndarray, k: int = 4, byte_align: bool = False) -> bytes:
+    """Encode a bool array (True = black) as a CCITT Group 3 two-dimensional
+    stream — the PDF ``/CCITTFaxDecode`` body with ``/K k`` (k > 0). T.4
+    §2.2.4: every coding line is preceded by EOL plus a one-bit tag (1 =
+    the next line is 1-D MH coded, 0 = 2-D coded against the previous
+    line); at most ``k - 1`` consecutive 2-D lines follow each 1-D line so
+    a receiver can resynchronize after transmission damage. Ends with RTC
+    (six EOL+1). ``byte_align`` pads so each EOL starts a fresh byte
+    (PDF /EncodedByteAlign)."""
+    img = np.asarray(image, dtype=bool)
+    if img.ndim != 2:
+        raise G4Error("encode_g3_2d expects a 2-D bool array")
+    if k <= 0:
+        raise G4Error("encode_g3_2d requires k > 0")
+    h, w = img.shape
+    bits = _BitList()
+    ref: list[int] = []
+    for y in range(h):
+        if byte_align:
+            bits.pad_to_byte()
+        bits.append(_EOL)
+        one_dim = y % k == 0
+        bits.append("1" if one_dim else "0")
+        cur = _transitions(img[y])
+        if one_dim:
+            _encode_1d_line(bits, img[y], w)
+        else:
+            _encode_2d_line(bits, cur, ref, w)
+        ref = cur
+    for _ in range(6):  # RTC
+        if byte_align:
+            bits.pad_to_byte()
+        bits.append(_EOL)
+        bits.append("1")
     return bits.to_bytes()
 
 
@@ -234,13 +296,7 @@ def encode_g3_1d(image: np.ndarray, byte_align: bool = False) -> bytes:
     for y in range(h):
         if byte_align:
             bits.pad_to_byte()
-        trans = _transitions(img[y]) + [w]
-        pos = 0
-        white = True
-        for t in trans:
-            _emit_run(bits, t - pos, white)
-            pos = t
-            white = not white
+        _encode_1d_line(bits, img[y], w)
     return bits.to_bytes()
 
 
@@ -410,8 +466,6 @@ def decode_g4(
     out: list[np.ndarray] = []
     ref: list[int] = []
     max_rows = rows if rows is not None else 1 << 30
-    vdelta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-              "VL1": -1, "VL2": -2, "VL3": -3}
     while len(out) < max_rows:
         budget.check()  # per-scanline guard (engine wall budget)
         if byte_align:
@@ -420,69 +474,155 @@ def decode_g4(
             break
         if br.window(12) == 1:
             break  # EOFB
-        cur: list[int] = []
-        a0 = -1
-        color_white = True
-        nref = len(ref)
-        ri = 0  # monotone pointer: smallest index with ref[ri] > a0
-        while a0 < w:
-            mode = _read_mode(br)
-            if mode == "EOL":
-                raise G4Error("unexpected EOL mid-line")
-            # b1: first ref change right of a0 whose color is opposite the
-            # current color. ref indices alternate (even -> to-black), and
-            # a0 only moves right, so ri advances monotonically — O(changes)
-            # per line instead of a from-scratch scan per mode code.
-            while ri < nref and ref[ri] <= a0:
-                ri += 1
-            i = ri
-            if i < nref and (i & 1) != (0 if color_white else 1):
-                i += 1
-            b1 = ref[i] if i < nref else w
-            if mode == "P":
-                a0 = ref[i + 1] if i + 1 < nref else w
-            elif mode == "H":
-                start = a0 if a0 >= 0 else 0
-                run1 = _read_run(br, color_white)
-                run2 = _read_run(br, not color_white)
-                a1 = start + run1
-                a2 = a1 + run2
-                if a2 > w:
-                    raise G4Error("horizontal runs overflow the line")
-                if a2 <= a0 and a0 >= 0:
-                    raise G4Error("non-advancing horizontal runs")
-                if a1 < w:
-                    cur.append(a1)
-                if a2 < w:
-                    cur.append(a2)
-                a0 = a2
-            else:  # vertical family
-                a1 = b1 + vdelta[mode]
-                if a1 < 0 or a1 > w:
-                    raise G4Error("vertical mode out of line bounds")
-                if a1 <= a0 and a0 >= 0:
-                    # a corrupt stream can code a non-advancing a1 — without
-                    # this guard the line loop never terminates
-                    raise G4Error("non-monotonic changing element")
-                if a1 < w:
-                    cur.append(a1)
-                a0 = a1
-                color_white = not color_white
-        # materialize the line from its changing elements
-        line = np.zeros(w, dtype=bool)
-        black = False
-        prev_t = 0
-        for t in cur:
-            if black:
-                line[prev_t:t] = True
-            black = not black
-            prev_t = t
-        if black:
-            line[prev_t:] = True
-        out.append(line)
+        cur = _decode_2d_line(br, ref, w)
+        out.append(_line_from_transitions(cur, w))
         ref = cur
     if rows is not None and len(out) < rows:
         raise G4Error(f"G4 stream ended after {len(out)} of {rows} rows")
+    if not out:
+        return np.zeros((0, columns), dtype=bool)
+    return np.stack(out)
+
+
+_VDELTA = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+           "VL1": -1, "VL2": -2, "VL3": -3}
+
+
+def _decode_2d_line(br: _BitReader, ref: list[int], w: int) -> list[int]:
+    """Decode one two-dimensional coding line (T.6 mode loop) against the
+    reference line's changing elements; returns this line's changing
+    elements. Shared by G4 (every line 2-D) and G3 2-D (tag-bit 0 lines)."""
+    cur: list[int] = []
+    a0 = -1
+    color_white = True
+    nref = len(ref)
+    ri = 0  # monotone pointer: smallest index with ref[ri] > a0
+    while a0 < w:
+        mode = _read_mode(br)
+        if mode == "EOL":
+            raise G4Error("unexpected EOL mid-line")
+        # b1: first ref change right of a0 whose color is opposite the
+        # current color. ref indices alternate (even -> to-black), and
+        # a0 only moves right, so ri advances monotonically — O(changes)
+        # per line instead of a from-scratch scan per mode code.
+        while ri < nref and ref[ri] <= a0:
+            ri += 1
+        i = ri
+        if i < nref and (i & 1) != (0 if color_white else 1):
+            i += 1
+        b1 = ref[i] if i < nref else w
+        if mode == "P":
+            a0 = ref[i + 1] if i + 1 < nref else w
+        elif mode == "H":
+            start = a0 if a0 >= 0 else 0
+            run1 = _read_run(br, color_white)
+            run2 = _read_run(br, not color_white)
+            a1 = start + run1
+            a2 = a1 + run2
+            if a2 > w:
+                raise G4Error("horizontal runs overflow the line")
+            if a2 <= a0 and a0 >= 0:
+                raise G4Error("non-advancing horizontal runs")
+            if a1 < w:
+                cur.append(a1)
+            if a2 < w:
+                cur.append(a2)
+            a0 = a2
+        else:  # vertical family
+            a1 = b1 + _VDELTA[mode]
+            if a1 < 0 or a1 > w:
+                raise G4Error("vertical mode out of line bounds")
+            if a1 <= a0 and a0 >= 0:
+                # a corrupt stream can code a non-advancing a1 — without
+                # this guard the line loop never terminates
+                raise G4Error("non-monotonic changing element")
+            if a1 < w:
+                cur.append(a1)
+            a0 = a1
+            color_white = not color_white
+    return cur
+
+
+def _decode_1d_transitions(br: _BitReader, w: int) -> list[int]:
+    """Decode one one-dimensional (MH) coding line to changing-element
+    positions (the 2-D reference-line form): alternating white/black runs,
+    leading white run may be zero-length (line starts black → change at 0)."""
+    trans: list[int] = []
+    pos = 0
+    white = True
+    while pos < w:
+        run = _read_run(br, white)
+        if run == 0 and not (pos == 0 and white):
+            raise G4Error("zero-length run mid-line")
+        if pos + run > w:
+            raise G4Error("G3 run overflows the line")
+        pos += run
+        if pos < w:
+            trans.append(pos)
+        white = not white
+    return trans
+
+
+def _line_from_transitions(cur: list[int], w: int) -> np.ndarray:
+    """Materialize a pixel line (True = black) from its changing elements."""
+    line = np.zeros(w, dtype=bool)
+    black = False
+    prev_t = 0
+    for t in cur:
+        if black:
+            line[prev_t:t] = True
+        black = not black
+        prev_t = t
+    if black:
+        line[prev_t:] = True
+    return line
+
+
+def decode_g3_2d(
+    data: bytes, columns: int, rows: int | None = None, byte_align: bool = False
+) -> np.ndarray:
+    """Decode a CCITT Group 3 two-dimensional stream (PDF ``/K k`` with
+    k > 0) to a bool array (True = black). T.4 §2.2.4 framing: each line
+    is EOL + tag bit (1 = 1-D MH line, 0 = 2-D line coded against the
+    previous line), with optional zero fill before each EOL;
+    RTC (consecutive EOLs) or stream end terminates. The decoder obeys the
+    per-line tag, so any k the encoder chose decodes identically."""
+    if columns <= 0:
+        raise G4Error("columns must be positive")
+    if rows is not None and rows * columns > 64_000_000:
+        raise G4Error("G3-2D image too large")
+    br = _BitReader(data)
+    w = columns
+    out: list[np.ndarray] = []
+    ref: list[int] = []
+    max_rows = rows if rows is not None else 1 << 30
+    while len(out) < max_rows:
+        budget.check()
+        if byte_align:
+            br.align_to_byte()
+        # zero fill is allowed before every EOL (T.4 §2.2.3) — consume it
+        while br.pos < br.nbits and br.window(12) != 1:
+            if br.window(1) != 0:
+                raise G4Error(f"expected EOL fill at bit {br.pos}")
+            br.skip(1)
+        if br.pos >= br.nbits:
+            break
+        br.skip(12)  # EOL
+        tag = br.window(1)
+        br.skip(1)
+        # RTC / trailing-EOL detection: no MH or 2-D mode code has more than
+        # 7 leading zeros, so >= 11 leading zeros here can only be (optional
+        # zero fill +) another EOL — consecutive EOLs end the image
+        nxt = br.window(24)
+        if br.pos >= br.nbits or nxt == 0 or (24 - nxt.bit_length()) >= 11:
+            break
+        cur = (
+            _decode_1d_transitions(br, w) if tag == 1 else _decode_2d_line(br, ref, w)
+        )
+        out.append(_line_from_transitions(cur, w))
+        ref = cur
+    if rows is not None and len(out) < rows:
+        raise G4Error(f"G3-2D stream ended after {len(out)} of {rows} rows")
     if not out:
         return np.zeros((0, columns), dtype=bool)
     return np.stack(out)

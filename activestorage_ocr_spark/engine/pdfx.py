@@ -152,20 +152,24 @@ def build_image_pdf(
         img_id = next_id
         next_id += 1
         h, w = arr.shape[:2]
-        if cs in ("G4", "G4A", "G3"):
+        if cs in ("G4", "G4A", "G3", "G32D", "G32DA"):
             # CCITT bitonal image (the scanned-PDF mainline): gray arrays
             # threshold at 128, bool arrays are taken as-is. "G4A" = G4 with
-            # /EncodedByteAlign; "G3" = one-dimensional MH (K=0)
-            from .ccittx import encode_g3_1d, encode_g4
+            # /EncodedByteAlign; "G3" = one-dimensional MH (K=0); "G32D" =
+            # mixed 1-D/2-D (K=4), "G32DA" with /EncodedByteAlign
+            from .ccittx import encode_g3_1d, encode_g3_2d, encode_g4
 
             black = arr if arr.dtype == bool else arr < 128
-            aligned = cs == "G4A"
-            stream = (
-                encode_g3_1d(black) if cs == "G3" else encode_g4(black, byte_align=aligned)
-            )
+            aligned = cs in ("G4A", "G32DA")
+            if cs == "G3":
+                stream = encode_g3_1d(black)
+            elif cs in ("G32D", "G32DA"):
+                stream = encode_g3_2d(black, k=4, byte_align=aligned)
+            else:
+                stream = encode_g4(black, byte_align=aligned)
             if corrupt_data:
                 stream = stream[: max(1, len(stream) // 4)]
-            k = b"0" if cs == "G3" else b"-1"
+            k = {"G3": b"0", "G32D": b"4", "G32DA": b"4"}.get(cs, b"-1")
             align = b" /EncodedByteAlign true" if aligned else b""
             d = (
                 b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
@@ -667,22 +671,22 @@ def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.nd
             parms = parms[-1] if parms else None
         parms = parms if isinstance(parms, dict) else {}
         k = parms.get("/K", 0)
-        if not isinstance(k, int) or k > 0:
-            # G3 two-dimensional (K>0) is a labeled gap: K<0 (G4) dominates
-            # real scanned PDFs and K=0 (G3 1-D) covers the fax-era rest
-            raise PdfError(f"unsupported CCITT K mode: {k} (G4 K<0 and G3 1-D K=0 only)")
+        if not isinstance(k, int):
+            raise PdfError(f"bad CCITT /K value: {k!r}")
         byte_align = bool(parms.get("/EncodedByteAlign", False))
         columns = parms.get("/Columns", 1728)
         rows = parms.get("/Rows", h)
         if not isinstance(columns, int) or columns < w:
             raise PdfError(f"CCITT /Columns {columns!r} narrower than /Width {w}")
-        from .ccittx import G4Error, decode_g3_1d, decode_g4
+        from .ccittx import G4Error, decode_g3_1d, decode_g3_2d, decode_g4
 
         try:
             if k < 0:
                 black = decode_g4(data, columns=columns, rows=rows, byte_align=byte_align)
-            else:
+            elif k == 0:
                 black = decode_g3_1d(data, columns=columns, rows=rows, byte_align=byte_align)
+            else:
+                black = decode_g3_2d(data, columns=columns, rows=rows, byte_align=byte_align)
         except G4Error as e:
             raise PdfError(f"bad CCITTFaxDecode stream: {e}") from e
         if black.shape[0] < h:

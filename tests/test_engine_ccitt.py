@@ -123,13 +123,21 @@ class TestPdfIntegration:
         back = pdfx.decode_image_xobject(img_obj, objs)
         assert (back[img] == 0).all()
 
-    def test_g3_2d_is_a_labeled_gap(self):
-        img = rasters.render_text("X", scale=2) < 128
-        objs = pdfx.parse_objects(pdfx.build_image_pdf([(img, "G4")]))
-        img_obj = next(o for o in objs.values() if o.dict.get("/Subtype") == "/Image")
-        img_obj.dict["/DecodeParms"]["/K"] = 4  # G3 two-dimensional
-        with pytest.raises(pdfx.PdfError, match="K mode"):
-            pdfx.decode_image_xobject(img_obj, objs)
+    def test_g3_2d_pdf_extracts_end_to_end(self):
+        pdf = pdfx.build_image_pdf(
+            [(rasters.render_text("G3 2D MIXED 77", scale=3), "G32D")]
+        )
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert "G3 2D MIXED 77" in r["extracted_text"]
+
+    def test_g3_2d_byte_aligned_pdf_extracts_end_to_end(self):
+        pdf = pdfx.build_image_pdf(
+            [(rasters.render_text("ALIGNED 2D 88", scale=3), "G32DA")]
+        )
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert "ALIGNED 2D 88" in r["extracted_text"]
 
     def test_g3_1d_pdf_extracts_end_to_end(self):
         pdf = pdfx.build_image_pdf([(rasters.render_text("G3 FAX 1988", scale=3), "G3")])
@@ -181,3 +189,61 @@ class TestG3RoundTrip:
         _emit_run(bits, 0, True)    # invalid: zero white run mid-line
         with pytest.raises(G4Error):
             ccittx.decode_g3_1d(bits.to_bytes(), columns=10, rows=1)
+
+
+class TestG32DRoundTrip:
+    @pytest.mark.parametrize("k,byte_align", [(1, False), (2, False), (4, False),
+                                              (4, True), (99, False)])
+    def test_random_images(self, k, byte_align):
+        rng = np.random.default_rng(7 * k + byte_align)
+        for shape, density in [((1, 1), 0.5), ((5, 8), 0.0), ((5, 8), 1.0),
+                               ((30, 211), 0.15), ((3, 2600), 0.02),
+                               ((17, 64), 0.5)]:
+            img = rng.random(shape) < density
+            dec = ccittx.decode_g3_2d(
+                ccittx.encode_g3_2d(img, k=k, byte_align=byte_align),
+                columns=shape[1], rows=shape[0], byte_align=byte_align,
+            )
+            assert (dec == img).all(), (shape, k, byte_align)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 30), st.integers(1, 80), st.integers(0, 2**32 - 1),
+           st.integers(1, 8))
+    def test_property_roundtrip(self, h, w, seed, k):
+        rng = np.random.default_rng(seed)
+        img = rng.random((h, w)) < rng.random()
+        dec = ccittx.decode_g3_2d(ccittx.encode_g3_2d(img, k=k), columns=w, rows=h)
+        assert (dec == img).all()
+
+    def test_rows_none_stops_at_rtc(self):
+        img = np.tri(7, 19, dtype=bool)
+        dec = ccittx.decode_g3_2d(ccittx.encode_g3_2d(img, k=2), columns=19)
+        assert (dec == img).all()
+
+    def test_text_raster(self):
+        img = rasters.render_text("G3 TWO DIM 2024", scale=3) < 128
+        dec = ccittx.decode_g3_2d(
+            ccittx.encode_g3_2d(img, k=4), columns=img.shape[1], rows=img.shape[0]
+        )
+        assert (dec == img).all()
+
+    def test_truncated_stream_raises(self):
+        img = np.tri(20, 40, dtype=bool)
+        enc = ccittx.encode_g3_2d(img, k=4)
+        with pytest.raises(G4Error):
+            ccittx.decode_g3_2d(enc[: len(enc) // 3], columns=40, rows=20)
+
+    def test_junk_raises_not_crashes(self):
+        with pytest.raises(G4Error):
+            ccittx.decode_g3_2d(b"\xde\xad\xbe\xef" * 10, columns=64, rows=8)
+
+    def test_missing_eol_raises(self):
+        # a K>0 stream must be EOL-framed; a bare MH body (K=0 shape) is
+        # corrupt, not silently misparsed
+        img = np.tri(5, 12, dtype=bool)
+        with pytest.raises(G4Error):
+            ccittx.decode_g3_2d(ccittx.encode_g3_1d(img), columns=12, rows=5)
+
+    def test_decode_bomb_guard(self):
+        with pytest.raises(G4Error, match="too large"):
+            ccittx.decode_g3_2d(b"\x00", columns=100_000, rows=100_000)
