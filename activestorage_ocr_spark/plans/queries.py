@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..operators import textstats as ts
 
@@ -1630,9 +1631,66 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    """C4-style duplicate-span removal: chunk every document into
+    consecutive 10-word spans, keep only the globally FIRST occurrence of
+    each span (ordered by doc_id, span_idx), and reassemble the cleaned
+    text. Runs over the corpus with injected near-duplicates so spans
+    demonstrably drop.
+
+    100 TB posture: the keep decision is groupBy(span_hash).min(struct)
+    + an equi-join back — deliberately NOT a window over span_hash: a
+    boilerplate span repeated 10^9 times ("click here to subscribe")
+    would funnel every copy through one window partition, while the
+    groupBy's map-side partial min absorbs it and AQE skew-split handles
+    the join-back. Spans never leave their 10-word granularity, so state
+    per distinct hash is one (doc_id, span_idx) pair. The span table is
+    persisted (memory-then-disk) before branching into the min-agg and the
+    join-back — same rationale as ``lsh_candidate_pairs``: without it both
+    sides recompute the split/explode subtree from the parquet scan."""
+    docs = _docs_with_neardups(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    words = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    n_spans = F.ceil(F.size("w") / F.lit(10)).cast("int")
+    spans = words.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("span_idx"),
+    ).select(
+        "doc_id", "span_idx",
+        F.array_join(
+            F.slice(F.col("w"), F.col("span_idx") * 10 + 1, F.lit(10)), " "
+        ).alias("span_text"),
+    )
+    spans = spans.withColumn("h", F.md5("span_text"))
+    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    first = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first_occ")
+    )
+    flagged = spans.join(first, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("span_idx") == F.col("first_occ.span_idx")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("span_idx", "span_text"))
+                    )
+                ),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+
+
 QUERIES.update(
     {
         "pack_sequences": q_pack_sequences,
+        "dedup_spans": q_dedup_spans,
         "curation_sample_stratified": q_curation_sample_stratified,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "quality_repetition": q_quality_repetition,
@@ -1662,6 +1720,39 @@ ORACLES.update(
                   < CASE WHEN lang = 'en' THEN '80'
                          WHEN lang = 'de' THEN '40'
                          ELSE '1a' END
+        """,
+        "dedup_spans": f"""
+            WITH {_NEARDUP_SQL_CTE},
+            nonempty AS (
+                SELECT doc_id, text FROM docs_nd WHERE length(trim(text)) > 0
+            ),
+            words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM nonempty
+            ),
+            spans AS (
+                SELECT doc_id, CAST(i AS INT) AS span_idx,
+                       array_to_string(w[i*10+1 : i*10+10], ' ') AS span_text
+                FROM words,
+                     UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+            ),
+            flagged AS (
+                SELECT doc_id, span_idx, span_text,
+                       row_number() OVER (
+                           PARTITION BY md5(span_text)
+                           ORDER BY doc_id, span_idx
+                       ) = 1 AS keep
+                FROM spans
+            )
+            SELECT doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   coalesce(
+                       string_agg(CASE WHEN keep THEN span_text END, ' '
+                                  ORDER BY span_idx),
+                       '') AS text_clean
+            FROM flagged
+            GROUP BY doc_id
         """,
         "pack_sequences": r"""
             WITH toks AS (

@@ -375,3 +375,26 @@ class TestRound3PlanShapes:
         assert "CartesianProduct" not in plan
         assert plan.count("Scan parquet") == 1
         assert "Join" not in plan  # keeper dedup carries no join
+
+    def test_dedup_spans_cache_reused_both_branches(self, spark):
+        # r4: C4-style span dedup persists the exploded span table so the
+        # min-agg branch and the join-back branch both read the cache
+        # instead of re-running split/explode from the parquet scan; the
+        # keep rule must actually drop the injected duplicate spans
+        import __spark_entry__ as e
+
+        df = e.queries()["dedup_spans"](spark, "/root/testdata/sf0.001")
+        rows = {r.doc_id: r for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("TableCacheQueryStage") == 2, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # every injected near-dup (doc_id >= 1e6) repeats its base doc's
+        # spans, so it keeps at most the final ragged '... zzz' span
+        dups = [r for d, r in rows.items() if d >= 1_000_000]
+        assert dups and all(r.n_kept <= 1 for r in dups), dups[:3]
+        base = [r for d, r in rows.items() if d < 1_000_000]
+        assert sum(r.n_kept for r in base) > 0
+        # reassembled text of a fully-kept doc round-trips word-for-word
+        full = next(r for r in base if r.n_kept == r.n_spans)
+        assert len(full.text_clean.split()) >= 10 * (full.n_spans - 1)
