@@ -152,6 +152,39 @@ def build_image_pdf(
         img_id = next_id
         next_id += 1
         h, w = arr.shape[:2]
+        if cs in ("JBIG2", "JBIG2G"):
+            # JBIG2 generic-region bitonal image; "JBIG2G" splits the page
+            # info segment into a /JBIG2Globals stream (the shared-segment
+            # organization real PDF producers use)
+            from .jbig2x import _SEG_PAGE_INFO, encode_jbig2_embedded
+
+            black = arr if arr.dtype == bool else arr < 128
+            stream = encode_jbig2_embedded(black)
+            if corrupt_data:
+                stream = stream[: max(1, len(stream) // 4)]
+            parms = b""
+            if cs == "JBIG2G":
+                # first segment is page info (header 11 bytes + 19 payload)
+                assert stream[4] & 0x3F == _SEG_PAGE_INFO
+                gdata, stream = stream[:30], stream[30:]
+                gid = next_id
+                next_id += 1
+                extra.append(
+                    (gid, b"<< /Length " + str(len(gdata)).encode() + b" >>", gdata)
+                )
+                parms = (
+                    b" /DecodeParms << /JBIG2Globals " + str(gid).encode() + b" 0 R >>"
+                )
+            d = (
+                b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 1 /Length "
+                + str(len(stream)).encode()
+                + b" /Filter /JBIG2Decode" + parms + b" >>"
+            )
+            objs.append((img_id, d, stream))
+            img_entries.append(img_id)
+            continue
         if cs in ("G4", "G4A", "G3", "G32D", "G32DA"):
             # CCITT bitonal image (the scanned-PDF mainline): gray arrays
             # threshold at 128, bool arrays are taken as-is. "G4A" = G4 with
@@ -695,6 +728,40 @@ def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.nd
         # /BlackIs1 (default false): black pixels become 0 bits -> DeviceGray
         # sample 0 = black. An explicit /Decode [1 0] inverts the samples.
         bit = black.astype(np.uint8) if parms.get("/BlackIs1") else (~black).astype(np.uint8)
+        dec = d.get("/Decode")
+        if isinstance(dec, list) and len(dec) >= 2 and dec[0] == 1:
+            bit = 1 - bit
+        return (bit * 255).astype(np.uint8)
+    if filts and filts[-1] == "/JBIG2Decode":
+        # JBIG2 generic-region subset (engine/jbig2x.py) — the other
+        # scanned-PDF mainline next to CCITT. Earlier filters unwrap first;
+        # /JBIG2Globals carries out-of-band segments (page info, etc).
+        data = obj.stream or b""
+        for name in filts[:-1]:
+            data = _apply_filter(name, data)
+        parms = d.get("/DecodeParms", d.get("/DP"))
+        if isinstance(parms, list):
+            parms = parms[-1] if parms else None
+        parms = parms if isinstance(parms, dict) else {}
+        globals_data = b""
+        gref = parms.get("/JBIG2Globals")
+        if gref is not None:
+            gobj = objects.get(gref.oid) if isinstance(gref, _Ref) else None
+            if gobj is None or gobj.stream is None:
+                raise PdfError("JBIG2Globals is not a stream")
+            globals_data = _decode_stream(gobj)
+        from .jbig2x import Jbig2Error, decode_jbig2_embedded
+
+        try:
+            black = decode_jbig2_embedded(data, globals_data)
+        except Jbig2Error as e:
+            raise PdfError(f"bad JBIG2Decode stream: {e}") from e
+        if black.shape[0] < h or black.shape[1] < w:
+            raise PdfError("JBIG2 page smaller than image dimensions")
+        black = black[:h, :w]
+        # JBIG2 1 bits are black; DeviceGray sample 0 = black (viewer
+        # convention, matching the CCITT branch); /Decode [1 0] inverts
+        bit = (~black).astype(np.uint8)
         dec = d.get("/Decode")
         if isinstance(dec, list) and len(dec) >= 2 and dec[0] == 1:
             bit = 1 - bit

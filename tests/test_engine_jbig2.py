@@ -1,0 +1,225 @@
+"""JBIG2 generic-region codec (`engine/jbig2x.py`, ITU-T T.88) and its
+``/JBIG2Decode`` integration in the PDF image path."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from activestorage_ocr_spark.engine import jbig2x, pdfx, rasters
+from activestorage_ocr_spark.engine.extract import extract_document
+from activestorage_ocr_spark.engine.jbig2x import (
+    Jbig2Error,
+    MQDecoder,
+    MQEncoder,
+    decode_generic_region,
+    decode_jbig2_embedded,
+    encode_generic_region,
+    encode_jbig2_embedded,
+)
+
+
+class TestQeTable:
+    def test_structure(self):
+        # a transcription slip in Table E.1 would break these invariants
+        assert len(jbig2x._QE) == 47
+        for i, (qe, nmps, nlps, switch) in enumerate(jbig2x._QE):
+            assert 0 < qe < 0x8000, i          # probabilities are sub-half
+            assert 0 <= nmps < 47 and 0 <= nlps < 47, i
+            assert switch in (0, 1)
+            if switch:
+                assert qe == 0x5601, i          # only the start-states switch
+
+    def test_known_entries(self):
+        # spot-pins against the published table
+        assert jbig2x._QE[0] == (0x5601, 1, 1, 1)
+        assert jbig2x._QE[1][0] == 0x3401
+        assert jbig2x._QE[45] == (0x0001, 45, 43, 0)
+        assert jbig2x._QE[46] == (0x5601, 46, 46, 0)  # non-adaptive state
+        assert jbig2x._QE[14] == (0x5601, 15, 14, 1)
+
+    def test_mps_chain_reaches_minimum_qe(self):
+        # repeated MPS renorms must walk to the most-skewed state (45)
+        i = 0
+        for _ in range(60):
+            i = jbig2x._QE[i][1]
+        assert i in (45,)
+
+
+class TestMQRoundTrip:
+    def _roundtrip(self, bits, cxs, ncx):
+        enc = MQEncoder()
+        ei, em = bytearray(ncx), bytearray(ncx)
+        for b, c in zip(bits, cxs):
+            enc.encode(ei, em, c, b)
+        assert enc.out[0] == 0  # carry never reaches the pre-stream spacer
+        data = enc.flush()
+        dec = MQDecoder(data)
+        di, dm = bytearray(ncx), bytearray(ncx)
+        return [dec.decode(di, dm, c) for c in cxs]
+
+    @pytest.mark.parametrize("pattern", [
+        [1] * 500, [0] * 500, [1, 0] * 250, [1] * 12, [1, 1, 0] * 100,
+    ])
+    def test_adversarial_patterns(self, pattern):
+        assert self._roundtrip(pattern, [0] * len(pattern), 1) == pattern
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(st.integers(0, 1), min_size=1, max_size=400),
+           st.integers(0, 2**32 - 1), st.sampled_from([1, 2, 8, 16]))
+    def test_property_roundtrip(self, bits, seed, ncx):
+        rng = np.random.default_rng(seed)
+        cxs = rng.integers(0, ncx, len(bits)).tolist()
+        assert self._roundtrip(bits, cxs, ncx) == bits
+
+    def test_decoder_survives_truncation(self):
+        # a truncated stream must keep returning bits (feeding 1s), never
+        # raise or loop — the region layer bounds the pixel count
+        enc = MQEncoder()
+        ei, em = bytearray(1), bytearray(1)
+        for b in [1, 0] * 100:
+            enc.encode(ei, em, 0, b)
+        data = enc.flush()[:3]
+        dec = MQDecoder(data)
+        di, dm = bytearray(1), bytearray(1)
+        out = [dec.decode(di, dm, 0) for _ in range(200)]
+        assert len(out) == 200
+
+
+class TestGenericRegion:
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    @pytest.mark.parametrize("tpgdon", [False, True])
+    def test_roundtrip_all_templates(self, template, tpgdon):
+        rng = np.random.default_rng(template * 10 + tpgdon)
+        for shape, density in [((1, 1), 0.5), ((5, 8), 0.0), ((5, 8), 1.0),
+                               ((23, 57), 0.3), ((40, 40), 0.5)]:
+            img = rng.random(shape) < density
+            body = encode_generic_region(img, template=template, tpgdon=tpgdon)
+            dec = decode_generic_region(
+                body, shape[1], shape[0], template=template, tpgdon=tpgdon
+            )
+            assert (dec == img).all(), (template, tpgdon, shape)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 30), st.integers(1, 60), st.integers(0, 2**32 - 1))
+    def test_property_roundtrip_template0(self, h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.random((h, w)) < rng.random()
+        body = encode_generic_region(img)
+        assert (decode_generic_region(body, w, h) == img).all()
+
+    def test_text_raster_compresses(self):
+        img = rasters.render_text("JBIG2 TEXT 2024", scale=3) < 128
+        body = encode_generic_region(img, tpgdon=True)
+        assert (decode_generic_region(
+            body, img.shape[1], img.shape[0], tpgdon=True) == img).all()
+        assert len(body) < img.size // 8  # beats the raw bitmap
+
+    def test_mmr_variant_is_g4(self):
+        from activestorage_ocr_spark.engine.ccittx import encode_g4
+
+        img = np.tri(20, 40, dtype=bool)
+        dec = decode_generic_region(encode_g4(img), 40, 20, mmr=True)
+        assert (dec == img).all()
+
+    def test_decode_bomb_guard(self):
+        with pytest.raises(Jbig2Error, match="too large"):
+            decode_generic_region(b"\x00", 100_000, 100_000)
+
+    def test_bad_template_raises(self):
+        with pytest.raises(Jbig2Error, match="template"):
+            decode_generic_region(b"\x00", 4, 4, template=7)
+
+
+class TestEmbedded:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(3)
+        img = rng.random((31, 79)) < 0.25
+        out = decode_jbig2_embedded(encode_jbig2_embedded(img))
+        assert out.shape == img.shape and (out == img).all()
+
+    def test_roundtrip_mmr(self):
+        img = np.tri(17, 33, dtype=bool)
+        out = decode_jbig2_embedded(encode_jbig2_embedded(img, mmr=True))
+        assert (out == img).all()
+
+    def test_globals_split(self):
+        # page info delivered out-of-band (the /JBIG2Globals organization)
+        img = rasters.render_text("GLOBALS", scale=2) < 128
+        blob = encode_jbig2_embedded(img)
+        assert blob[4] & 0x3F == jbig2x._SEG_PAGE_INFO
+        out = decode_jbig2_embedded(blob[30:], globals_data=blob[:30])
+        assert (out == img).all()
+
+    def test_unsupported_symbol_segment_named(self):
+        # a symbol-dictionary segment must fail with a narrow, named error
+        payload = b"\x00\x00"
+        head = struct.pack(">IB", 0, 0) + b"\x00" + b"\x01" + struct.pack(
+            ">I", len(payload))
+        with pytest.raises(Jbig2Error, match="symbol dictionary"):
+            decode_jbig2_embedded(head + payload)
+
+    def test_junk_raises_not_crashes(self):
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(b"\xde\xad\xbe\xef" * 10)
+
+    def test_no_region_raises(self):
+        img = np.zeros((4, 4), dtype=bool)
+        blob = encode_jbig2_embedded(img)[:30]  # page info only
+        with pytest.raises(Jbig2Error, match="no region"):
+            decode_jbig2_embedded(blob)
+
+    def test_truncated_segment_raises(self):
+        img = np.tri(9, 9, dtype=bool)
+        blob = encode_jbig2_embedded(img)
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob[: len(blob) - 8])
+
+
+class TestPdfIntegration:
+    def test_jbig2_scanned_pdf_extracts_end_to_end(self):
+        pages = [rasters.render_text("JBIG2 PAGE ONE", scale=3),
+                 rasters.render_text("SECOND PAGE 321", scale=3)]
+        pdf = pdfx.build_image_pdf([(p, "JBIG2") for p in pages])
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert "JBIG2 PAGE ONE" in r["extracted_text"]
+        assert "SECOND PAGE 321" in r["extracted_text"]
+        assert r["warnings"][0] == pdfx.SCANNED_PDF_WARNING
+
+    def test_jbig2_globals_pdf_extracts_end_to_end(self):
+        pdf = pdfx.build_image_pdf(
+            [(rasters.render_text("VIA GLOBALS 7", scale=3), "JBIG2G")]
+        )
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert "VIA GLOBALS 7" in r["extracted_text"]
+
+    def test_corrupt_jbig2_skipped_per_image(self):
+        img = rasters.render_text("BROKEN", scale=3)
+        r = extract_document(
+            pdfx.build_image_pdf([(img, "JBIG2")], corrupt_data=True)
+        )
+        assert r["status"] in ("empty", "ok")
+
+    def test_decode_array_inverts(self):
+        img = rasters.render_text("INK 7", scale=3) < 128
+        objs = pdfx.parse_objects(pdfx.build_image_pdf([(img, "JBIG2")]))
+        img_obj = next(
+            o for o in objs.values() if o.dict.get("/Subtype") == "/Image"
+        )
+        gray = pdfx.decode_image_xobject(img_obj, objs)
+        assert (gray[img] == 0).all() and (gray[~img] == 255).all()
+        img_obj.dict["/Decode"] = [1, 0]
+        inv = pdfx.decode_image_xobject(img_obj, objs)
+        assert (inv[img] == 255).all() and (inv[~img] == 0).all()
+
+    def test_jbig2_mixed_with_g4_page(self):
+        j = rasters.render_text("JB HALF", scale=3)
+        g = rasters.render_text("G4 HALF", scale=3)
+        pdf = pdfx.build_image_pdf([(j, "JBIG2"), (g, "G4")])
+        r = extract_document(pdf)
+        assert "JB HALF" in r["extracted_text"]
+        assert "G4 HALF" in r["extracted_text"]
