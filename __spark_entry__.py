@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from activestorage_ocr_spark.fixtures.gen_media import media_oracles
+    from activestorage_ocr_spark.fixtures.gen_warc import warc_oracles
     from activestorage_ocr_spark.plans.queries import ORACLES, extraction_oracles
 
     out = dict(ORACLES)
@@ -50,4 +51,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(extraction_oracles())
     # multimodal golden-parquet oracles (same pattern, same n_docs contract)
     out.update(media_oracles())
+    # WARC-ingestion golden-parquet oracle (same pattern)
+    out.update(warc_oracles())
     return out

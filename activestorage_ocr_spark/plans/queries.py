@@ -1631,6 +1631,31 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_warc_ingest(spark, sf_dir):
+    """Raw-crawl ingestion: stream-parse member-per-record ``.warc.gz``
+    files (the Common Crawl layout) into the response-record relation that
+    feeds the pages table. File-granular ``mapInArrow`` fan-out — a task
+    streams whole files in constant memory, never a per-row Python UDF or a
+    whole-file binary scan. The fixture includes one deterministically
+    corrupted record, so the resync/quarantine path is part of the oracled
+    surface (one ``x-warc/parse-error`` row). Oracled against single-node
+    golden parquet built by the SAME parser core (fixtures/gen_warc.py)."""
+    from ..fixtures.gen_warc import warc_paths
+    from ..sources.warc import read_warc
+
+    df = read_warc(spark, warc_paths(_corpus_docs_for(sf_dir)))
+    return df.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "content_type",
+        "http_status",
+        "content_language",
+        "warc_file",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
 def q_dedup_spans(spark, sf_dir):
     """C4-style duplicate-span removal: chunk every document into
     consecutive 10-word spans, keep only the globally FIRST occurrence of
@@ -1691,6 +1716,7 @@ QUERIES.update(
     {
         "pack_sequences": q_pack_sequences,
         "dedup_spans": q_dedup_spans,
+        "warc_ingest": q_warc_ingest,
         "curation_sample_stratified": q_curation_sample_stratified,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "quality_repetition": q_quality_repetition,

@@ -44,6 +44,8 @@ HEADLINE = [
     "events_sessionize",
     "curation_keep_list",
     "decontaminate_ngrams",
+    "dedup_spans",
+    "pack_sequences",
 ]
 
 
