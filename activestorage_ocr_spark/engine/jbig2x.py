@@ -16,15 +16,24 @@ Implemented from the public spec only:
   (nominal and explicit AT pixels), TPGDON typical-prediction rows, and the
   MMR=1 variant which is exactly ITU-T T.6 (delegated to
   :func:`ccittx.decode_g4`);
+* T.88 Annex A — arithmetic integer decoding (the IAx value-class ladder
+  and the IAID symbol-ID tree) and its encoding mirror;
+* T.88 §6.5 / §6.4 — symbol dictionaries (height classes via IADH/IADW,
+  OOB class terminators, IAEX export runs) and text regions (strip
+  decoding via IADT/IAFS/IADS/IAIT, REFCORNER placement, DS offset) —
+  the *symbol mode* that is jbig2enc's default output for scanned text;
 * T.88 §7 — the embedded-stream segment organization used inside PDFs:
-  segment headers, page information (type 48), immediate generic region
-  (types 36/38/39), end-of-page/stripe/file (49/50/51), and the
+  segment headers with referred-to segments, page information (type 48),
+  symbol dictionary (0), immediate text region (4/6/7), immediate generic
+  region (36/38/39), end-of-page/stripe/file (49/50/51), and the
   /JBIG2Globals out-of-band segment stream.
 
-Scope is the *generic region* subset — symbol dictionaries / text regions /
-refinement (the pattern-matching compressor layer) raise a narrow
-:class:`Jbig2Error` and the image quarantines per E2. That subset is what
-``jbig2enc -generic`` and scanner firmware emit for lossless scans.
+Scope covers generic regions and arithmetic symbol mode; the Huffman-coded
+variants, refinement coding, and halftone regions raise a narrow
+:class:`Jbig2Error` and the image quarantines per E2. The symbol-mode
+ENCODER does what jbig2enc does — connected-component extraction +
+shape dedupe into a dictionary — so fixtures exercise real dictionary
+reuse (repeated glyphs compress below the generic coder).
 
 Both directions are provided so tests can synthesize fixture PDFs without
 any external tool (the sandbox ships no JBIG2 codec — same posture as the
@@ -56,6 +65,7 @@ __all__ = [
     "encode_generic_region",
     "decode_jbig2_embedded",
     "encode_jbig2_embedded",
+    "encode_jbig2_text_page",
 ]
 
 
@@ -298,6 +308,45 @@ def _context_coords(template: int, at: tuple | None) -> list:
     return coords
 
 
+def _decode_generic_bitmap(
+    dec: MQDecoder,
+    cx_i: bytearray,
+    cx_mps: bytearray,
+    width: int,
+    height: int,
+    coords: list,
+    template: int,
+    tpgdon: bool,
+) -> np.ndarray:
+    """Core generic-region pixel loop over a CALLER-OWNED decoder and GB
+    context (symbol dictionaries decode many bitmaps through one shared
+    decoder/context — T.88 §6.5.5)."""
+    rows: list[list[int]] = []
+    ltp = 0
+    w, h = width, height
+    tp_cx = _TPGDON_CTX[template]
+    for y in range(h):
+        budget.check()
+        if tpgdon:
+            ltp ^= dec.decode(cx_i, cx_mps, tp_cx)
+            if ltp:
+                rows.append(list(rows[-1]) if rows else [0] * w)
+                continue
+        row = [0] * w
+        rows.append(row)
+        for x in range(w):
+            cx = 0
+            for dx, dy in coords:
+                yy = y + dy
+                xx = x + dx
+                if yy < 0 or xx < 0 or xx >= w:
+                    cx <<= 1
+                else:
+                    cx = (cx << 1) | rows[yy][xx]
+            row[x] = dec.decode(cx_i, cx_mps, cx)
+    return np.array(rows, dtype=bool).reshape(h, w)
+
+
 def decode_generic_region(
     data: bytes,
     width: int,
@@ -322,46 +371,22 @@ def decode_generic_region(
     cx_i = bytearray(1 << nbits)
     cx_mps = bytearray(1 << nbits)
     dec = MQDecoder(data)
-    rows: list[list[int]] = []
-    ltp = 0
-    w, h = width, height
-    tp_cx = _TPGDON_CTX[template]
-    for y in range(h):
-        budget.check()
-        if tpgdon:
-            ltp ^= dec.decode(cx_i, cx_mps, tp_cx)
-            if ltp:
-                rows.append(list(rows[-1]) if rows else [0] * w)
-                continue
-        row = [0] * w
-        rows.append(row)
-        for x in range(w):
-            cx = 0
-            for dx, dy in coords:
-                yy = y + dy
-                xx = x + dx
-                if yy < 0 or xx < 0 or xx >= w:
-                    cx <<= 1
-                else:
-                    cx = (cx << 1) | rows[yy][xx]
-            row[x] = dec.decode(cx_i, cx_mps, cx)
-    return np.array(rows, dtype=bool)
+    return _decode_generic_bitmap(
+        dec, cx_i, cx_mps, width, height, coords, template, tpgdon
+    )
 
 
-def encode_generic_region(
-    image: np.ndarray,
-    template: int = 0,
-    tpgdon: bool = False,
-) -> bytes:
-    """MQ-encode a bool array as a generic region body (nominal AT pixels)."""
-    img = np.asarray(image, dtype=bool)
-    if img.ndim != 2:
-        raise Jbig2Error("encode_generic_region expects a 2-D bool array")
-    coords = _context_coords(template, None)
-    nbits = len(coords)
-    cx_i = bytearray(1 << nbits)
-    cx_mps = bytearray(1 << nbits)
-    enc = MQEncoder()
+def _encode_generic_bitmap(
+    enc: MQEncoder,
+    cx_i: bytearray,
+    cx_mps: bytearray,
+    img: np.ndarray,
+    coords: list,
+    template: int,
+    tpgdon: bool,
+) -> None:
+    """Core generic-region pixel loop over a caller-owned encoder/context
+    (mirror of :func:`_decode_generic_bitmap`)."""
     h, w = img.shape
     rows = img.astype(np.uint8).tolist()
     ltp = 0
@@ -384,13 +409,391 @@ def encode_generic_region(
                 else:
                     cx = (cx << 1) | rows[yy][xx]
             enc.encode(cx_i, cx_mps, cx, row[x])
+
+
+def encode_generic_region(
+    image: np.ndarray,
+    template: int = 0,
+    tpgdon: bool = False,
+) -> bytes:
+    """MQ-encode a bool array as a generic region body (nominal AT pixels)."""
+    img = np.asarray(image, dtype=bool)
+    if img.ndim != 2:
+        raise Jbig2Error("encode_generic_region expects a 2-D bool array")
+    coords = _context_coords(template, None)
+    nbits = len(coords)
+    cx_i = bytearray(1 << nbits)
+    cx_mps = bytearray(1 << nbits)
+    enc = MQEncoder()
+    _encode_generic_bitmap(enc, cx_i, cx_mps, img, coords, template, tpgdon)
     return enc.flush()
 
 
 # ---------------------------------------------------------------------------
-# embedded-stream segment layer (T.88 §7; PDF Annex)
+# arithmetic integer decoding (T.88 Annex A) — the IAx / IAID procedures the
+# symbol-dictionary and text-region segments are built from
 # ---------------------------------------------------------------------------
 
+
+class _IntCtx:
+    """Adaptive state of one IAx procedure (512 PREV-tree contexts)."""
+
+    __slots__ = ("i", "mps")
+
+    def __init__(self, size: int = 512):
+        self.i = bytearray(size)
+        self.mps = bytearray(size)
+
+
+#: value-class ladder (A.2): prefix-selected (n_bits, offset) rungs
+_INT_CLASSES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+def _decode_int(dec: MQDecoder, ctx: _IntCtx):
+    """One IAx integer; None = OOB (the S=1, V=0 code point)."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(ctx.i, ctx.mps, prev)
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    for rung, (n, offset) in enumerate(_INT_CLASSES):
+        if rung == len(_INT_CLASSES) - 1 or not bit():
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | bit()
+            v += offset
+            break
+    if s and v == 0:
+        return None  # OOB
+    return -v if s else v
+
+
+def _encode_int(enc: MQEncoder, ctx: _IntCtx, value) -> None:
+    """Mirror of :func:`_decode_int`; value None encodes OOB."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(ctx.i, ctx.mps, prev, b)
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+
+    if value is None:
+        s, v = 1, 0
+    else:
+        s, v = (1, -value) if value < 0 else (0, value)
+    bit(s)
+    for rung, (n, offset) in enumerate(_INT_CLASSES):
+        if v < offset + (1 << n):
+            if rung < len(_INT_CLASSES) - 1:
+                bit(0)  # the class-selector ladder ends here
+            rel = v - offset
+            for k in range(n - 1, -1, -1):
+                bit((rel >> k) & 1)
+            return
+        bit(1)
+    raise Jbig2Error(f"integer out of IAx range: {value}")
+
+
+def _decode_iaid(dec: MQDecoder, ctx: _IntCtx, symcodelen: int) -> int:
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | dec.decode(ctx.i, ctx.mps, prev)
+    return prev - (1 << symcodelen)
+
+
+def _encode_iaid(enc: MQEncoder, ctx: _IntCtx, symcodelen: int, value: int) -> None:
+    prev = 1
+    for k in range(symcodelen - 1, -1, -1):
+        b = (value >> k) & 1
+        enc.encode(ctx.i, ctx.mps, prev, b)
+        prev = (prev << 1) | b
+
+
+def _symcodelen(n_syms: int) -> int:
+    return max(1, (n_syms - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# symbol dictionary (T.88 §6.5, segment type 0) and text region (§6.4,
+# types 4/6/7) — the jbig2enc default ("symbol mode") for scanned text
+# ---------------------------------------------------------------------------
+
+
+def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
+    """Arithmetic symbol dictionary -> exported symbol bitmaps."""
+    if len(payload) < 2:
+        raise Jbig2Error("truncated symbol dictionary")
+    flags = struct.unpack_from(">H", payload, 0)[0]
+    if flags & 1:
+        raise Jbig2Error("unsupported JBIG2 segment: Huffman symbol dictionary")
+    if flags & 2:
+        raise Jbig2Error("unsupported JBIG2 segment: refinement/aggregate symbols")
+    template = (flags >> 10) & 3
+    pos = 2
+    n_at = len(_TEMPLATE_AT_NOMINAL[template])
+    if len(payload) < pos + 2 * n_at + 8:
+        raise Jbig2Error("truncated symbol dictionary header")
+    at = tuple(
+        (struct.unpack_from("b", payload, pos + 2 * i)[0],
+         struct.unpack_from("b", payload, pos + 2 * i + 1)[0])
+        for i in range(n_at)
+    )
+    pos += 2 * n_at
+    numex, numnew = struct.unpack_from(">II", payload, pos)
+    pos += 8
+    if numnew > 10_000 or numex > 10_000:
+        raise Jbig2Error("symbol dictionary too large")
+    coords = _context_coords(template, at)
+    nbits = len(coords)
+    gb_i, gb_mps = bytearray(1 << nbits), bytearray(1 << nbits)
+    dec = MQDecoder(payload[pos:])
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < numnew:
+        budget.check()
+        dh = _decode_int(dec, iadh)
+        if dh is None:
+            raise Jbig2Error("OOB delta-height in symbol dictionary")
+        hcheight += dh
+        symwidth = 0
+        while True:
+            dw = _decode_int(dec, iadw)
+            if dw is None:
+                break  # height class done
+            symwidth += dw
+            if symwidth <= 0 or hcheight <= 0:
+                raise Jbig2Error("non-positive symbol dimensions")
+            if symwidth * hcheight > _MAX_PIXELS:
+                raise Jbig2Error("JBIG2 symbol too large")
+            if len(new_syms) >= numnew:
+                raise Jbig2Error("more symbols than declared")
+            new_syms.append(
+                _decode_generic_bitmap(
+                    dec, gb_i, gb_mps, symwidth, hcheight, coords, template, False
+                )
+            )
+    # export flags (6.5.10): alternating skip/export run lengths over the
+    # (input + new) symbol sequence; input symbols are empty here (single
+    # dictionary per stream — the PDF-embedded common case)
+    exported: list[np.ndarray] = []
+    idx = 0
+    exflag = 0
+    for _ in range(2 * len(new_syms) + 2):  # run-count bound: never spin
+        if idx >= len(new_syms) or len(exported) >= numex:
+            break
+        run = _decode_int(dec, iaex)
+        if run is None or run < 0:
+            raise Jbig2Error("bad export run length")
+        if exflag:
+            exported.extend(new_syms[idx : idx + run])
+        idx += run
+        exflag ^= 1
+    if len(exported) != numex:
+        raise Jbig2Error(
+            f"symbol dictionary exported {len(exported)} of {numex} symbols"
+        )
+    return exported
+
+
+def _encode_symbol_dict(symbols: list[np.ndarray], template: int = 0) -> bytes:
+    """Mirror of :func:`_decode_symbol_dict`: all symbols exported, one
+    height class per distinct height (ascending, per spec)."""
+    syms = [np.asarray(s, dtype=bool) for s in symbols]
+    if not syms or any(s.ndim != 2 or 0 in s.shape for s in syms):
+        raise Jbig2Error("symbol dictionary needs non-empty 2-D symbols")
+    order = sorted(range(len(syms)), key=lambda i: (syms[i].shape[0], i))
+    coords = _context_coords(template, None)
+    nbits = len(coords)
+    gb_i, gb_mps = bytearray(1 << nbits), bytearray(1 << nbits)
+    enc = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = syms[order[i]].shape[0]
+        _encode_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and syms[order[i]].shape[0] == h:
+            w = syms[order[i]].shape[1]
+            _encode_int(enc, iadw, w - symwidth)
+            symwidth = w
+            _encode_generic_bitmap(
+                enc, gb_i, gb_mps, syms[order[i]], coords, template, False
+            )
+            i += 1
+        _encode_int(enc, iadw, None)  # OOB: height class done
+    _encode_int(enc, iaex, 0)               # skip-run 0
+    _encode_int(enc, iaex, len(syms))       # export all
+    body = enc.flush()
+    n_at = len(_TEMPLATE_AT_NOMINAL[template])
+    at_bytes = b"".join(
+        struct.pack("bb", dx, dy) for dx, dy in _TEMPLATE_AT_NOMINAL[template][:n_at]
+    )
+    head = struct.pack(">H", template << 10) + at_bytes
+    head += struct.pack(">II", len(syms), len(syms))
+    # NOTE: export order is height-ascending (the decode order), so the
+    # caller must address symbols by that order; _sorted_symbol_order gives
+    # the mapping
+    return head + body
+
+
+def _sorted_symbol_order(symbols: list) -> list[int]:
+    """Dictionary export order (height-ascending, stable) — the symbol IDs a
+    text region must use after :func:`_encode_symbol_dict`."""
+    return sorted(range(len(symbols)), key=lambda i: (symbols[i].shape[0], i))
+
+
+_REFCORNER_BL, _REFCORNER_TL, _REFCORNER_BR, _REFCORNER_TR = 0, 1, 2, 3
+
+
+def _decode_text_region(payload: bytes, symbols: list[np.ndarray]):
+    """Arithmetic text region -> (bitmap, x, y, comb_op)."""
+    if len(payload) < 21:
+        raise Jbig2Error("truncated text region")
+    w, h, x, y, comb = struct.unpack_from(">IIIIB", payload, 0)
+    flags = struct.unpack_from(">H", payload, 17)[0]
+    pos = 19
+    if flags & 1:
+        raise Jbig2Error("unsupported JBIG2 segment: Huffman text region")
+    if flags & 2:
+        raise Jbig2Error("unsupported JBIG2 segment: refinement text region")
+    log2strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    if (flags >> 6) & 1:
+        raise Jbig2Error("unsupported JBIG2 text region: transposed placement")
+    sbcombop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit
+    (n_instances,) = struct.unpack_from(">I", payload, pos)
+    pos += 4
+    if not symbols:
+        raise Jbig2Error("text region with no symbol dictionary")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise Jbig2Error("bad text region dimensions")
+    if n_instances > 1_000_000:
+        raise Jbig2Error("text region instance count too large")
+    strips = 1 << log2strips
+    symcodelen = _symcodelen(len(symbols))
+    dec = MQDecoder(payload[pos:])
+    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iaid = _IntCtx(1 << (symcodelen + 1))
+    region = np.full((h, w), bool(defpixel), dtype=bool)
+    dt = _decode_int(dec, iadt)
+    if dt is None:
+        raise Jbig2Error("OOB strip T in text region")
+    stript = -dt * strips
+    firsts = 0
+    n_done = 0
+    while n_done < n_instances:
+        budget.check()
+        dt = _decode_int(dec, iadt)
+        if dt is None:
+            raise Jbig2Error("OOB strip T in text region")
+        stript += dt * strips
+        first_in_strip = True
+        curs = 0
+        while True:
+            if first_in_strip:
+                dfs = _decode_int(dec, iafs)
+                if dfs is None:
+                    raise Jbig2Error("OOB first-S in text region")
+                firsts += dfs
+                curs = firsts
+                first_in_strip = False
+            else:
+                ids = _decode_int(dec, iads)
+                if ids is None:
+                    break  # strip done
+                curs += ids + dsoffset
+            curt = 0 if strips == 1 else _decode_int(dec, iait)
+            if curt is None:
+                raise Jbig2Error("OOB T offset in text region")
+            t = stript + curt
+            sid = _decode_iaid(dec, iaid, symcodelen)
+            if sid >= len(symbols):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = symbols[sid]
+            sh, sw = sym.shape
+            if refcorner in (_REFCORNER_TR, _REFCORNER_BR):
+                curs += sw - 1
+            sx = curs - (sw - 1) if refcorner in (_REFCORNER_TR, _REFCORNER_BR) else curs
+            sy = t if refcorner in (_REFCORNER_TL, _REFCORNER_TR) else t - sh + 1
+            if sx < 0 or sy < 0 or sx + sw > w or sy + sh > h:
+                raise Jbig2Error("text region symbol placed out of bounds")
+            target = region[sy : sy + sh, sx : sx + sw]
+            if sbcombop == 0:
+                target |= sym
+            elif sbcombop == 1:
+                target &= sym
+            elif sbcombop == 2:
+                target ^= sym
+            else:
+                target[...] = ~(target ^ sym)
+            if refcorner in (_REFCORNER_TL, _REFCORNER_BL):
+                curs += sw - 1
+            n_done += 1
+            if n_done > n_instances:
+                raise Jbig2Error("more instances than declared")
+    return region, x, y, comb & 7
+
+
+def _encode_text_region(
+    symbols: list[np.ndarray],
+    instances: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+) -> bytes:
+    """Mirror of :func:`_decode_text_region`: instances are (symbol_index,
+    x, y) with x/y the TOP-LEFT corner, placed onto a width x height region
+    with OR composition. Symbol indices refer to the ORIGINAL symbol list;
+    the dictionary's height-ascending export order is applied here."""
+    order = _sorted_symbol_order([np.asarray(s, dtype=bool) for s in symbols])
+    id_of = {orig: new for new, orig in enumerate(order)}
+    symcodelen = _symcodelen(len(symbols))
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iaid = _IntCtx(1 << (symcodelen + 1))
+    # strips of height 1 (LOG2SBSTRIPS=0, REFCORNER=TOPLEFT): group by y
+    by_t: dict[int, list] = {}
+    for sid, sx, sy in instances:
+        by_t.setdefault(sy, []).append((sx, sid))
+    _encode_int(enc, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    for t in sorted(by_t):
+        _encode_int(enc, iadt, t - stript)
+        stript = t
+        row = sorted(by_t[t])
+        dfs = row[0][0] - firsts
+        _encode_int(enc, iafs, dfs)
+        firsts = row[0][0]
+        curs = firsts
+        for k, (sx, sid) in enumerate(row):
+            if k > 0:
+                _encode_int(enc, iads, sx - curs)
+                curs = sx
+            _encode_iaid(enc, iaid, symcodelen, id_of[sid])
+            curs += symbols[sid].shape[1] - 1
+        _encode_int(enc, iads, None)  # OOB: strip done
+    body = enc.flush()
+    flags = _REFCORNER_TL << 4  # arithmetic, 1-strip, OR, defpixel 0
+    head = struct.pack(">IIIIB", width, height, 0, 0, 0)
+    head += struct.pack(">H", flags)
+    head += struct.pack(">I", len(instances))
+    return head + body
+
+_SEG_SYMBOL_DICT = 0
+_SEG_TEXT_INTERMEDIATE = 4
+_SEG_TEXT_IMMEDIATE = 6
+_SEG_TEXT_IMMEDIATE_LOSSLESS = 7
 _SEG_PAGE_INFO = 48
 _SEG_GENERIC_IMMEDIATE = 38
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
@@ -399,11 +802,9 @@ _SEG_END_OF_PAGE = 49
 _SEG_END_OF_STRIPE = 50
 _SEG_END_OF_FILE = 51
 
-#: segment types of the symbol/text/halftone/refinement compressor layer —
-#: recognized so the error names what the stream actually contains
+#: segment types of the halftone/refinement compressor layer — recognized so
+#: the error names what the stream actually contains
 _UNSUPPORTED_SEGMENTS = {
-    0: "symbol dictionary", 4: "intermediate text region",
-    6: "immediate text region", 7: "immediate lossless text region",
     16: "pattern dictionary", 20: "intermediate halftone region",
     22: "immediate halftone region", 23: "immediate lossless halftone region",
     40: "intermediate refinement region", 42: "immediate refinement region",
@@ -412,7 +813,7 @@ _UNSUPPORTED_SEGMENTS = {
 
 
 def _parse_segment_headers(data: bytes):
-    """Yield (seg_type, payload) for each segment in an embedded stream."""
+    """Yield (number, seg_type, referred, payload) per segment."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -430,7 +831,15 @@ def _parse_segment_headers(data: bytes):
         else:
             pos += 1
         ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
-        pos += count * ref_size  # referred-to segment numbers (unused here)
+        referred = []
+        for _ in range(count):
+            if ref_size == 1:
+                referred.append(data[pos])
+            elif ref_size == 2:
+                referred.append(struct.unpack_from(">H", data, pos)[0])
+            else:
+                referred.append(struct.unpack_from(">I", data, pos)[0])
+            pos += ref_size
         pos += 4 if page_assoc_4 else 1
         if n - pos < 4:
             raise Jbig2Error("truncated segment data length")
@@ -440,7 +849,7 @@ def _parse_segment_headers(data: bytes):
             raise Jbig2Error("unknown-length segment not supported")
         if pos + length > n:
             raise Jbig2Error("segment data overruns stream")
-        yield seg_type, data[pos : pos + length]
+        yield number, seg_type, referred, data[pos : pos + length]
         pos += length
 
 
@@ -471,75 +880,100 @@ def _decode_region_segment(payload: bytes):
     return bitmap, x, y, comb & 7
 
 
+class _PageState:
+    """Page bitmap accumulation across segments."""
+
+    def __init__(self):
+        self.w = self.h = None  # from page info; h None = striped/unknown
+        self.page: np.ndarray | None = None
+        self.default_pixel = 0
+        self.saw_region = False
+
+    def compose(self, bitmap: np.ndarray, x: int, y: int, comb: int) -> None:
+        rh, rw = bitmap.shape
+        if self.w is None:
+            self.w, self.h = x + rw, y + rh
+        cur_h = self.page.shape[0] if self.page is not None else 0
+        need_h = max(y + rh, self.h or 0, cur_h)
+        if self.page is None:
+            self.page = np.full((need_h, self.w), bool(self.default_pixel), dtype=bool)
+        elif need_h > cur_h:
+            grown = np.full((need_h, self.w), bool(self.default_pixel), dtype=bool)
+            grown[:cur_h] = self.page
+            self.page = grown
+        if x + rw > self.w:
+            raise Jbig2Error("region overruns page width")
+        target = self.page[y : y + rh, x : x + rw]
+        if comb == 0:  # OR
+            target |= bitmap
+        elif comb == 1:  # AND
+            target &= bitmap
+        elif comb == 2:  # XOR
+            target ^= bitmap
+        elif comb == 3:  # XNOR
+            target[...] = ~(target ^ bitmap)
+        elif comb == 4:  # REPLACE
+            target[...] = bitmap
+        else:
+            raise Jbig2Error(f"bad combination operator: {comb}")
+        self.saw_region = True
+
+
 def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Decode a PDF-embedded JBIG2 stream (optionally with its
-    /JBIG2Globals segment stream) to a bool page bitmap (True = black)."""
-    page_w = page_h = None
-    page: np.ndarray | None = None
-    default_pixel = 0
-    saw_region = False
+    /JBIG2Globals segment stream) to a bool page bitmap (True = black).
+    Supports page info, generic regions, symbol dictionaries, and text
+    regions — the jbig2enc output surface."""
+    st = _PageState()
+    sym_dicts: dict[int, list[np.ndarray]] = {}
     for blob in (globals_data, data):
-        for seg_type, payload in _parse_segment_headers(blob):
+        for number, seg_type, referred, payload in _parse_segment_headers(blob):
             if seg_type == _SEG_PAGE_INFO:
                 if len(payload) < 17:
                     raise Jbig2Error("truncated page info segment")
-                page_w, page_h = struct.unpack_from(">II", payload, 0)
-                default_pixel = (payload[16] >> 2) & 1
-                if page_h == 0xFFFFFFFF:
-                    page_h = None  # striped page: grow with regions
-                continue
-            if seg_type in (
+                st.w, st.h = struct.unpack_from(">II", payload, 0)
+                st.default_pixel = (payload[16] >> 2) & 1
+                if st.h == 0xFFFFFFFF:
+                    st.h = None  # striped page: grow with regions
+            elif seg_type == _SEG_SYMBOL_DICT:
+                sym_dicts[number] = _decode_symbol_dict(payload)
+            elif seg_type in (
+                _SEG_TEXT_IMMEDIATE,
+                _SEG_TEXT_IMMEDIATE_LOSSLESS,
+                _SEG_TEXT_INTERMEDIATE,
+            ):
+                symbols: list[np.ndarray] = []
+                sources = [r for r in referred if r in sym_dicts]
+                if not sources and len(sym_dicts) == 1:
+                    sources = list(sym_dicts)  # lenient: the only dictionary
+                for r in sources:
+                    symbols.extend(sym_dicts[r])
+                st.compose(*_decode_text_region(payload, symbols))
+            elif seg_type in (
                 _SEG_GENERIC_IMMEDIATE,
                 _SEG_GENERIC_IMMEDIATE_LOSSLESS,
                 _SEG_GENERIC_INTERMEDIATE,
             ):
-                bitmap, x, y, comb = _decode_region_segment(payload)
-                rh, rw = bitmap.shape
-                if page_w is None:
-                    page_w, page_h = x + rw, y + rh
-                if page_h is None or y + rh > (page.shape[0] if page is not None else 0):
-                    need_h = max(y + rh, page_h or 0)
-                else:
-                    need_h = page.shape[0]
-                if page is None:
-                    page = np.full((need_h, page_w), bool(default_pixel), dtype=bool)
-                elif need_h > page.shape[0]:
-                    grown = np.full((need_h, page_w), bool(default_pixel), dtype=bool)
-                    grown[: page.shape[0]] = page
-                    page = grown
-                if x + rw > page_w:
-                    raise Jbig2Error("region overruns page width")
-                target = page[y : y + rh, x : x + rw]
-                if comb == 0:  # OR
-                    target |= bitmap
-                elif comb == 1:  # AND
-                    target &= bitmap
-                elif comb == 2:  # XOR
-                    target ^= bitmap
-                elif comb == 3:  # XNOR
-                    target[...] = ~(target ^ bitmap)
-                elif comb == 4:  # REPLACE
-                    target[...] = bitmap
-                else:
-                    raise Jbig2Error(f"bad combination operator: {comb}")
-                saw_region = True
+                st.compose(*_decode_region_segment(payload))
+            elif seg_type in (_SEG_END_OF_PAGE, _SEG_END_OF_STRIPE, _SEG_END_OF_FILE):
                 continue
-            if seg_type in (_SEG_END_OF_PAGE, _SEG_END_OF_STRIPE, _SEG_END_OF_FILE):
-                continue
-            if seg_type in _UNSUPPORTED_SEGMENTS:
+            elif seg_type in _UNSUPPORTED_SEGMENTS:
                 raise Jbig2Error(
-                    f"unsupported JBIG2 segment: {_UNSUPPORTED_SEGMENTS[seg_type]} "
-                    f"(generic-region subset only)"
+                    f"unsupported JBIG2 segment: {_UNSUPPORTED_SEGMENTS[seg_type]}"
                 )
-            raise Jbig2Error(f"unknown JBIG2 segment type: {seg_type}")
-    if not saw_region or page is None:
+            else:
+                raise Jbig2Error(f"unknown JBIG2 segment type: {seg_type}")
+    if not st.saw_region or st.page is None:
         raise Jbig2Error("no region segment in JBIG2 stream")
-    return page
+    return st.page
 
 
-def _segment_header(number: int, seg_type: int, page: int, length: int) -> bytes:
+def _segment_header(
+    number: int, seg_type: int, page: int, length: int, referred: tuple = ()
+) -> bytes:
     head = struct.pack(">IB", number, seg_type & 0x3F)
-    head += b"\x00"  # no referred-to segments
+    head += bytes([len(referred) << 5])  # short form, retain bits 0
+    head += bytes(referred)  # 1-byte refs (segment numbers are tiny here)
     head += bytes([page])
     head += struct.pack(">I", length)
     return head
@@ -572,4 +1006,81 @@ def encode_jbig2_embedded(
         _segment_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
         + _segment_header(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, len(region)) + region
         + _segment_header(2, _SEG_END_OF_PAGE, 1, 0)
+    )
+
+
+def _connected_components(img: np.ndarray) -> list[tuple[int, int, np.ndarray]]:
+    """8-connected ink components -> (x, y, bitmap) with tight bounding
+    boxes; the union of all component pixels reproduces the image exactly."""
+    h, w = img.shape
+    visited = np.zeros((h, w), dtype=bool)
+    comps = []
+    for y0, x0 in zip(*np.nonzero(img)):
+        if visited[y0, x0]:
+            continue
+        stack = [(int(y0), int(x0))]
+        visited[y0, x0] = True
+        pix = []
+        while stack:
+            y, x = stack.pop()
+            pix.append((y, x))
+            for yy in range(max(y - 1, 0), min(y + 2, h)):
+                for xx in range(max(x - 1, 0), min(x + 2, w)):
+                    if img[yy, xx] and not visited[yy, xx]:
+                        visited[yy, xx] = True
+                        stack.append((yy, xx))
+        ys = [p[0] for p in pix]
+        xs = [p[1] for p in pix]
+        y1, x1 = min(ys), min(xs)
+        bmp = np.zeros((max(ys) - y1 + 1, max(xs) - x1 + 1), dtype=bool)
+        for y, x in pix:
+            bmp[y - y1, x - x1] = True
+        comps.append((x1, y1, bmp))
+    return comps
+
+
+def encode_jbig2_symbol_mode(image: np.ndarray) -> bytes:
+    """Encode a bool array the way jbig2enc's default mode does: extract
+    connected ink components, dedupe identical shapes into a symbol
+    dictionary, and place instances via a text region. Falls back to a
+    generic region for blank pages."""
+    img = np.asarray(image, dtype=bool)
+    if img.ndim != 2:
+        raise Jbig2Error("encode_jbig2_symbol_mode expects a 2-D bool array")
+    comps = _connected_components(img)
+    if not comps:
+        return encode_jbig2_embedded(img)
+    symbols: list[np.ndarray] = []
+    index: dict[tuple, int] = {}
+    instances = []
+    for x, y, bmp in comps:
+        key = (bmp.shape, bmp.tobytes())
+        sid = index.get(key)
+        if sid is None:
+            sid = len(symbols)
+            index[key] = sid
+            symbols.append(bmp)
+        instances.append((sid, x, y))
+    h, w = img.shape
+    return encode_jbig2_text_page(symbols, instances, w, h)
+
+
+def encode_jbig2_text_page(
+    symbols: list[np.ndarray],
+    instances: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+) -> bytes:
+    """Encode a symbol-mode JBIG2 page (the jbig2enc default organization):
+    page info + symbol dictionary + one immediate text region referring to
+    it. ``instances`` are (symbol_index, x, y) top-left placements."""
+    page_info = struct.pack(">IIIIBH", width, height, 0, 0, 0, 0)
+    sdict = _encode_symbol_dict(symbols)
+    tregion = _encode_text_region(symbols, instances, width, height)
+    return (
+        _segment_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
+        + _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sdict)) + sdict
+        + _segment_header(2, _SEG_TEXT_IMMEDIATE, 1, len(tregion), referred=(1,))
+        + tregion
+        + _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
     )

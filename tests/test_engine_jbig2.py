@@ -178,6 +178,127 @@ class TestEmbedded:
             decode_jbig2_embedded(blob[: len(blob) - 8])
 
 
+class TestIntegerCoder:
+    def test_class_boundaries_and_oob(self):
+        from activestorage_ocr_spark.engine.jbig2x import (
+            MQDecoder, MQEncoder, _IntCtx, _decode_int, _encode_int,
+        )
+
+        vals = [0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 100000,
+                -1, -4, -20, -84, -340, -4436, -99999, None, 7, None]
+        enc = MQEncoder()
+        c = _IntCtx()
+        for v in vals:
+            _encode_int(enc, c, v)
+        dec = MQDecoder(enc.flush())
+        c2 = _IntCtx()
+        assert [_decode_int(dec, c2) for _ in vals] == vals
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.integers(-200000, 200000)),
+                    min_size=1, max_size=200))
+    def test_property_roundtrip(self, vals):
+        from activestorage_ocr_spark.engine.jbig2x import (
+            MQDecoder, MQEncoder, _IntCtx, _decode_int, _encode_int,
+        )
+
+        enc = MQEncoder()
+        c = _IntCtx()
+        for v in vals:
+            _encode_int(enc, c, v)
+        dec = MQDecoder(enc.flush())
+        c2 = _IntCtx()
+        assert [_decode_int(dec, c2) for _ in vals] == vals
+
+    def test_iaid_roundtrip(self):
+        from activestorage_ocr_spark.engine.jbig2x import (
+            MQDecoder, MQEncoder, _IntCtx, _decode_iaid, _encode_iaid,
+            _symcodelen,
+        )
+
+        for n_syms in (1, 2, 3, 7, 8, 9, 300):
+            L = _symcodelen(n_syms)
+            ids = [(i * 7) % n_syms for i in range(40)]
+            enc = MQEncoder()
+            c = _IntCtx(1 << (L + 1))
+            for i in ids:
+                _encode_iaid(enc, c, L, i)
+            dec = MQDecoder(enc.flush())
+            c2 = _IntCtx(1 << (L + 1))
+            assert [_decode_iaid(dec, c2, L) for _ in ids] == ids
+
+
+class TestSymbolMode:
+    def test_symbol_dict_roundtrip_height_order(self):
+        rng = np.random.default_rng(5)
+        syms = [rng.random((h, w)) < 0.4
+                for h, w in [(7, 5), (7, 9), (3, 4), (12, 2), (7, 5)]]
+        out = jbig2x._decode_symbol_dict(jbig2x._encode_symbol_dict(syms))
+        order = jbig2x._sorted_symbol_order(syms)
+        assert len(out) == len(syms)
+        for k, oi in enumerate(order):
+            assert (out[k] == syms[oi]).all()
+
+    def test_text_page_matches_manual_composition(self):
+        rng = np.random.default_rng(9)
+        symbols = [rng.random((6, 4)) < 0.5 for _ in range(3)]
+        instances = [(0, 1, 2), (1, 6, 2), (2, 11, 2),
+                     (1, 1, 10), (0, 7, 10), (0, 13, 10)]
+        ref = np.zeros((18, 20), bool)
+        for sid, x, y in instances:
+            ref[y : y + 6, x : x + 4] |= symbols[sid]
+        page = decode_jbig2_embedded(
+            jbig2x.encode_jbig2_text_page(symbols, instances, 20, 18)
+        )
+        assert (page == ref).all()
+
+    def test_symbol_mode_roundtrips_text_raster(self):
+        img = rasters.render_text("SYMBOL MODE 42", scale=3) < 128
+        page = decode_jbig2_embedded(jbig2x.encode_jbig2_symbol_mode(img))
+        assert page.shape == img.shape and (page == img).all()
+
+    def test_dictionary_reuse_beats_generic_on_repeated_text(self):
+        img = rasters.render_text("AAAA BBBB AAAA BBBB AAAA BBBB", scale=3) < 128
+        sym = jbig2x.encode_jbig2_symbol_mode(img)
+        gen = jbig2x.encode_jbig2_embedded(img)
+        assert (decode_jbig2_embedded(sym) == img).all()
+        assert len(sym) < len(gen)  # the whole point of symbol mode
+
+    def test_blank_page_falls_back_to_generic(self):
+        blank = np.zeros((10, 20), bool)
+        page = decode_jbig2_embedded(jbig2x.encode_jbig2_symbol_mode(blank))
+        assert page.shape == blank.shape and not page.any()
+
+    def test_huffman_dictionary_is_named_gap(self):
+        import struct as _s
+
+        payload = _s.pack(">H", 1) + b"\x00" * 20  # SDHUFF=1
+        with pytest.raises(Jbig2Error, match="Huffman"):
+            jbig2x._decode_symbol_dict(payload)
+
+    def test_text_region_without_dictionary_raises(self):
+        img = rasters.render_text("X", scale=2) < 128
+        blob = jbig2x.encode_jbig2_symbol_mode(img)
+        # strip the symbol dict segment (header 12 bytes incl 1 ref + data)
+        segs = list(jbig2x._parse_segment_headers(blob))
+        assert [t for _, t, _, _ in segs][:3] == [48, 0, 6]
+        with pytest.raises(Jbig2Error, match="no symbol dictionary"):
+            # rebuild without the dict
+            page_info = segs[0][3]
+            tregion = segs[2][3]
+            data = (
+                jbig2x._segment_header(0, 48, 1, len(page_info)) + page_info
+                + jbig2x._segment_header(2, 6, 1, len(tregion)) + tregion
+            )
+            decode_jbig2_embedded(data)
+
+    def test_truncated_symbol_stream_raises(self):
+        img = rasters.render_text("TRUNC", scale=2) < 128
+        blob = jbig2x.encode_jbig2_symbol_mode(img)
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(blob[: len(blob) // 2])
+
+
 class TestPdfIntegration:
     def test_jbig2_scanned_pdf_extracts_end_to_end(self):
         pages = [rasters.render_text("JBIG2 PAGE ONE", scale=3),
@@ -215,6 +336,14 @@ class TestPdfIntegration:
         img_obj.dict["/Decode"] = [1, 0]
         inv = pdfx.decode_image_xobject(img_obj, objs)
         assert (inv[img] == 255).all() and (inv[~img] == 0).all()
+
+    def test_jbig2_symbol_mode_pdf_extracts_end_to_end(self):
+        pdf = pdfx.build_image_pdf(
+            [(rasters.render_text("SYMBOL PDF 55", scale=3), "JBIG2S")]
+        )
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert "SYMBOL PDF 55" in r["extracted_text"]
 
     def test_jbig2_mixed_with_g4_page(self):
         j = rasters.render_text("JB HALF", scale=3)
