@@ -32,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="pages table (parquet dir)")
+    ap.add_argument(
+        "--input-format", default="pages", choices=["pages", "warc"],
+        help="'pages' reads a parquet pages table; 'warc' treats --input as "
+        "a glob of raw .warc/.warc.gz crawl files (ingested via "
+        "sources/warc.py, 2xx responses only)",
+    )
     ap.add_argument("--output", required=True, help="output root (data/outcome={extracted,quarantine}/, _manifest/)")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--n-parts", type=int, default=1024, help="stable url-hash checkpoint partitions")
@@ -56,7 +62,15 @@ def main() -> None:
         spark = SparkSession.builder.appName(f"extract-{args.run_id}").getOrCreate()
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        import glob
+
+        from activestorage_ocr_spark.sources.warc import read_warc, to_pages
+
+        paths = sorted(glob.glob(args.input)) or [args.input]
+        pages = to_pages(read_warc(spark, paths))
+    else:
+        pages = spark.read.parquet(args.input)
     summary = run_extraction_job(
         spark,
         pages,

@@ -135,3 +135,23 @@ class TestSparkReader:
     def test_empty_path_list_raises(self, spark):
         with pytest.raises(ValueError):
             warc.read_warc(spark, [])
+
+    def test_durable_job_from_warc(self, spark, tmp_path):
+        # the full raw-crawl path: .warc.gz glob -> ingest -> extract ->
+        # durable partitioned write with manifest (jobs/run_extraction.py
+        # --input-format warc drives exactly this composition)
+        from activestorage_ocr_spark.operators.lineage import run_extraction_job
+
+        paths = [
+            warc.write_warc(str(tmp_path / f"c{i}.warc.gz"), RECS)
+            for i in range(2)
+        ]
+        pages = warc.to_pages(warc.read_warc(spark, paths))
+        out = str(tmp_path / "out")
+        summary = run_extraction_job(spark, pages, out, run_id="w1", n_parts=4)
+        # parts_done counts NON-EMPTY committed part_keys; 4 docs url-hashed
+        # into 4 parts may collide, so bound it rather than pin it
+        assert 1 <= summary["parts_done"] <= 4
+        assert summary["n_rows"] == 4  # 2 files x (RECS minus the 404)
+        got = spark.read.parquet(f"{out}/data").count()
+        assert got == 4
