@@ -223,6 +223,31 @@ def build_image_pdf(
             objs.append((img_id, d, stream))
             img_entries.append(img_id)
             continue
+        if cs in ("JPX", "JPXJ", "JPXL"):
+            # JPEG 2000 image: "JPX" = raw lossless 5/3 codestream, "JPXJ" =
+            # the same inside a JP2 box container, "JPXL" = lossy 9/7.
+            # Gray (h,w) or RGB (h,w,3) arrays.
+            from .jp2x import encode_jp2
+
+            stream = encode_jp2(
+                arr.astype(np.uint8),
+                reversible=cs != "JPXL",
+                wrap=cs == "JPXJ",
+            )
+            if corrupt_data:
+                stream = stream[: max(1, len(stream) // 4)]
+            ncomp = 3 if arr.ndim == 3 else 1
+            jcs = b"/DeviceRGB" if ncomp == 3 else b"/DeviceGray"
+            d = (
+                b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace " + jcs + b" /BitsPerComponent 8 /Length "
+                + str(len(stream)).encode()
+                + b" /Filter /JPXDecode >>"
+            )
+            objs.append((img_id, d, stream))
+            img_entries.append(img_id)
+            continue
         raw = arr.tobytes()
         if corrupt_data:
             raw = raw[: max(1, len(raw) // 4)]
@@ -774,6 +799,26 @@ def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.nd
         if isinstance(dec, list) and len(dec) >= 2 and dec[0] == 1:
             bit = 1 - bit
         return (bit * 255).astype(np.uint8)
+    if filts and filts[-1] == "/JPXDecode":
+        # JPEG 2000 (engine/jp2x.py). Per PDF 32000-1 §7.4.9 the JPX stream
+        # carries its own dimensions, depth, and color model; the declared
+        # /ColorSpace and /BitsPerComponent are advisory, matching the
+        # DCTDecode branch. Accepts raw codestreams and JP2 containers.
+        data = obj.stream or b""
+        for name in filts[:-1]:
+            data = _apply_filter(name, data)
+        from .jp2x import Jp2Error, decode_jp2
+
+        try:
+            img = decode_jp2(data)
+        except Jp2Error as e:
+            raise PdfError(f"bad JPXDecode stream: {e}") from e
+        if img.shape[0] < h or img.shape[1] < w:
+            raise PdfError("JPX image smaller than declared dimensions")
+        img = img[:h, :w]
+        if img.ndim == 3:
+            return rgb_to_gray(img)
+        return img
     bpc = d.get("/BitsPerComponent", 8)
     if bpc != 8:
         raise PdfError(f"unsupported BitsPerComponent: {bpc}")

@@ -1,0 +1,295 @@
+"""JPEG 2000 codec (`engine/jp2x.py`, ITU-T T.800) and its ``/JPXDecode``
+integration in the PDF image path."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from activestorage_ocr_spark.engine import jp2x, pdfx, rasters
+from activestorage_ocr_spark.engine.extract import extract_document
+from activestorage_ocr_spark.engine.jp2x import (
+    Jp2Error,
+    TagTreeDecoder,
+    TagTreeEncoder,
+    _HdrReader,
+    _HdrWriter,
+    decode_jp2,
+    encode_jp2,
+    t1_decode_block,
+    t1_encode_block,
+)
+
+
+def _structured(h, w, seed=0):
+    """Natural-ish test image: gradient + flat text-like regions."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((xx * 1.7 + yy * 0.9) % 256).astype(np.uint8)
+    img[h // 5 : h // 2, w // 4 : 3 * w // 4] = 12
+    img[(3 * h) // 4 : (3 * h) // 4 + 3, :] = 240
+    noise = rng.integers(-8, 9, size=(h, w))
+    return np.clip(img.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+
+
+class TestHdrBitIO:
+    def test_ff_stuffing_round_trip(self):
+        # 0xFF-heavy bit patterns exercise the stuffed-bit path
+        bits = ([1] * 30 + [0, 1, 1, 0] + [1] * 17 + [0] * 5) * 3
+        w = _HdrWriter()
+        for b in bits:
+            w.put(b)
+        data = w.flush()
+        r = _HdrReader(data)
+        assert [r.get() for _ in range(len(bits))] == bits
+
+    @given(st.lists(st.integers(0, 1), min_size=1, max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_round_trip_property(self, bits):
+        w = _HdrWriter()
+        for b in bits:
+            w.put(b)
+        data = w.flush()
+        r = _HdrReader(data)
+        assert [r.get() for _ in range(len(bits))] == bits
+        # after align() the reader sits on the first post-header byte
+        assert r.align() <= len(data)
+
+
+class TestTagTree:
+    @pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (4, 4), (7, 5)])
+    def test_round_trip(self, w, h):
+        rng = np.random.default_rng(w * 10 + h)
+        vals = rng.integers(0, 6, size=(h, w))
+        enc = TagTreeEncoder(w, h)
+        for y in range(h):
+            for x in range(w):
+                enc.set_value(x, y, int(vals[y, x]))
+        enc.finalize()
+        wr = _HdrWriter()
+        # encode every leaf to full knowledge, mirroring the zbp protocol
+        for y in range(h):
+            for x in range(w):
+                t = 1
+                while not enc.known[0][y, x]:
+                    enc.encode(x, y, t, wr)
+                    t += 1
+        data = wr.flush()
+        rd = _HdrReader(data)
+        dec = TagTreeDecoder(w, h)
+        for y in range(h):
+            for x in range(w):
+                t = 1
+                while not dec.decode(x, y, t, rd):
+                    t += 1
+                assert dec.value(x, y) == vals[y, x], (x, y)
+
+
+class TestTier1:
+    @pytest.mark.parametrize(
+        "w,h,orient",
+        [(8, 8, 0), (16, 13, 1), (5, 9, 2), (64, 64, 3), (7, 4, 0), (1, 1, 0)],
+    )
+    def test_round_trip(self, w, h, orient):
+        rng = np.random.default_rng(w * 100 + h + orient)
+        mag = rng.integers(0, 300, size=(h, w)).astype(np.int64)
+        mag[rng.random((h, w)) < 0.6] = 0  # wavelet-like sparsity
+        neg = (rng.random((h, w)) < 0.5).astype(np.uint8)
+        neg[mag == 0] = 0
+        data, nbps, npasses = t1_encode_block(mag, neg, orient)
+        m2, n2 = t1_decode_block(data, w, h, nbps, npasses, orient)
+        assert np.array_equal(m2, mag)
+        assert np.array_equal(n2[mag > 0], neg[mag > 0])
+
+    def test_all_zero_block(self):
+        data, nbps, npasses = t1_encode_block(
+            np.zeros((6, 6), dtype=np.int64), np.zeros((6, 6), dtype=np.uint8), 0
+        )
+        assert (data, nbps, npasses) == (b"", 0, 0)
+
+    def test_pass_count(self):
+        # 3*nbps - 2 passes: first plane is cleanup-only
+        mag = np.array([[5, 0], [0, 1]], dtype=np.int64)
+        _, nbps, npasses = t1_encode_block(mag, np.zeros((2, 2), np.uint8), 0)
+        assert nbps == 3 and npasses == 3 * 3 - 2
+
+
+class TestDwt:
+    @pytest.mark.parametrize("n", [1, 2, 3, 5, 17, 64])
+    @pytest.mark.parametrize("a", [0, 1, 7])
+    def test_53_1d(self, n, a):
+        rng = np.random.default_rng(n * 10 + a)
+        x = rng.integers(-500, 500, size=(3, n)).astype(np.int64)
+        assert np.array_equal(jp2x._inv53_1d(jp2x._fwd53_1d(x, a), a), x)
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 5, 17, 64])
+    @pytest.mark.parametrize("a", [0, 1])
+    def test_97_1d(self, n, a):
+        rng = np.random.default_rng(n * 10 + a)
+        x = rng.normal(0, 100, size=(2, n))
+        assert np.allclose(jp2x._inv97_1d(jp2x._fwd97_1d(x, a), a), x, atol=1e-9)
+
+    @pytest.mark.parametrize(
+        "rect,lv",
+        [
+            ((0, 37, 0, 23), 3),
+            ((0, 64, 0, 64), 5),
+            ((5, 40, 3, 29), 2),  # odd tile offsets (multi-tile parity)
+            ((7, 8, 0, 64), 3),   # 1-wide at odd x: empty deep subbands
+            ((0, 100, 0, 1), 4),
+        ],
+    )
+    def test_2d_multilevel(self, rect, lv):
+        x0, x1, y0, y1 = rect
+        rng = np.random.default_rng(x1 * 7 + y1)
+        img = rng.integers(-255, 256, size=(y1 - y0, x1 - x0)).astype(np.int64)
+        b = jp2x._fwd_dwt_2d(img, rect, lv, True)
+        assert np.array_equal(jp2x._inv_dwt_2d(b, rect, lv, True), img)
+        bf = jp2x._fwd_dwt_2d(img.astype(float), rect, lv, False)
+        assert np.allclose(
+            jp2x._inv_dwt_2d(bf, rect, lv, False), img.astype(float), atol=1e-6
+        )
+
+
+class TestCodestreamLossless:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"levels": 1},
+            {"levels": 5},
+            {"cblk": (16, 16)},
+            {"cblk": (32, 8)},
+            {"progression": "RLCP"},
+            {"progression": "RPCL"},
+            {"progression": "PCRL"},
+            {"progression": "CPRL"},
+            {"tile": (64, 64)},
+            {"tile": (50, 37), "levels": 2},  # partial edge tiles, odd offsets
+            {"wrap": True},
+        ],
+    )
+    def test_gray_bit_exact(self, kw):
+        img = _structured(97, 130)
+        assert np.array_equal(decode_jp2(encode_jp2(img, **kw)), img)
+
+    @pytest.mark.parametrize(
+        "kw", [{}, {"tile": (32, 32)}, {"mct": False}, {"levels": 4}, {"wrap": True}]
+    )
+    def test_rgb_bit_exact(self, kw):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(70, 55, 3)).astype(np.uint8)
+        assert np.array_equal(decode_jp2(encode_jp2(img, **kw)), img)
+
+    def test_tiny_images(self):
+        for shape in [(1, 1), (1, 9), (9, 1), (3, 3), (4, 4, 3)]:
+            img = (np.arange(np.prod(shape)) % 256).astype(np.uint8).reshape(shape)
+            assert np.array_equal(decode_jp2(encode_jp2(img, levels=2)), img)
+
+    def test_compresses_structured_content(self):
+        # noise-free gradient: lossless coding should beat raw by >2x
+        yy, xx = np.mgrid[0:97, 0:130]
+        img = ((xx * 1.7 + yy * 0.9) % 256).astype(np.uint8)
+        img[20:48, 32:97] = 12
+        assert len(encode_jp2(img)) < img.size // 2
+
+    def test_determinism(self):
+        img = _structured(64, 64, seed=3)
+        assert encode_jp2(img) == encode_jp2(img)
+
+
+class TestCodestreamLossy:
+    def test_psnr_and_step_monotonicity(self):
+        img = _structured(97, 130)
+        sizes, errs = [], []
+        for step in (0.5, 2.0, 8.0):
+            cs = encode_jp2(img, reversible=False, quality_step=step)
+            out = decode_jp2(cs)
+            err = np.abs(img.astype(float) - out.astype(float))
+            psnr = 10 * np.log10(255**2 / max((err**2).mean(), 1e-12))
+            sizes.append(len(cs))
+            errs.append(err.max())
+            assert psnr > 30.0, step
+        assert sizes[0] > sizes[1] > sizes[2]  # coarser step -> smaller file
+        assert errs[0] <= errs[2]
+
+    def test_rgb_ict_tiled(self):
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(70, 55, 3)).astype(np.uint8)
+        out = decode_jp2(
+            encode_jp2(img, reversible=False, quality_step=0.5, tile=(32, 32))
+        )
+        assert np.abs(img.astype(float) - out.astype(float)).max() < 24
+
+
+class TestErrors:
+    def test_not_jp2(self):
+        with pytest.raises(Jp2Error):
+            decode_jp2(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+    def test_truncated_codestream(self):
+        cs = encode_jp2(_structured(32, 32))
+        for cut in (1, 3, 40, len(cs) // 2):
+            with pytest.raises(Jp2Error):
+                decode_jp2(cs[:cut])
+
+    def test_truncated_container(self):
+        cs = encode_jp2(_structured(16, 16), wrap=True)
+        with pytest.raises(Jp2Error):
+            decode_jp2(cs[:30])
+
+    def test_unsupported_marker_rejected(self):
+        cs = bytearray(encode_jp2(_structured(16, 16)))
+        # splice a COC marker (unsupported override) after SIZ
+        siz_len = int.from_bytes(cs[4:6], "big")
+        pos = 4 + siz_len
+        coc = b"\xff\x53" + (12).to_bytes(2, "big") + b"\x00" * 10
+        with pytest.raises(Jp2Error, match="COC"):
+            decode_jp2(bytes(cs[:pos]) + coc + bytes(cs[pos:]))
+
+    def test_encoder_input_validation(self):
+        with pytest.raises(Jp2Error):
+            encode_jp2(np.zeros((4, 4), dtype=np.int32))
+        with pytest.raises(Jp2Error):
+            encode_jp2(np.zeros((4, 4, 4), dtype=np.uint8))
+        with pytest.raises(Jp2Error):
+            encode_jp2(np.zeros((4, 4), dtype=np.uint8), cblk=(3, 3))
+        with pytest.raises(Jp2Error):
+            encode_jp2(np.zeros((4, 4), dtype=np.uint8), progression="XXXX")
+
+    def test_junk_tolerance_never_hangs(self):
+        rng = np.random.default_rng(0)
+        cs = encode_jp2(_structured(24, 24))
+        for _ in range(30):
+            buf = bytearray(cs)
+            for _ in range(6):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            try:
+                decode_jp2(bytes(buf))
+            except Jp2Error:
+                pass  # reject is fine; crash/hang is not
+
+
+class TestPdfIntegration:
+    @pytest.mark.parametrize("kind", ["JPX", "JPXJ", "JPXL"])
+    def test_jpx_pdf_extracts_end_to_end(self, kind):
+        img = rasters.render_text("JPX HELLO 123", scale=2)
+        res = extract_document(pdfx.build_image_pdf([(img, kind)]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "JPX HELLO 123"
+        assert any("scanned" in w for w in res["warnings"])
+
+    def test_rgb_jpx_image(self):
+        gray = rasters.render_text("RGB JPX", scale=2)
+        rgb = np.stack([gray, gray, gray], axis=-1)
+        res = extract_document(pdfx.build_image_pdf([(rgb, "JPX")]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "RGB JPX"
+
+    def test_corrupt_jpx_skipped(self):
+        img = rasters.render_text("GONE", scale=2)
+        res = extract_document(
+            pdfx.build_image_pdf([(img, "JPX")], corrupt_data=True)
+        )
+        # E2: per-image decode failures are skipped, empty page warned
+        assert any("No text or images" in w for w in res["warnings"])
