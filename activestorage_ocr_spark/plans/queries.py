@@ -1712,6 +1712,100 @@ def q_dedup_spans(spark, sf_dir):
     )
 
 
+def q_curation_domain_stats(spark, sf_dir):
+    """Per-domain curation stats — the CCNet/RefinedWeb-style host-level
+    aggregation that decides which domains feed the training mix: docs per
+    host, exact distinct content fingerprints, duplicate fraction, mean doc
+    length, and a keep flag (enough docs, low dup rate). Hosts derive
+    deterministically from doc_id (quadratic residue mod 23 -> uneven host
+    sizes, mirroring the crawl's head/tail domain skew); production swaps in
+    the crawl's url host.
+
+    100 TB posture: exact distinct via TWO-STAGE aggregation —
+    groupBy(host, fp) then groupBy(host) — never collect_set or a window
+    over host: stage 1's composite key spreads a giant host (a real crawl's
+    top domain is 10^9 pages) across all reducers, and both stages get
+    map-side partial aggregation. Never approx_count_distinct here: keep
+    decisions must be reproducible across runs."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("site"),
+        F.pmod(F.col("doc_id") * F.col("doc_id"), F.lit(23)).cast("string"),
+        F.lit(".example"),
+    )
+    with_fp = docs.select(
+        host.alias("host"),
+        F.md5(F.trim(F.lower(F.col("text"))).cast("binary")).alias("fp"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    per_fp = with_fp.groupBy("host", "fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("n_chars").alias("chars_fp"),
+    )
+    stats = per_fp.groupBy("host").agg(
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_fp"),
+        F.sum("chars_fp").cast("long").alias("sum_chars"),
+    )
+    dup_frac = F.round(1.0 - F.col("n_distinct_fp") / F.col("n_docs"), 9)
+    avg_chars = F.round(F.col("sum_chars") / F.col("n_docs"), 9)
+    return stats.select(
+        "host", "n_docs", "n_distinct_fp",
+        dup_frac.alias("dup_frac"),
+        avg_chars.alias("avg_chars"),
+        ((F.col("n_docs") >= 10) & (dup_frac <= F.lit(0.2))).alias("keep"),
+    )
+
+
+def q_urlfilter_flags(spark, sf_dir):
+    """RefinedWeb-style URL filtering: per-document flags from the URL alone
+    — non-http(s) scheme, raw-IP host, blocklisted word in the host, path
+    depth, oversized query string — and the resulting keep decision. URLs
+    are synthesized deterministically from doc_id with every dirty feature
+    injected at a known rate (ftp 1/11, IP hosts 1/13, blockwords 1/17,
+    long queries 1/5); production replaces the synthesizer with the crawl
+    url column.
+
+    100 TB posture: pure map-side string expressions over one pruned scan —
+    no shuffle, no UDF; Catalyst folds the flag exprs into one codegen
+    stage."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = lambda n: F.pmod(F.col("doc_id"), F.lit(n))  # noqa: E731
+    scheme = F.when(mod(11) == 0, F.lit("ftp://")).otherwise(F.lit("https://"))
+    hostpart = F.when(
+        mod(13) == 0, F.concat(F.lit("93.184.216."), mod(250).cast("string"))
+    ).otherwise(
+        F.concat(
+            F.when(mod(17) == 0, F.lit("casino-")).otherwise(F.lit("")),
+            F.lit("site"), mod(20).cast("string"), F.lit(".example"),
+        )
+    )
+    path = F.repeat(F.lit("/p"), mod(9).cast("int"))
+    query = F.when(
+        mod(5) == 0,
+        F.concat(F.lit("?session="), F.repeat(F.lit("x"), mod(40).cast("int"))),
+    ).otherwise(F.lit(""))
+    url = F.concat(scheme, hostpart, path, query)
+    is_nonhttp = ~url.startswith("https://")
+    is_ip_host = hostpart.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    has_blockword = hostpart.rlike("(casino|poker|xxx)")
+    path_depth = (F.length(path) / 2).cast("long")
+    long_query = F.length(query) > 24
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        is_nonhttp.alias("is_nonhttp"),
+        is_ip_host.alias("is_ip_host"),
+        has_blockword.alias("has_blockword"),
+        path_depth.alias("path_depth"),
+        long_query.alias("long_query"),
+        (
+            ~is_nonhttp & ~is_ip_host & ~has_blockword
+            & (path_depth <= 6) & ~long_query
+        ).alias("keep"),
+    )
+
+
 QUERIES.update(
     {
         "pack_sequences": q_pack_sequences,
@@ -1722,6 +1816,72 @@ QUERIES.update(
         "quality_repetition": q_quality_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "curation_domain_stats": q_curation_domain_stats,
+        "urlfilter_flags": q_urlfilter_flags,
+    }
+)
+
+ORACLES.update(
+    {
+        "curation_domain_stats": r"""
+            WITH fp AS (
+                SELECT 'site' || CAST((doc_id * doc_id) % 23 AS VARCHAR)
+                       || '.example' AS host,
+                       md5(trim(lower(text))) AS fp,
+                       CAST(n_chars AS BIGINT) AS n_chars
+                FROM documents
+            ),
+            per_fp AS (
+                SELECT host, fp, count(*)::BIGINT AS n_copies,
+                       sum(n_chars)::BIGINT AS chars_fp
+                FROM fp GROUP BY host, fp
+            ),
+            stats AS (
+                SELECT host, sum(n_copies)::BIGINT AS n_docs,
+                       count(*)::BIGINT AS n_distinct_fp,
+                       sum(chars_fp)::BIGINT AS sum_chars
+                FROM per_fp GROUP BY host
+            )
+            SELECT host, n_docs, n_distinct_fp,
+                   round(1.0 - n_distinct_fp::DOUBLE / n_docs, 9) AS dup_frac,
+                   round(sum_chars::DOUBLE / n_docs, 9) AS avg_chars,
+                   (n_docs >= 10
+                    AND round(1.0 - n_distinct_fp::DOUBLE / n_docs, 9) <= 0.2)
+                       AS keep
+            FROM stats
+        """,
+        "urlfilter_flags": r"""
+            WITH parts AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN 'ftp://'
+                            ELSE 'https://' END AS scheme,
+                       CASE WHEN doc_id % 13 = 0
+                            THEN '93.184.216.' || CAST(doc_id % 250 AS VARCHAR)
+                            ELSE (CASE WHEN doc_id % 17 = 0 THEN 'casino-'
+                                       ELSE '' END)
+                                 || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                                 || '.example' END AS hostpart,
+                       repeat('/p', CAST(doc_id % 9 AS INT)) AS path,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '?session=' || repeat('x', CAST(doc_id % 40 AS INT))
+                            ELSE '' END AS query
+                FROM documents
+            )
+            SELECT doc_id,
+                   scheme || hostpart || path || query AS url,
+                   NOT (scheme || hostpart || path || query) LIKE 'https://%'
+                       AS is_nonhttp,
+                   regexp_matches(hostpart, '^\d+\.\d+\.\d+\.\d+$') AS is_ip_host,
+                   regexp_matches(hostpart, '(casino|poker|xxx)') AS has_blockword,
+                   CAST(length(path) / 2 AS BIGINT) AS path_depth,
+                   length(query) > 24 AS long_query,
+                   ((scheme || hostpart || path || query) LIKE 'https://%'
+                    AND NOT regexp_matches(hostpart, '^\d+\.\d+\.\d+\.\d+$')
+                    AND NOT regexp_matches(hostpart, '(casino|poker|xxx)')
+                    AND length(path) / 2 <= 6
+                    AND NOT length(query) > 24) AS keep
+            FROM parts
+        """,
     }
 )
 

@@ -398,3 +398,39 @@ class TestRound3PlanShapes:
         # reassembled text of a fully-kept doc round-trips word-for-word
         full = next(r for r in base if r.n_kept == r.n_spans)
         assert len(full.text_clean.split()) >= 10 * (full.n_spans - 1)
+
+
+class TestRound4CurationPlanShapes:
+    def test_curation_domain_stats_two_stage_distinct(self, spark):
+        # exact distinct via groupBy(host, fp) -> groupBy(host): one scan,
+        # no window over host, no join, no collect_set — the shape that
+        # spreads a 10^9-page domain across reducers
+        import __spark_entry__ as e
+
+        df = e.queries()["curation_domain_stats"](spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        # hosts = quadratic residues mod 23 -> 12 distinct values
+        assert len(rows) == 12
+        assert {r.n_docs for r in rows} != {rows[0].n_docs}  # uneven sizes
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+        assert final.count("Scan parquet") == 1
+        assert "Window" not in final and "Join" not in final
+        assert "collect_set" not in final and "collect_list" not in final
+
+    def test_urlfilter_flags_map_only(self, spark):
+        # URL heuristics are pure projections: zero shuffles, one scan
+        import __spark_entry__ as e
+
+        df = e.queries()["urlfilter_flags"](spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        assert len(rows) == 500
+        assert any(r.is_nonhttp for r in rows)
+        assert any(r.is_ip_host for r in rows)
+        assert any(r.has_blockword for r in rows)
+        assert any(not r.keep for r in rows) and any(r.keep for r in rows)
+        # a flagged row is never kept
+        assert all(not r.keep for r in rows if r.is_ip_host or r.has_blockword)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("Scan parquet") == 1
