@@ -31,6 +31,7 @@ import struct
 
 import numpy as np
 
+from . import budget
 from .jbig2x import MQDecoder, MQEncoder
 
 
@@ -472,6 +473,7 @@ def t1_decode_block(
     p = nbps - 1
     first_plane = True
     while left > 0 and p >= 0:
+        budget.check()  # per-coding-pass guard (engine wall budget)
         bit_p = 1 << p
         if not first_plane:
             # significance propagation
@@ -735,6 +737,7 @@ def _inv_dwt_2d(
     inv = _inv53_1d if reversible else _inv97_1d
     cur = bands[(levels, _OR_LL)]
     for lvl in range(levels, 0, -1):
+        budget.check()
         cx0, cx1, cy0, cy1 = _rect_level(x0, x1, y0, y1, lvl - 1)
         w, h = cx1 - cx0, cy1 - cy0
         dtype = np.int64 if reversible else np.float64
@@ -943,6 +946,7 @@ def _decode_packet(
     bands: list[_Band], r: _HdrReader, layer: int, sop: bool, eph: bool
 ) -> None:
     """Decode one packet header + body into per-block state."""
+    budget.check()  # per-packet guard
     data = r.data
     if sop and data[r.pos : r.pos + 2] == b"\xff\x91":
         r.pos += 6
@@ -1024,6 +1028,8 @@ def encode_jp2(
     tile: tuple[int, int] | None = None,
     quality_step: float = 1.0 / 64.0,
     wrap: bool = False,
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """Encode a uint8 grayscale (h,w) or RGB (h,w,3) image as a JPEG 2000
     Part-1 codestream (raw, or JP2 box container when ``wrap``).
@@ -1084,8 +1090,9 @@ def encode_jp2(
     # COD
     xcb = cbw.bit_length() - 1 - 2
     ycb = cbh.bit_length() - 1 - 2
+    scod = (2 if sop else 0) | (4 if eph else 0)
     cod = struct.pack(
-        ">BBHBBBBBB", 0, prog_id, 1, 1 if mct else 0,
+        ">BBHBBBBBB", scod, prog_id, 1, 1 if mct else 0,
         levels, xcb, ycb, 0, 1 if reversible else 0,
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
@@ -1121,7 +1128,7 @@ def encode_jp2(
             )
             body = _encode_tile(
                 planes, rect, levels, reversible, cbw, cbh, prog_id,
-                band_mb, band_delta,
+                band_mb, band_delta, sop=sop, eph=eph,
             )
             psot = 12 + 2 + len(body)
             out += b"\xff\x90" + struct.pack(">HHIBB", 10, tidx, psot, 0, 1)
@@ -1150,7 +1157,8 @@ def _band_qcd_index(lvl: int, orient: int, levels: int) -> int:
 
 
 def _encode_tile(
-    planes, rect, levels, reversible, cbw, cbh, prog_id, band_mb, band_delta
+    planes, rect, levels, reversible, cbw, cbh, prog_id, band_mb, band_delta,
+    sop=False, eph=False,
 ) -> bytes:
     x0, x1, y0, y1 = rect
     ncomp = len(planes)
@@ -1189,11 +1197,17 @@ def _encode_tile(
                         blk.nbps = nbps
         comp_bands.append(res)
     body = bytearray()
+    nsop = 0
     for layer, r, c in _progression_order(prog_id, 1, levels + 1, ncomp):
         wtr = _HdrWriter()
         bodies: list[bytes] = []
         _encode_packet(comp_bands[c][r], wtr, bodies)
+        if sop:
+            body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
+            nsop += 1
         body += wtr.flush()
+        if eph:
+            body += b"\xff\x92"
         for b in bodies:
             body += b
     return bytes(body)

@@ -1806,6 +1806,51 @@ def q_urlfilter_flags(spark, sf_dir):
     )
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Crawl-snapshot diffing (the CDX-style recrawl question): given two
+    crawl snapshots of the same url space, classify every url as added /
+    gone / changed / same by content fingerprint. Snapshots derive
+    deterministically from the documents table — snapshot A drops
+    doc_id%10==3, snapshot B drops doc_id%10==7 and rewrites content where
+    doc_id%5==0 — so all four classes are populated; production replaces
+    the synthesizer with two dated crawl partitions.
+
+    100 TB posture: ONE full-outer equi-join on url (both sides shuffle on
+    the join key once; with the url-hash bucketed layout of
+    sources/bucketing.py both sides are already co-located and the
+    Exchange disappears). Fingerprints are computed map-side before the
+    join so the join carries (url, fp) pairs, not document text."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+    )
+    base = docs.select(
+        F.col("doc_id"), url.alias("url"), F.col("text"),
+        F.pmod(F.col("doc_id"), F.lit(10)).alias("m10"),
+        F.pmod(F.col("doc_id"), F.lit(5)).alias("m5"),
+    )
+    snap_a = base.filter(F.col("m10") != 3).select(
+        "url", F.md5(F.col("text").cast("binary")).alias("fp_a")
+    )
+    snap_b = base.filter(F.col("m10") != 7).select(
+        "url",
+        F.md5(
+            F.when(F.col("m5") == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("fp_b"),
+    )
+    joined = snap_a.join(snap_b, "url", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("gone"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("url", "fp_a", "fp_b", status.alias("status"))
+
+
 QUERIES.update(
     {
         "pack_sequences": q_pack_sequences,
@@ -1818,6 +1863,7 @@ QUERIES.update(
         "url_canonical_dedup": q_url_canonical_dedup,
         "curation_domain_stats": q_curation_domain_stats,
         "urlfilter_flags": q_urlfilter_flags,
+        "crawl_delta": q_crawl_delta,
     }
 )
 
@@ -1881,6 +1927,30 @@ ORACLES.update(
                     AND length(path) / 2 <= 6
                     AND NOT length(query) > 24) AS keep
             FROM parts
+        """,
+        "crawl_delta": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       text, doc_id % 10 AS m10, doc_id % 5 AS m5
+                FROM documents
+            ),
+            snap_a AS (
+                SELECT url, md5(text) AS fp_a FROM base WHERE m10 <> 3
+            ),
+            snap_b AS (
+                SELECT url,
+                       md5(CASE WHEN m5 = 0 THEN text || ' [rev2]'
+                                ELSE text END) AS fp_b
+                FROM base WHERE m10 <> 7
+            )
+            SELECT coalesce(a.url, b.url) AS url, fp_a, fp_b,
+                   CASE WHEN fp_a IS NULL THEN 'added'
+                        WHEN fp_b IS NULL THEN 'gone'
+                        WHEN fp_a = fp_b THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM snap_a a FULL OUTER JOIN snap_b b ON a.url = b.url
         """,
     }
 )

@@ -293,3 +293,32 @@ class TestPdfIntegration:
         )
         # E2: per-image decode failures are skipped, empty page warned
         assert any("No text or images" in w for w in res["warnings"])
+
+
+class TestSopEphAndBudget:
+    @pytest.mark.parametrize(
+        "kw",
+        [{"sop": True}, {"eph": True}, {"sop": True, "eph": True},
+         {"sop": True, "eph": True, "tile": (50, 37)}],
+    )
+    def test_sop_eph_round_trip(self, kw):
+        img = _structured(97, 130)
+        cs = encode_jp2(img, **kw)
+        if kw.get("sop"):
+            assert b"\xff\x91" in cs
+        if kw.get("eph"):
+            assert b"\xff\x92" in cs
+        assert np.array_equal(decode_jp2(cs), img)
+
+    def test_decode_respects_doc_budget(self):
+        # the wall budget must be able to interrupt tier-1 decoding — JPX is
+        # the most compute-heavy codec, exactly what the TIMEOUT path is for
+        import time
+
+        from activestorage_ocr_spark.engine import budget
+
+        cs = encode_jp2(_structured(97, 130))
+        with pytest.raises(budget.DocTimeout):
+            with budget.deadline(1):
+                time.sleep(0.005)
+                decode_jp2(cs)
