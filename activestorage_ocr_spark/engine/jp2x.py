@@ -20,8 +20,10 @@ Supported subset (rejections are honest ``Jp2Error``s, quarantined upstream):
 single image origin 0 (``XOsiz=YOsiz=XTOsiz=YTOsiz=0``), no component
 subsampling (``XRsiz=YRsiz=1``), code-block style 0 (no bypass/termall/
 causal), precinct partitions parsed but only whole-tile precincts accepted,
-LRCP/RLCP/RPCL progressions, multiple tiles and tile-parts, 1..4 components,
-depths up to 16 bits (scaled to 8 on output).
+all five progression orders, multiple tiles and tile-parts, SOP/EPH
+markers, COC/QCC per-component overrides (the layout real encoders emit
+for visually-weighted chroma), 1..4 components, depths up to 16 bits
+(scaled to 8 on output).
 """
 
 from __future__ import annotations
@@ -1030,6 +1032,8 @@ def encode_jp2(
     wrap: bool = False,
     sop: bool = False,
     eph: bool = False,
+    comp_cblk: dict | None = None,
+    chroma_step_mult: float | None = None,
 ) -> bytes:
     """Encode a uint8 grayscale (h,w) or RGB (h,w,3) image as a JPEG 2000
     Part-1 codestream (raw, or JP2 box container when ``wrap``).
@@ -1037,6 +1041,10 @@ def encode_jp2(
     ``reversible`` selects 5/3+RCT (bit-exact) vs 9/7+ICT with scalar
     quantization of step ``quality_step`` (expounded).  ``tile=(tw,th)``
     splits the image into a tile grid; default is one tile.
+    ``comp_cblk={c: (w,h)}`` overrides the code-block size per component
+    via COC markers; ``chroma_step_mult`` coarsens the two chroma
+    components' steps via QCC markers (9/7 + MCT only — the layout real
+    encoders emit for visually-weighted chroma).
     """
     if img.dtype != np.uint8:
         raise Jp2Error("encoder expects uint8 input")
@@ -1053,9 +1061,20 @@ def encode_jp2(
     if mct is None:
         mct = ncomp == 3
     mct = bool(mct) and ncomp == 3
+    def _check_cblk(bw, bh):
+        if bw * bh > 4096 or bw < 4 or bh < 4 or bw & (bw - 1) or bh & (bh - 1):
+            raise Jp2Error("code-block dims must be powers of two, 4..64, area<=4096")
+
     cbw, cbh = cblk
-    if cbw * cbh > 4096 or cbw < 4 or cbh < 4 or cbw & (cbw - 1) or cbh & (cbh - 1):
-        raise Jp2Error("code-block dims must be powers of two, 4..64, area<=4096")
+    _check_cblk(cbw, cbh)
+    cblks = [(cbw, cbh)] * ncomp
+    for c, (bw, bh) in (comp_cblk or {}).items():
+        if not (0 <= c < ncomp):
+            raise Jp2Error(f"comp_cblk component {c} out of range")
+        _check_cblk(bw, bh)
+        cblks[c] = (bw, bh)
+    if chroma_step_mult is not None and (reversible or ncomp != 3):
+        raise Jp2Error("chroma_step_mult needs 9/7 with three components")
     prog_id = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}.get(progression)
     if prog_id is None:
         raise Jp2Error(f"unknown progression {progression!r}")
@@ -1096,28 +1115,45 @@ def encode_jp2(
         levels, xcb, ycb, 0, 1 if reversible else 0,
     )
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
-    # QCD
-    nbands = 3 * levels + 1
-    if reversible:
-        sqcd = bytes([(guard << 5) | 0]) + bytes(
-            ((depth + g) << 3) for g in _qcd_band_gains(levels)
+    # COC overrides (per-component code-block size)
+    for c, (bw, bh) in sorted((comp_cblk or {}).items()):
+        coc = struct.pack(
+            ">BBBBBBB", c, 0, levels,
+            bw.bit_length() - 3, bh.bit_length() - 3, 0,
+            1 if reversible else 0,
         )
-        band_mb = [guard + (depth + g) - 1 for g in _qcd_band_gains(levels)]
-        band_delta = [1.0] * nbands
-    else:
-        exps = []
-        band_mb = []
-        band_delta = []
+        out += b"\xff\x53" + struct.pack(">H", len(coc) + 2) + coc
+
+    def _quant_tables(step: float):
+        nbands = 3 * levels + 1
+        if reversible:
+            sq = bytes([(guard << 5) | 0]) + bytes(
+                ((depth + g) << 3) for g in _qcd_band_gains(levels)
+            )
+            mb = [guard + (depth + g) - 1 for g in _qcd_band_gains(levels)]
+            return sq, mb, [1.0] * nbands
+        exps, mb, delta = [], [], []
         for g in _qcd_band_gains(levels):
             rb = depth + g
-            eps_b, mant_b = _step_to_exp_mant(quality_step, rb)
+            eps_b, mant_b = _step_to_exp_mant(step, rb)
             exps.append((eps_b, mant_b))
-            band_mb.append(guard + eps_b - 1)
-            band_delta.append(_exp_mant_to_step(eps_b, mant_b, rb))
-        sqcd = bytes([(guard << 5) | 2]) + b"".join(
+            mb.append(guard + eps_b - 1)
+            delta.append(_exp_mant_to_step(eps_b, mant_b, rb))
+        sq = bytes([(guard << 5) | 2]) + b"".join(
             struct.pack(">H", (e << 11) | m) for e, m in exps
         )
+        return sq, mb, delta
+
+    sqcd, band_mb, band_delta = _quant_tables(quality_step)
     out += b"\xff\x5c" + struct.pack(">H", len(sqcd) + 2) + sqcd
+    comp_mb = [band_mb] * ncomp
+    comp_delta = [band_delta] * ncomp
+    if chroma_step_mult is not None:
+        sqcc, mb_c, delta_c = _quant_tables(quality_step * chroma_step_mult)
+        for c in (1, 2):
+            out += b"\xff\x5d" + struct.pack(">H", len(sqcc) + 3) + bytes([c]) + sqcc
+            comp_mb[c] = mb_c
+            comp_delta[c] = delta_c
 
     # tiles
     tidx = 0
@@ -1127,8 +1163,8 @@ def encode_jp2(
                 tx * tw, min((tx + 1) * tw, w), ty * th, min((ty + 1) * th, h)
             )
             body = _encode_tile(
-                planes, rect, levels, reversible, cbw, cbh, prog_id,
-                band_mb, band_delta, sop=sop, eph=eph,
+                planes, rect, levels, reversible, cblks, prog_id,
+                comp_mb, comp_delta, sop=sop, eph=eph,
             )
             psot = 12 + 2 + len(body)
             out += b"\xff\x90" + struct.pack(">HHIBB", 10, tidx, psot, 0, 1)
@@ -1157,13 +1193,16 @@ def _band_qcd_index(lvl: int, orient: int, levels: int) -> int:
 
 
 def _encode_tile(
-    planes, rect, levels, reversible, cbw, cbh, prog_id, band_mb, band_delta,
+    planes, rect, levels, reversible, cblks, prog_id, comp_mb, comp_delta,
     sop=False, eph=False,
 ) -> bytes:
     x0, x1, y0, y1 = rect
     ncomp = len(planes)
     comp_bands = []
-    for plane in planes:
+    for ci, plane in enumerate(planes):
+        cbw, cbh = cblks[ci]
+        band_mb = comp_mb[ci]
+        band_delta = comp_delta[ci]
         sub = plane[y0:y1, x0:x1]
         coeffs = _fwd_dwt_2d(sub, rect, levels, reversible)
         res = _tile_comp_bands(rect, levels, cbw, cbh)
@@ -1345,9 +1384,46 @@ def _parse_qcd(seg: bytes, levels: int, depth: int) -> tuple[list[int], list[flo
 
 _SKIP_MARKERS = {0xFF64, 0xFF63, 0xFF55, 0xFF57, 0xFF58, 0xFF60, 0xFF61, 0xFF65}
 _REJECT_MARKERS = {
-    0xFF53: "COC", 0xFF5D: "QCC", 0xFF5E: "RGN", 0xFF5F: "POC",
-    0xFF6C: "PPT", 0xFF6D: "PPM",
+    0xFF5E: "RGN", 0xFF5F: "POC", 0xFF6C: "PPT", 0xFF6D: "PPM",
 }
+
+
+class _CompCoding:
+    """Per-component coding parameters (COD defaults, COC overrides)."""
+
+    __slots__ = ("levels", "cbw", "cbh", "reversible")
+
+    def __init__(self, cod: _CodMarker):
+        self.levels = cod.levels
+        self.cbw = cod.cbw
+        self.cbh = cod.cbh
+        self.reversible = cod.reversible
+
+
+def _parse_coc(seg: bytes, ncomp: int) -> tuple[int, "_CodMarkerLike"]:
+    """COC (T.800 A.6.2): per-component coding-style override."""
+    if len(seg) < 7:
+        raise Jp2Error("COC too short")
+    c = seg[0]  # Csiz < 257 always holds here (ncomp <= 4)
+    if c >= ncomp:
+        raise Jp2Error(f"COC component {c} out of range")
+    scoc = seg[1]
+    levels = seg[2]
+    cbw = 1 << (min(seg[3] & 0xF, 8) + 2)
+    cbh = 1 << (min(seg[4] & 0xF, 8) + 2)
+    cbstyle = seg[5]
+    reversible = seg[6] == 1
+    if cbstyle != 0:
+        raise Jp2Error(f"unsupported code-block style 0x{cbstyle:02x}")
+    if levels > 32:
+        raise Jp2Error(f"too many decomposition levels: {levels}")
+    if scoc & 1:
+        for b in seg[7 : 7 + levels + 1]:
+            if (b & 0xF) < 15 or (b >> 4) < 15:
+                raise Jp2Error("sub-tile precincts are not supported")
+    ov = type("_CodMarkerLike", (), {})()
+    ov.levels, ov.cbw, ov.cbh, ov.reversible = levels, cbw, cbh, reversible
+    return c, ov
 
 
 def decode_jp2(data: bytes) -> np.ndarray:
@@ -1360,6 +1436,8 @@ def decode_jp2(data: bytes) -> np.ndarray:
     siz = None
     cod = None
     qcd_seg = None
+    coc_segs: list[bytes] = []
+    qcc_segs: list[bytes] = []
     tiles: dict[int, bytearray] = {}
     while pos + 2 <= n:
         marker = struct.unpack(">H", cs[pos : pos + 2])[0]
@@ -1422,6 +1500,10 @@ def decode_jp2(data: bytes) -> np.ndarray:
             cod = _parse_cod(seg)
         elif marker == 0xFF5C:
             qcd_seg = seg
+        elif marker == 0xFF53:
+            coc_segs.append(seg)
+        elif marker == 0xFF5D:
+            qcc_segs.append(seg)
         elif marker in _REJECT_MARKERS:
             raise Jp2Error(f"unsupported marker {_REJECT_MARKERS[marker]}")
         elif marker in _SKIP_MARKERS or 0xFF30 <= marker <= 0xFF3F:
@@ -1435,14 +1517,37 @@ def decode_jp2(data: bytes) -> np.ndarray:
     depth0 = comps_meta[0][0]
     if any(d != depth0 for d, _ in comps_meta):
         raise Jp2Error("mixed component depths are not supported")
-    band_mb, band_delta, q_reversible = _parse_qcd(qcd_seg, cod.levels, depth0)
-    if cod.reversible and not q_reversible:
-        raise Jp2Error("5/3 transform with explicit quantization unsupported")
+    # per-component coding parameters: COD defaults, COC overrides
+    ccs = [_CompCoding(cod) for _ in range(ncomp)]
+    for seg in coc_segs:
+        c, ov = _parse_coc(seg, ncomp)
+        ccs[c].levels, ccs[c].cbw = ov.levels, ov.cbw
+        ccs[c].cbh, ccs[c].reversible = ov.cbh, ov.reversible
+    # per-component quantization: QCD defaults, QCC overrides
+    comp_mb: list[list[int]] = []
+    comp_delta: list[list[float]] = []
+    qcc_by_comp = {}
+    for seg in qcc_segs:
+        if not seg:
+            raise Jp2Error("QCC too short")
+        if seg[0] >= ncomp:
+            raise Jp2Error(f"QCC component {seg[0]} out of range")
+        qcc_by_comp[seg[0]] = seg[1:]
+    for c in range(ncomp):
+        qseg = qcc_by_comp.get(c, qcd_seg)
+        mb, delta, q_rev = _parse_qcd(qseg, ccs[c].levels, depth0)
+        if ccs[c].reversible and not q_rev:
+            raise Jp2Error("5/3 transform with explicit quantization unsupported")
+        comp_mb.append(mb)
+        comp_delta.append(delta)
+    if cod.mct and ncomp >= 3:
+        if len({ccs[c].reversible for c in range(3)}) != 1:
+            raise Jp2Error("MCT requires one transform across components")
 
     ntx, nty = -(-xs // xt), -(-ys // yt)
     planes = [
-        np.zeros((ys, xs), dtype=np.int64 if cod.reversible else np.float64)
-        for _ in range(ncomp)
+        np.zeros((ys, xs), dtype=np.int64 if ccs[c].reversible else np.float64)
+        for c in range(ncomp)
     ]
     for tidx, tdata in sorted(tiles.items()):
         tx, ty = tidx % ntx, tidx // ntx
@@ -1450,14 +1555,14 @@ def decode_jp2(data: bytes) -> np.ndarray:
             raise Jp2Error(f"tile index {tidx} out of range")
         rect = (tx * xt, min((tx + 1) * xt, xs), ty * yt, min((ty + 1) * yt, ys))
         _decode_tile(
-            bytes(tdata), rect, cod, ncomp, band_mb, band_delta, planes
+            bytes(tdata), rect, cod, ccs, comp_mb, comp_delta, planes
         )
 
     # inverse MCT + DC shift
     half = 1 << (depth0 - 1)
     maxv = (1 << depth0) - 1
     if cod.mct and ncomp >= 3:
-        if cod.reversible:
+        if ccs[0].reversible:
             y_, u_, v_ = planes[0], planes[1], planes[2]
             g_ = y_ - ((u_ + v_) >> 2)
             r_ = v_ + g_
@@ -1472,7 +1577,7 @@ def decode_jp2(data: bytes) -> np.ndarray:
     out = []
     for c in range(ncomp):
         p = planes[c]
-        if not cod.reversible:
+        if not ccs[c].reversible:
             p = np.round(p)
         p = np.clip(p + (0 if comps_meta[c][1] else half), 0, maxv)
         if depth0 > 8:
@@ -1485,25 +1590,29 @@ def decode_jp2(data: bytes) -> np.ndarray:
     return np.stack(out[:3], axis=-1)
 
 
-def _decode_tile(tdata, rect, cod, ncomp, band_mb, band_delta, planes) -> None:
-    levels = cod.levels
+def _decode_tile(tdata, rect, cod, ccs, comp_mb, comp_delta, planes) -> None:
+    ncomp = len(ccs)
     comp_res = [
-        _tile_comp_bands(rect, levels, cod.cbw, cod.cbh) for _ in range(ncomp)
+        _tile_comp_bands(rect, cc.levels, cc.cbw, cc.cbh) for cc in ccs
     ]
+    nres = max(cc.levels for cc in ccs) + 1
     rdr = _HdrReader(tdata, 0)
-    for layer, r, c in _progression_order(cod.prog, cod.layers, levels + 1, ncomp):
+    for layer, r, c in _progression_order(cod.prog, cod.layers, nres, ncomp):
+        if r > ccs[c].levels:
+            continue  # no packet exists beyond this component's resolutions
         _decode_packet(comp_res[c][r], rdr, layer, cod.sop, cod.eph)
     x0, x1, y0, y1 = rect
     for c in range(ncomp):
+        cc = ccs[c]
         coeffs: dict[tuple[int, int], np.ndarray] = {}
         for bands in comp_res[c]:
             for band in bands:
                 bx0, bx1, by0, by1 = band.rect
-                dtype = np.int64 if cod.reversible else np.float64
+                dtype = np.int64 if cc.reversible else np.float64
                 arr = np.zeros((by1 - by0, bx1 - bx0), dtype=dtype)
-                qi = _band_qcd_index(band.lvl, band.orient, levels)
-                mb = band_mb[qi]
-                delta = band_delta[qi]
+                qi = _band_qcd_index(band.lvl, band.orient, cc.levels)
+                mb = comp_mb[c][qi]
+                delta = comp_delta[c][qi]
                 for blk in band.blocks:
                     if not blk.included or blk.npasses == 0:
                         continue
@@ -1515,7 +1624,7 @@ def _decode_tile(tdata, rect, cod, ncomp, band_mb, band_delta, planes) -> None:
                     mag, neg = t1_decode_block(
                         bytes(blk.data), bw, bh, nbps, blk.npasses, band.orient
                     )
-                    if cod.reversible:
+                    if cc.reversible:
                         vals = np.where(neg.astype(bool), -mag, mag)
                     else:
                         rec = (mag + 0.5) * delta
@@ -1523,5 +1632,5 @@ def _decode_tile(tdata, rect, cod, ncomp, band_mb, band_delta, planes) -> None:
                         vals = np.where(neg.astype(bool), -rec, rec)
                     arr[ky0 - by0 : ky1 - by0, kx0 - bx0 : kx1 - bx0] = vals
                 coeffs[(band.lvl, band.orient)] = arr
-        img = _inv_dwt_2d(coeffs, rect, levels, cod.reversible)
+        img = _inv_dwt_2d(coeffs, rect, cc.levels, cc.reversible)
         planes[c][y0:y1, x0:x1] = img

@@ -46,6 +46,8 @@ HEADLINE = [
     "decontaminate_ngrams",
     "dedup_spans",
     "pack_sequences",
+    "curation_domain_stats",
+    "crawl_delta",
 ]
 
 

@@ -240,11 +240,15 @@ class TestErrors:
 
     def test_unsupported_marker_rejected(self):
         cs = bytearray(encode_jp2(_structured(16, 16)))
-        # splice a COC marker (unsupported override) after SIZ
         siz_len = int.from_bytes(cs[4:6], "big")
         pos = 4 + siz_len
-        coc = b"\xff\x53" + (12).to_bytes(2, "big") + b"\x00" * 10
-        with pytest.raises(Jp2Error, match="COC"):
+        # PPM (packed packet headers) stays unsupported
+        ppm = b"\xff\x6d" + (12).to_bytes(2, "big") + b"\x00" * 10
+        with pytest.raises(Jp2Error, match="PPM"):
+            decode_jp2(bytes(cs[:pos]) + ppm + bytes(cs[pos:]))
+        # a COC naming an out-of-range component is a hard error, not UB
+        coc = b"\xff\x53" + (12).to_bytes(2, "big") + b"\x09" + b"\x00" * 9
+        with pytest.raises(Jp2Error, match="component"):
             decode_jp2(bytes(cs[:pos]) + coc + bytes(cs[pos:]))
 
     def test_encoder_input_validation(self):
@@ -322,3 +326,43 @@ class TestSopEphAndBudget:
             with budget.deadline(1):
                 time.sleep(0.005)
                 decode_jp2(cs)
+
+
+class TestCocQcc:
+    def test_coc_per_component_cblk_lossless(self):
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, size=(70, 55, 3)).astype(np.uint8)
+        cs = encode_jp2(img, comp_cblk={1: (16, 16), 2: (32, 8)})
+        assert b"\xff\x53" in cs  # COC markers present
+        assert np.array_equal(decode_jp2(cs), img)
+
+    def test_qcc_coarse_chroma(self):
+        rng = np.random.default_rng(22)
+        img = rng.integers(0, 256, size=(70, 55, 3)).astype(np.uint8)
+        cs = encode_jp2(
+            img, reversible=False, quality_step=0.5, chroma_step_mult=4.0
+        )
+        assert b"\xff\x5d" in cs  # QCC markers present
+        out = decode_jp2(cs)
+        assert np.abs(img.astype(float) - out.astype(float)).max() < 48
+        # coarser chroma must shrink the stream vs uniform steps
+        assert len(cs) < len(encode_jp2(img, reversible=False, quality_step=0.5))
+
+    def test_combined_with_tiles_and_markers(self):
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, size=(70, 55, 3)).astype(np.uint8)
+        cs = encode_jp2(
+            img, reversible=False, quality_step=0.5, chroma_step_mult=2.0,
+            comp_cblk={0: (32, 32)}, tile=(32, 32), sop=True, eph=True,
+        )
+        out = decode_jp2(cs)
+        assert np.abs(img.astype(float) - out.astype(float)).max() < 32
+
+    def test_validation(self):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        with pytest.raises(Jp2Error):
+            encode_jp2(img, comp_cblk={5: (16, 16)})
+        with pytest.raises(Jp2Error):
+            encode_jp2(img, chroma_step_mult=2.0)  # reversible
+        with pytest.raises(Jp2Error):
+            encode_jp2(img[:, :, 0], reversible=False, chroma_step_mult=2.0)
