@@ -1046,8 +1046,12 @@ def encode_jp2(
     components' steps via QCC markers (9/7 + MCT only — the layout real
     encoders emit for visually-weighted chroma).
     """
-    if img.dtype != np.uint8:
-        raise Jp2Error("encoder expects uint8 input")
+    if img.dtype == np.uint8:
+        depth = 8
+    elif img.dtype == np.uint16:
+        depth = 16  # exercises the decoder's depth>8 scale-down path
+    else:
+        raise Jp2Error("encoder expects uint8 or uint16 input")
     if img.ndim == 2:
         comps = [img.astype(np.int64)]
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -1078,12 +1082,11 @@ def encode_jp2(
     prog_id = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}.get(progression)
     if prog_id is None:
         raise Jp2Error(f"unknown progression {progression!r}")
-    depth = 8
     guard = 3
     tw, th = tile if tile else (w, h)
 
     # DC level shift, then MCT
-    planes = [c - 128 for c in comps]
+    planes = [c - (1 << (depth - 1)) for c in comps]
     if mct:
         if reversible:
             r_, g_, b_ = planes

@@ -366,3 +366,23 @@ class TestCocQcc:
             encode_jp2(img, chroma_step_mult=2.0)  # reversible
         with pytest.raises(Jp2Error):
             encode_jp2(img[:, :, 0], reversible=False, chroma_step_mult=2.0)
+
+
+class TestHighBitDepth:
+    def test_uint16_lossless_scales_to_8(self):
+        rng = np.random.default_rng(31)
+        img16 = rng.integers(0, 65536, size=(40, 33)).astype(np.uint16)
+        out = decode_jp2(encode_jp2(img16, levels=3))
+        # decoder emits 8-bit output: MSB of the 16-bit samples, exact
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+    def test_uint16_rgb(self):
+        rng = np.random.default_rng(32)
+        img16 = rng.integers(0, 65536, size=(30, 22, 3)).astype(np.uint16)
+        out = decode_jp2(encode_jp2(img16, levels=2))
+        assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+    def test_unsupported_dtype(self):
+        with pytest.raises(Jp2Error):
+            encode_jp2(np.zeros((8, 8), dtype=np.float32))
