@@ -804,11 +804,13 @@ _SEG_END_OF_FILE = 51
 
 #: segment types of the halftone/refinement compressor layer — recognized so
 #: the error names what the stream actually contains
+_SEG_REFINE_INTERMEDIATE = 40
+_SEG_REFINE_IMMEDIATE = 42
+_SEG_REFINE_IMMEDIATE_LOSSLESS = 43
+
 _UNSUPPORTED_SEGMENTS = {
     16: "pattern dictionary", 20: "intermediate halftone region",
     22: "immediate halftone region", 23: "immediate lossless halftone region",
-    40: "intermediate refinement region", 42: "immediate refinement region",
-    43: "immediate lossless refinement region",
 }
 
 
@@ -955,6 +957,12 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 _SEG_GENERIC_INTERMEDIATE,
             ):
                 st.compose(*_decode_region_segment(payload))
+            elif seg_type in (
+                _SEG_REFINE_IMMEDIATE,
+                _SEG_REFINE_IMMEDIATE_LOSSLESS,
+                _SEG_REFINE_INTERMEDIATE,
+            ):
+                st.compose(*_decode_refinement_segment(payload, st))
             elif seg_type in (_SEG_END_OF_PAGE, _SEG_END_OF_STRIPE, _SEG_END_OF_FILE):
                 continue
             elif seg_type in _UNSUPPORTED_SEGMENTS:
@@ -1082,5 +1090,248 @@ def encode_jbig2_text_page(
         + _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sdict)) + sdict
         + _segment_header(2, _SEG_TEXT_IMMEDIATE, 1, len(tregion), referred=(1,))
         + tregion
+        + _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic refinement region (T.88 §6.3) — arithmetic mode, GR templates 0/1,
+# TPGRON typical prediction.  jbig2enc emits refinement in its lossless
+# mode: a rough generic region first, then a refinement pass that corrects
+# it against the reference (here: the current page contents, T.88 §6.3.2).
+# ---------------------------------------------------------------------------
+
+#: refinement context layout per GRTEMPLATE: (coding coords, reference
+#: coords); AT pixels (template 0 only: A1 -> coding, A2 -> reference)
+#: append before the (dy, dx) sort.  Context bits MSB-first: coding set
+#: then reference set, each in figure reading order.
+_REFINE_CODING = {
+    0: ((0, -1), (1, -1), (-1, 0)),
+    1: ((-1, -1), (0, -1), (1, -1), (-1, 0)),
+}
+_REFINE_REFERENCE = {
+    0: ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    1: ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+}
+_REFINE_AT_NOMINAL = ((-1, -1), (-1, -1))  # (A1 in coding, A2 in reference)
+_TPGRON_CTX = {0: 0x0100, 1: 0x0080}
+
+
+def _refine_coords(template: int, at: tuple | None):
+    if template not in _REFINE_CODING:
+        raise Jbig2Error(f"bad GR template: {template}")
+    coding = list(_REFINE_CODING[template])
+    reference = list(_REFINE_REFERENCE[template])
+    if template == 0:
+        a = tuple(at) if at is not None else _REFINE_AT_NOMINAL
+        if len(a) != 2:
+            raise Jbig2Error("GR template 0 needs 2 AT pixels")
+        coding.append(tuple(a[0]))
+        reference.append(tuple(a[1]))
+    coding.sort(key=lambda c: (c[1], c[0]))
+    reference.sort(key=lambda c: (c[1], c[0]))
+    return coding, reference
+
+
+def _ref_uniform(ref_rows, x: int, y: int, rw: int, rh: int):
+    """3x3 reference neighborhood: 0 / 1 when uniform, None otherwise."""
+    total = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yy, xx = y + dy, x + dx
+            if 0 <= yy < rh and 0 <= xx < rw:
+                total += ref_rows[yy][xx]
+    if total == 0:
+        return 0
+    if total == 9:  # all nine in-bounds AND set
+        all_in = (0 < y < rh - 1) and (0 < x < rw - 1)
+        return 1 if all_in else None
+    return None
+
+
+def decode_refinement_region(
+    data: bytes,
+    width: int,
+    height: int,
+    reference: np.ndarray,
+    *,
+    template: int = 0,
+    at: tuple | None = None,
+    tpgron: bool = False,
+    dx: int = 0,
+    dy: int = 0,
+) -> np.ndarray:
+    """Decode one generic refinement region against ``reference``."""
+    if width <= 0 or height <= 0:
+        raise Jbig2Error("bad region dimensions")
+    if width * height > _MAX_PIXELS:
+        raise Jbig2Error("JBIG2 region too large")
+    coding, refc = _refine_coords(template, at)
+    nbits = len(coding) + len(refc)
+    cx_i = bytearray(1 << nbits)
+    cx_mps = bytearray(1 << nbits)
+    dec = MQDecoder(data)
+    ref = np.asarray(reference, dtype=bool)
+    rh, rw = ref.shape
+    ref_rows = ref.astype(np.uint8).tolist()
+    rows: list[list[int]] = []
+    ltp = 0
+    tp_cx = _TPGRON_CTX[template]
+    for y in range(height):
+        budget.check()
+        if tpgron:
+            ltp ^= dec.decode(cx_i, cx_mps, tp_cx)
+        row = [0] * width
+        rows.append(row)
+        for x in range(width):
+            rx, ry = x - dx, y - dy
+            if tpgron and ltp:
+                u = _ref_uniform(ref_rows, rx, ry, rw, rh)
+                if u is not None:
+                    row[x] = u
+                    continue
+            cx = 0
+            for cdx, cdy in coding:
+                yy, xx = y + cdy, x + cdx
+                if yy < 0 or xx < 0 or xx >= width:
+                    cx <<= 1
+                else:
+                    cx = (cx << 1) | rows[yy][xx]
+            for rdx, rdy in refc:
+                yy, xx = ry + rdy, rx + rdx
+                if 0 <= yy < rh and 0 <= xx < rw:
+                    cx = (cx << 1) | ref_rows[yy][xx]
+                else:
+                    cx <<= 1
+            row[x] = dec.decode(cx_i, cx_mps, cx)
+    return np.array(rows, dtype=bool).reshape(height, width)
+
+
+def encode_refinement_region(
+    image: np.ndarray,
+    reference: np.ndarray,
+    *,
+    template: int = 0,
+    tpgron: bool = False,
+    dx: int = 0,
+    dy: int = 0,
+) -> bytes:
+    """MQ-encode ``image`` as a refinement of ``reference`` (nominal AT)."""
+    img = np.asarray(image, dtype=bool)
+    ref = np.asarray(reference, dtype=bool)
+    if img.ndim != 2 or ref.ndim != 2:
+        raise Jbig2Error("encode_refinement_region expects 2-D bool arrays")
+    height, width = img.shape
+    coding, refc = _refine_coords(template, None)
+    nbits = len(coding) + len(refc)
+    cx_i = bytearray(1 << nbits)
+    cx_mps = bytearray(1 << nbits)
+    enc = MQEncoder()
+    rows = img.astype(np.uint8).tolist()
+    rh, rw = ref.shape
+    ref_rows = ref.astype(np.uint8).tolist()
+    ltp = 0
+    tp_cx = _TPGRON_CTX[template]
+    for y in range(height):
+        if tpgron:
+            # a row may use typical prediction iff every pixel with a
+            # uniform reference neighborhood equals the forced value
+            typical = 1
+            for x in range(width):
+                u = _ref_uniform(ref_rows, x - dx, y - dy, rw, rh)
+                if u is not None and rows[y][x] != u:
+                    typical = 0
+                    break
+            enc.encode(cx_i, cx_mps, tp_cx, typical ^ ltp)
+            ltp = typical
+        for x in range(width):
+            rx, ry = x - dx, y - dy
+            if tpgron and ltp:
+                if _ref_uniform(ref_rows, rx, ry, rw, rh) is not None:
+                    continue  # forced pixel, not coded
+            cx = 0
+            for cdx, cdy in coding:
+                yy, xx = y + cdy, x + cdx
+                if yy < 0 or xx < 0 or xx >= width:
+                    cx <<= 1
+                else:
+                    cx = (cx << 1) | rows[yy][xx]
+            for rdx, rdy in refc:
+                yy, xx = ry + rdy, rx + rdx
+                if 0 <= yy < rh and 0 <= xx < rw:
+                    cx = (cx << 1) | ref_rows[yy][xx]
+                else:
+                    cx <<= 1
+            enc.encode(cx_i, cx_mps, cx, rows[y][x])
+    return enc.flush()
+
+
+def _decode_refinement_segment(payload: bytes, st: "_PageState"):
+    """Refinement region segment (T.88 §7.4.7): the reference is the current
+    page contents at the region location (§6.3.2, no intermediate buffers);
+    the refined bitmap REPLACES them."""
+    if len(payload) < 18:
+        raise Jbig2Error("truncated refinement region segment")
+    w, h, x, y, _comb = struct.unpack_from(">IIIIB", payload, 0)
+    flags = payload[17]
+    template = flags & 1
+    tpgron = bool(flags & 2)
+    pos = 18
+    at = None
+    if template == 0:
+        if len(payload) < pos + 4:
+            raise Jbig2Error("truncated GR AT pixel list")
+        at = (
+            (struct.unpack_from("b", payload, pos)[0],
+             struct.unpack_from("b", payload, pos + 1)[0]),
+            (struct.unpack_from("b", payload, pos + 2)[0],
+             struct.unpack_from("b", payload, pos + 3)[0]),
+        )
+        pos += 4
+    if st.page is not None and st.page.shape[0] >= y + h and st.w >= x + w:
+        reference = st.page[y : y + h, x : x + w].copy()
+    else:
+        reference = np.zeros((h, w), dtype=bool)
+    bitmap = decode_refinement_region(
+        payload[pos:], w, h, reference, template=template, at=at, tpgron=tpgron
+    )
+    return bitmap, x, y, 4  # REPLACE
+
+
+def encode_jbig2_refinement_mode(
+    image: np.ndarray, template: int = 0, tpgron: bool = True
+) -> bytes:
+    """Encode a bool array as page info + a ROUGH generic region (3x3
+    majority vote of the image — the cheap first pass) + a refinement
+    region that corrects it to the exact bitmap (the jbig2enc lossless-mode
+    shape).  Decoding reproduces ``image`` bit-exactly."""
+    img = np.asarray(image, dtype=bool)
+    if img.ndim != 2:
+        raise Jbig2Error("encode_jbig2_refinement_mode expects a 2-D bool array")
+    h, w = img.shape
+    # rough pass: 3x3 majority vote (deterministic, loses fine detail)
+    pad = np.zeros((h + 2, w + 2), dtype=np.uint8)
+    pad[1 : h + 1, 1 : w + 1] = img
+    votes = sum(
+        pad[1 + dy : h + 1 + dy, 1 + dx : w + 1 + dx]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    rough = votes >= 5
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    gbody = encode_generic_region(rough)
+    gat = b"".join(struct.pack("bb", dx, dy) for dx, dy in _TEMPLATE_AT_NOMINAL[0])
+    gregion = struct.pack(">IIIIB", w, h, 0, 0, 0) + bytes([0]) + gat + gbody
+    rbody = encode_refinement_region(img, rough, template=template, tpgron=tpgron)
+    rflags = (template & 1) | (2 if tpgron else 0)
+    rat = b""
+    if template == 0:
+        rat = b"".join(struct.pack("bb", dx, dy) for dx, dy in _REFINE_AT_NOMINAL)
+    rregion = struct.pack(">IIIIB", w, h, 0, 0, 4) + bytes([rflags]) + rat + rbody
+    return (
+        _segment_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
+        + _segment_header(1, _SEG_GENERIC_IMMEDIATE, 1, len(gregion)) + gregion
+        + _segment_header(2, _SEG_REFINE_IMMEDIATE_LOSSLESS, 1, len(rregion), (1,))
+        + rregion
         + _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
     )

@@ -152,22 +152,27 @@ def build_image_pdf(
         img_id = next_id
         next_id += 1
         h, w = arr.shape[:2]
-        if cs in ("JBIG2", "JBIG2G", "JBIG2S"):
+        if cs in ("JBIG2", "JBIG2G", "JBIG2S", "JBIG2R"):
             # JBIG2 bitonal image; "JBIG2G" splits the page info segment
             # into a /JBIG2Globals stream (the shared-segment organization
             # real PDF producers use); "JBIG2S" uses symbol mode (connected
             # components -> symbol dictionary + text region, the jbig2enc
-            # default)
+            # default); "JBIG2R" uses refinement mode (rough generic pass +
+            # lossless refinement region, the jbig2enc lossless shape)
             from .jbig2x import (
-                _SEG_PAGE_INFO, encode_jbig2_embedded, encode_jbig2_symbol_mode,
+                _SEG_PAGE_INFO,
+                encode_jbig2_embedded,
+                encode_jbig2_refinement_mode,
+                encode_jbig2_symbol_mode,
             )
 
             black = arr if arr.dtype == bool else arr < 128
-            stream = (
-                encode_jbig2_symbol_mode(black)
-                if cs == "JBIG2S"
-                else encode_jbig2_embedded(black)
-            )
+            if cs == "JBIG2S":
+                stream = encode_jbig2_symbol_mode(black)
+            elif cs == "JBIG2R":
+                stream = encode_jbig2_refinement_mode(black)
+            else:
+                stream = encode_jbig2_embedded(black)
             if corrupt_data:
                 stream = stream[: max(1, len(stream) // 4)]
             parms = b""

@@ -352,3 +352,51 @@ class TestPdfIntegration:
         r = extract_document(pdf)
         assert "JB HALF" in r["extracted_text"]
         assert "G4 HALF" in r["extracted_text"]
+
+
+class TestRefinement:
+    @pytest.mark.parametrize("template", [0, 1])
+    @pytest.mark.parametrize("tpgron", [False, True])
+    def test_round_trip(self, template, tpgron):
+        rng = np.random.default_rng(template * 2 + tpgron)
+        img = rng.random((40, 55)) < 0.3
+        ref = img ^ (rng.random((40, 55)) < 0.08)  # noisy first pass
+        data = jbig2x.encode_refinement_region(
+            img, ref, template=template, tpgron=tpgron
+        )
+        out = jbig2x.decode_refinement_region(
+            data, 55, 40, ref, template=template, tpgron=tpgron
+        )
+        assert np.array_equal(out, img)
+
+    def test_offset_reference(self):
+        rng = np.random.default_rng(7)
+        img = rng.random((20, 30)) < 0.4
+        ref = np.roll(img, (1, 2), axis=(0, 1))
+        data = jbig2x.encode_refinement_region(img, ref, dx=2, dy=1, tpgron=True)
+        out = jbig2x.decode_refinement_region(
+            data, 30, 20, ref, dx=2, dy=1, tpgron=True
+        )
+        assert np.array_equal(out, img)
+
+    def test_refining_close_reference_beats_generic(self):
+        img = np.zeros((60, 80), dtype=bool)
+        img[10:50, 20:60] = True
+        ref = img.copy()
+        ref[30, 40] ^= True
+        r = jbig2x.encode_refinement_region(img, ref, tpgron=True)
+        g = jbig2x.encode_generic_region(img)
+        assert len(r) < len(g)
+
+    def test_embedded_refinement_mode(self):
+        g = rasters.render_text("REFINE 42", scale=2)
+        black = g < 128
+        for kw in ({}, {"template": 1}, {"tpgron": False}):
+            stream = jbig2x.encode_jbig2_refinement_mode(black, **kw)
+            assert np.array_equal(jbig2x.decode_jbig2_embedded(stream), black)
+
+    def test_pdf_end_to_end(self):
+        img = rasters.render_text("JBIG2 REFINED", scale=2)
+        res = extract_document(pdfx.build_image_pdf([(img, "JBIG2R")]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "JBIG2 REFINED"
