@@ -808,10 +808,7 @@ _SEG_REFINE_INTERMEDIATE = 40
 _SEG_REFINE_IMMEDIATE = 42
 _SEG_REFINE_IMMEDIATE_LOSSLESS = 43
 
-_UNSUPPORTED_SEGMENTS = {
-    16: "pattern dictionary", 20: "intermediate halftone region",
-    22: "immediate halftone region", 23: "immediate lossless halftone region",
-}
+_UNSUPPORTED_SEGMENTS: dict[int, str] = {}
 
 
 def _parse_segment_headers(data: bytes):
@@ -928,6 +925,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     regions — the jbig2enc output surface."""
     st = _PageState()
     sym_dicts: dict[int, list[np.ndarray]] = {}
+    pat_dicts: dict[int, list[np.ndarray]] = {}
     for blob in (globals_data, data):
         for number, seg_type, referred, payload in _parse_segment_headers(blob):
             if seg_type == _SEG_PAGE_INFO:
@@ -939,6 +937,20 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     st.h = None  # striped page: grow with regions
             elif seg_type == _SEG_SYMBOL_DICT:
                 sym_dicts[number] = _decode_symbol_dict(payload)
+            elif seg_type == _SEG_PATTERN_DICT:
+                pat_dicts[number] = decode_pattern_dict(payload)
+            elif seg_type in (
+                _SEG_HALFTONE_IMMEDIATE,
+                _SEG_HALFTONE_IMMEDIATE_LOSSLESS,
+                _SEG_HALFTONE_INTERMEDIATE,
+            ):
+                pats: list[np.ndarray] = []
+                psources = [r for r in referred if r in pat_dicts]
+                if not psources and len(pat_dicts) == 1:
+                    psources = list(pat_dicts)  # lenient: the only dictionary
+                for r in psources:
+                    pats.extend(pat_dicts[r])
+                st.compose(*decode_halftone_region(payload, pats))
             elif seg_type in (
                 _SEG_TEXT_IMMEDIATE,
                 _SEG_TEXT_IMMEDIATE_LOSSLESS,
@@ -1333,5 +1345,213 @@ def encode_jbig2_refinement_mode(
         + _segment_header(1, _SEG_GENERIC_IMMEDIATE, 1, len(gregion)) + gregion
         + _segment_header(2, _SEG_REFINE_IMMEDIATE_LOSSLESS, 1, len(rregion), (1,))
         + rregion
+        + _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# pattern dictionary (T.88 §6.7) + halftone region (§6.6) — arithmetic mode.
+# A pattern dictionary is ONE collective generic region holding GRAYMAX+1
+# patterns side by side; a halftone region decodes a gray-coded bitplane
+# stack (one MQ stream, shared context) into a grid of pattern indices and
+# stamps the patterns along the halftone grid vector.
+# ---------------------------------------------------------------------------
+
+_SEG_PATTERN_DICT = 16
+_SEG_HALFTONE_INTERMEDIATE = 20
+_SEG_HALFTONE_IMMEDIATE = 22
+_SEG_HALFTONE_IMMEDIATE_LOSSLESS = 23
+
+
+def decode_pattern_dict(payload: bytes) -> list[np.ndarray]:
+    """Pattern dictionary segment -> list of HDPW x HDPH bool patterns."""
+    if len(payload) < 7:
+        raise Jbig2Error("truncated pattern dictionary")
+    flags, hdpw, hdph = payload[0], payload[1], payload[2]
+    graymax = struct.unpack_from(">I", payload, 3)[0]
+    if flags & 1:
+        raise Jbig2Error("unsupported JBIG2 segment: MMR pattern dictionary")
+    template = (flags >> 1) & 3
+    if hdpw == 0 or hdph == 0 or graymax > 255:
+        raise Jbig2Error("bad pattern dictionary geometry")
+    # collective bitmap: patterns 0..GRAYMAX side by side; A1 = (-HDPW, 0)
+    at = [(-hdpw, 0)] + list(_TEMPLATE_AT_NOMINAL[template])[1:]
+    if template in (1, 2, 3):
+        at = [(-hdpw, 0)]
+    coll = decode_generic_region(
+        payload[7:], (graymax + 1) * hdpw, hdph, template=template, at=tuple(at)
+    )
+    return [
+        coll[:, i * hdpw : (i + 1) * hdpw].copy() for i in range(graymax + 1)
+    ]
+
+
+def encode_pattern_dict(patterns: list[np.ndarray], template: int = 0) -> bytes:
+    """Encode equal-sized bool patterns as a pattern dictionary segment."""
+    if not patterns:
+        raise Jbig2Error("empty pattern list")
+    hdph, hdpw = patterns[0].shape
+    if any(p.shape != (hdph, hdpw) for p in patterns):
+        raise Jbig2Error("patterns must share one size")
+    if hdpw > 255 or hdph > 255 or len(patterns) > 256:
+        raise Jbig2Error("pattern dictionary too large")
+    coll = np.concatenate([np.asarray(p, dtype=bool) for p in patterns], axis=1)
+    at = [(-hdpw, 0)] + list(_TEMPLATE_AT_NOMINAL[template])[1:]
+    if template in (1, 2, 3):
+        at = [(-hdpw, 0)]
+    coords = _context_coords(template, tuple(at))
+    nbits = len(coords)
+    cx_i = bytearray(1 << nbits)
+    cx_mps = bytearray(1 << nbits)
+    enc = MQEncoder()
+    _encode_generic_bitmap(enc, cx_i, cx_mps, coll, coords, template, False)
+    head = bytes([template << 1, hdpw, hdph]) + struct.pack(
+        ">I", len(patterns) - 1
+    )
+    return head + enc.flush()
+
+
+def decode_halftone_region(
+    payload: bytes, patterns: list[np.ndarray]
+) -> tuple[np.ndarray, int, int, int]:
+    """Halftone region segment -> (bitmap, x, y, comb_op)."""
+    if len(payload) < 38:
+        raise Jbig2Error("truncated halftone region segment")
+    w, h, x, y, comb = struct.unpack_from(">IIIIB", payload, 0)
+    flags = payload[17]
+    if flags & 1:
+        raise Jbig2Error("unsupported JBIG2 segment: MMR halftone region")
+    template = (flags >> 1) & 3
+    enableskip = bool(flags & 8)
+    hcombop = (flags >> 4) & 7
+    defpixel = (flags >> 7) & 1
+    if enableskip:
+        raise Jbig2Error("unsupported JBIG2 segment: halftone HENABLESKIP")
+    hgw, hgh = struct.unpack_from(">II", payload, 18)
+    hgx, hgy = struct.unpack_from(">ii", payload, 26)
+    hrx, hry = struct.unpack_from(">HH", payload, 34)
+    if not patterns:
+        raise Jbig2Error("halftone region without a pattern dictionary")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS or hgw * hgh > _MAX_PIXELS:
+        raise Jbig2Error("bad halftone region geometry")
+    graymax = len(patterns) - 1
+    nplanes = max(1, graymax.bit_length())
+    # bitplanes MSB->LSB from ONE MQ stream with a shared context (§6.6.5.2)
+    coords = _context_coords(template, None)
+    nbits = len(coords)
+    cx_i = bytearray(1 << nbits)
+    cx_mps = bytearray(1 << nbits)
+    dec = MQDecoder(payload[38:])
+    gray = np.zeros((hgh, hgw), dtype=np.int64)
+    prev = np.zeros((hgh, hgw), dtype=np.int64)
+    for j in range(nplanes):
+        plane = _decode_generic_bitmap(
+            dec, cx_i, cx_mps, hgw, hgh, coords, template, False
+        ).astype(np.int64)
+        bit = plane ^ prev if j > 0 else plane  # gray decoding
+        gray = (gray << 1) | bit
+        prev = bit
+    gray = np.minimum(gray, graymax)
+    ph, pw = patterns[0].shape
+    page = np.full((h, w), bool(defpixel), dtype=bool)
+    pats = [np.asarray(p, dtype=bool) for p in patterns]
+    for mg in range(hgh):
+        budget.check()
+        for ng in range(hgw):
+            px = (hgx + mg * hry + ng * hrx) >> 8
+            py = (hgy + mg * hrx - ng * hry) >> 8
+            if px < 0 or py < 0 or px + pw > w or py + ph > h:
+                continue  # pattern falls outside the region: dropped
+            target = page[py : py + ph, px : px + pw]
+            pat = pats[int(gray[mg, ng])]
+            if hcombop == 0:
+                target |= pat
+            elif hcombop == 1:
+                target &= pat
+            elif hcombop == 2:
+                target ^= pat
+            elif hcombop == 4:
+                target[...] = pat
+            else:
+                raise Jbig2Error(f"bad halftone combination operator: {hcombop}")
+    return page, x, y, comb & 7
+
+
+def encode_halftone_region(
+    gray: np.ndarray, patterns: list[np.ndarray], template: int = 0
+) -> bytes:
+    """Encode a grid of pattern indices as a halftone region body covering
+    an axis-aligned grid (square patterns; HRX = cell<<8, HRY = 0)."""
+    hgh, hgw = gray.shape
+    ph, pw = patterns[0].shape
+    if ph != pw:
+        raise Jbig2Error("axis-aligned halftone encoder needs square patterns")
+    graymax = len(patterns) - 1
+    if int(gray.max(initial=0)) > graymax:
+        raise Jbig2Error("gray index exceeds pattern dictionary")
+    w, h = hgw * pw, hgh * ph
+    nplanes = max(1, graymax.bit_length())
+    coords = _context_coords(template, None)
+    nbits = len(coords)
+    cx_i = bytearray(1 << nbits)
+    cx_mps = bytearray(1 << nbits)
+    enc = MQEncoder()
+    g = np.asarray(gray, dtype=np.int64)
+    prev = np.zeros_like(g)
+    for j in range(nplanes - 1, -1, -1):
+        bit = (g >> j) & 1
+        plane = bit ^ prev if j < nplanes - 1 else bit  # gray coding
+        _encode_generic_bitmap(
+            enc, cx_i, cx_mps, plane.astype(bool), coords, template, False
+        )
+        prev = bit
+    head = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    head += bytes([template << 1])  # OR combine, defpixel 0, no skip
+    head += struct.pack(">II", hgw, hgh)
+    head += struct.pack(">ii", 0, 0)
+    head += struct.pack(">HH", pw << 8, 0)
+    return head + enc.flush()
+
+
+def encode_jbig2_halftone_mode(
+    image: np.ndarray, cell: int = 4, template: int = 0
+) -> bytes:
+    """Encode a GRAYSCALE uint8 image as a JBIG2 halftone page: clustered-dot
+    pattern dictionary (cell x cell, cell^2+1 ink levels) + one halftone
+    region. Decoding reproduces the dithered bitmap exactly (the halftone
+    representation — not the continuous-tone input)."""
+    img = np.asarray(image)
+    if img.ndim != 2:
+        raise Jbig2Error("encode_jbig2_halftone_mode expects a 2-D gray array")
+    h, w = img.shape
+    # clustered-dot patterns: level k fills the k darkest cells of a fixed
+    # deterministic spiral-ish order
+    order = sorted(
+        ((r, c) for r in range(cell) for c in range(cell)),
+        key=lambda rc: ((rc[0] - (cell - 1) / 2) ** 2 + (rc[1] - (cell - 1) / 2) ** 2,
+                        rc),
+    )
+    nlev = cell * cell + 1
+    patterns = []
+    for k in range(nlev):
+        p = np.zeros((cell, cell), dtype=bool)
+        for r, c in order[:k]:
+            p[r, c] = True
+        patterns.append(p)
+    # grid of ink levels from downsampled mean darkness
+    hgh, hgw = -(-h // cell), -(-w // cell)
+    pad = np.full((hgh * cell, hgw * cell), 255, dtype=np.uint8)
+    pad[:h, :w] = img
+    blocks = pad.reshape(hgh, cell, hgw, cell).swapaxes(1, 2)
+    dark = 255.0 - blocks.reshape(hgh, hgw, -1).mean(axis=2)
+    gray = np.round(dark / 255.0 * (nlev - 1)).astype(np.int64)
+    page_info = struct.pack(">IIIIBH", hgw * cell, hgh * cell, 0, 0, 0, 0)
+    pd = encode_pattern_dict(patterns, template=template)
+    ht = encode_halftone_region(gray, patterns, template=template)
+    return (
+        _segment_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
+        + _segment_header(1, _SEG_PATTERN_DICT, 1, len(pd)) + pd
+        + _segment_header(2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1, len(ht), (1,))
+        + ht
         + _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
     )

@@ -152,16 +152,19 @@ def build_image_pdf(
         img_id = next_id
         next_id += 1
         h, w = arr.shape[:2]
-        if cs in ("JBIG2", "JBIG2G", "JBIG2S", "JBIG2R"):
+        if cs in ("JBIG2", "JBIG2G", "JBIG2S", "JBIG2R", "JBIG2H"):
             # JBIG2 bitonal image; "JBIG2G" splits the page info segment
             # into a /JBIG2Globals stream (the shared-segment organization
             # real PDF producers use); "JBIG2S" uses symbol mode (connected
             # components -> symbol dictionary + text region, the jbig2enc
             # default); "JBIG2R" uses refinement mode (rough generic pass +
-            # lossless refinement region, the jbig2enc lossless shape)
+            # lossless refinement region, the jbig2enc lossless shape);
+            # "JBIG2H" halftone-dithers the GRAY array through a pattern
+            # dictionary (cell=2 keeps glyph shapes OCR-readable)
             from .jbig2x import (
                 _SEG_PAGE_INFO,
                 encode_jbig2_embedded,
+                encode_jbig2_halftone_mode,
                 encode_jbig2_refinement_mode,
                 encode_jbig2_symbol_mode,
             )
@@ -171,6 +174,11 @@ def build_image_pdf(
                 stream = encode_jbig2_symbol_mode(black)
             elif cs == "JBIG2R":
                 stream = encode_jbig2_refinement_mode(black)
+            elif cs == "JBIG2H":
+                gray_in = arr if arr.dtype != bool else np.where(arr, 0, 255)
+                stream = encode_jbig2_halftone_mode(
+                    gray_in.astype(np.uint8), cell=2
+                )
             else:
                 stream = encode_jbig2_embedded(black)
             if corrupt_data:

@@ -400,3 +400,72 @@ class TestRefinement:
         res = extract_document(pdfx.build_image_pdf([(img, "JBIG2R")]))
         assert res["status"] == "ok"
         assert res["extracted_text"] == "JBIG2 REFINED"
+
+
+class TestHalftone:
+    def test_pattern_dict_round_trip(self):
+        rng = np.random.default_rng(3)
+        pats = [rng.random((5, 5)) < (k / 10) for k in range(9)]
+        out = jbig2x.decode_pattern_dict(jbig2x.encode_pattern_dict(pats))
+        assert len(out) == 9
+        assert all(np.array_equal(a, b) for a, b in zip(pats, out))
+
+    def test_halftone_page_matches_direct_dither(self):
+        # decoding must reproduce the clustered-dot dither EXACTLY
+        yy, xx = np.mgrid[0:37, 0:53]
+        gray_img = ((xx * 4 + yy * 3) % 256).astype(np.uint8)
+        cell = 4
+        page = jbig2x.decode_jbig2_embedded(
+            jbig2x.encode_jbig2_halftone_mode(gray_img, cell=cell)
+        )
+        h, w = gray_img.shape
+        hgh, hgw = -(-h // cell), -(-w // cell)
+        pad = np.full((hgh * cell, hgw * cell), 255, np.uint8)
+        pad[:h, :w] = gray_img
+        blocks = pad.reshape(hgh, cell, hgw, cell).swapaxes(1, 2)
+        dark = 255.0 - blocks.reshape(hgh, hgw, -1).mean(axis=2)
+        nlev = cell * cell + 1
+        g = np.round(dark / 255.0 * (nlev - 1)).astype(int)
+        order = sorted(
+            ((r, c) for r in range(cell) for c in range(cell)),
+            key=lambda rc: (
+                (rc[0] - (cell - 1) / 2) ** 2 + (rc[1] - (cell - 1) / 2) ** 2,
+                rc,
+            ),
+        )
+        exp = np.zeros((hgh * cell, hgw * cell), bool)
+        for m in range(hgh):
+            for n in range(hgw):
+                p = np.zeros((cell, cell), bool)
+                for r, c in order[: g[m, n]]:
+                    p[r, c] = True
+                exp[m * cell : (m + 1) * cell, n * cell : (n + 1) * cell] = p
+        assert np.array_equal(page, exp)
+
+    def test_gray_bitplane_coding_multi_level(self):
+        # 17 levels (cell=4) exercises 5 gray-coded bitplanes
+        rng = np.random.default_rng(11)
+        gray = rng.integers(0, 17, size=(9, 13))
+        pats = [np.full((4, 4), False) for _ in range(17)]
+        for k, p in enumerate(pats):
+            p.flat[:k] = True
+        body = jbig2x.encode_halftone_region(gray, pats)
+        bitmap, x, y, comb = jbig2x.decode_halftone_region(body, pats)
+        assert bitmap.shape == (9 * 4, 13 * 4)
+        for m in range(9):
+            for n in range(13):
+                got = bitmap[m * 4 : (m + 1) * 4, n * 4 : (n + 1) * 4]
+                assert got.sum() == gray[m, n], (m, n)
+
+    def test_pdf_end_to_end(self):
+        img = rasters.render_text("HALFTONE 7", scale=2)
+        res = extract_document(pdfx.build_image_pdf([(img, "JBIG2H")]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "HALFTONE 7"
+
+    def test_mmr_variants_still_rejected(self):
+        pats = [np.zeros((3, 3), dtype=bool)]
+        pd = bytearray(jbig2x.encode_pattern_dict(pats))
+        pd[0] |= 1  # set HDMMR
+        with pytest.raises(Jbig2Error, match="MMR pattern"):
+            jbig2x.decode_pattern_dict(bytes(pd))
