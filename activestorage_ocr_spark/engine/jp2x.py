@@ -19,11 +19,12 @@ need no external tool; lossless round-trips are pinned bit-exact in
 Supported subset (rejections are honest ``Jp2Error``s, quarantined upstream):
 single image origin 0 (``XOsiz=YOsiz=XTOsiz=YTOsiz=0``), no component
 subsampling (``XRsiz=YRsiz=1``), code-block style 0 (no bypass/termall/
-causal), precinct partitions parsed but only whole-tile precincts accepted,
-all five progression orders, multiple tiles and tile-parts, SOP/EPH
-markers, COC/QCC per-component overrides (the layout real encoders emit
-for visually-weighted chroma), 1..4 components, depths up to 16 bits
-(scaled to 8 on output).
+causal), sub-tile precinct partitions (per-resolution exponents, one
+packet per precinct, per-precinct tag trees), all five progression
+orders, multiple tiles and tile-parts, SOP/EPH markers, COC/QCC
+per-component overrides (the layout real encoders emit for
+visually-weighted chroma), 1..4 components, depths up to 16 bits (scaled
+to 8 on output).
 """
 
 from __future__ import annotations
@@ -808,80 +809,161 @@ class _Block:
         self.zbp = 0
 
 
-class _Band:
-    __slots__ = ("lvl", "orient", "rect", "blocks", "gw", "gh", "incl_tt", "zbp_tt")
+class _PrecBand:
+    """One precinct's slice of one band: its code-blocks + tag trees."""
 
-    def __init__(self, lvl: int, orient: int, rect, cbw: int, cbh: int):
-        self.lvl = lvl
-        self.orient = orient
-        self.rect = rect
-        bx0, bx1, by0, by1 = rect
-        if bx1 <= bx0 or by1 <= by0:
-            self.gw = self.gh = 0
-            self.blocks = []
-        else:
-            g0x, g1x = bx0 // cbw, -(-bx1 // cbw)
-            g0y, g1y = by0 // cbh, -(-by1 // cbh)
-            self.gw, self.gh = g1x - g0x, g1y - g0y
-            self.blocks = []
-            for gy in range(g0y, g1y):
-                for gx in range(g0x, g1x):
-                    r = (
-                        max(bx0, gx * cbw), min(bx1, (gx + 1) * cbw),
-                        max(by0, gy * cbh), min(by1, (gy + 1) * cbh),
-                    )
-                    self.blocks.append(_Block(gx - g0x, gy - g0y, r))
+    __slots__ = ("gw", "gh", "blocks", "incl_tt", "zbp_tt")
+
+    def __init__(self, gw: int, gh: int, blocks):
+        self.gw = gw
+        self.gh = gh
+        self.blocks = blocks
         self.incl_tt = None
         self.zbp_tt = None
 
 
-def _tile_comp_bands(rect, nl: int, cbw: int, cbh: int) -> list[list[_Band]]:
-    """Bands per resolution r=0..nl for one tile-component."""
+class _Band:
+    __slots__ = ("lvl", "orient", "rect", "blocks", "prec")
+
+    def __init__(self, lvl: int, orient: int, rect, cbw: int, cbh: int, prects):
+        """``prects``: precinct rects in BAND coordinates (one per precinct
+        of the owning resolution; precinct edges are multiples of the
+        code-block size, so blocks never straddle precincts)."""
+        self.lvl = lvl
+        self.orient = orient
+        self.rect = rect
+        self.blocks: list[_Block] = []
+        self.prec: list[_PrecBand] = []
+        bx0, bx1, by0, by1 = rect
+        for px0, px1, py0, py1 in prects:
+            ix0, ix1 = max(bx0, px0), min(bx1, px1)
+            iy0, iy1 = max(by0, py0), min(by1, py1)
+            if ix1 <= ix0 or iy1 <= iy0:
+                self.prec.append(_PrecBand(0, 0, []))
+                continue
+            g0x, g1x = ix0 // cbw, -(-ix1 // cbw)
+            g0y, g1y = iy0 // cbh, -(-iy1 // cbh)
+            blocks = []
+            for gy in range(g0y, g1y):
+                for gx in range(g0x, g1x):
+                    r = (
+                        max(ix0, gx * cbw), min(ix1, (gx + 1) * cbw),
+                        max(iy0, gy * cbh), min(iy1, (gy + 1) * cbh),
+                    )
+                    blocks.append(_Block(gx - g0x, gy - g0y, r))
+            self.prec.append(_PrecBand(g1x - g0x, g1y - g0y, blocks))
+            self.blocks.extend(blocks)
+
+
+def _prec_grid(rx0, rx1, ry0, ry1, ppx: int, ppy: int):
+    """Precinct rects over a resolution rect (grid anchored at 0)."""
+    if rx1 <= rx0 or ry1 <= ry0:
+        return []
+    sx, sy = 1 << ppx, 1 << ppy
+    rects = []
+    for py in range(ry0 // sy, -(-ry1 // sy)):
+        for px in range(rx0 // sx, -(-rx1 // sx)):
+            rects.append((px * sx, (px + 1) * sx, py * sy, (py + 1) * sy))
+    return rects
+
+
+def _band_prects(prects, shift: int):
+    """Map resolution-coordinate precinct rects to band coordinates
+    (halved for detail bands; precinct sizes are powers of two >= 2 there,
+    so the halving is exact)."""
+    if shift == 0:
+        return prects
+    return [(x0 >> 1, x1 >> 1, y0 >> 1, y1 >> 1) for x0, x1, y0, y1 in prects]
+
+
+def _tile_comp_bands(
+    rect, nl: int, cbw: int, cbh: int, precs=None
+) -> list[list[_Band]]:
+    """Bands per resolution r=0..nl for one tile-component.  ``precs`` maps
+    resolution -> (ppx, ppy) precinct exponents; default whole-tile."""
     x0, x1, y0, y1 = rect
     res: list[list[_Band]] = []
-    llr = _rect_level(x0, x1, y0, y1, nl)
-    res.append([_Band(nl, _OR_LL, llr, cbw, cbh)])
-    for r in range(1, nl + 1):
-        lvl = nl - r + 1
-        up = _rect_level(x0, x1, y0, y1, lvl - 1)
-        _, hlr, lhr, hhr = _split_rect(*up)
-        res.append([
-            _Band(lvl, _OR_HL, hlr, cbw, cbh),
-            _Band(lvl, _OR_LH, lhr, cbw, cbh),
-            _Band(lvl, _OR_HH, hhr, cbw, cbh),
-        ])
+    for r in range(nl + 1):
+        ppx, ppy = precs[r] if precs is not None else (15, 15)
+        shift = 0 if r == 0 else 1
+        if r > 0 and (ppx < 1 or ppy < 1):
+            raise Jp2Error("precinct exponent must be >= 1 above resolution 0")
+        rx0, rx1, ry0, ry1 = _rect_level(x0, x1, y0, y1, nl - r)
+        prects = _prec_grid(rx0, rx1, ry0, ry1, ppx, ppy)
+        bprects = _band_prects(prects, shift)
+        ecbw = min(cbw, 1 << (ppx - shift)) if ppx - shift < 15 else cbw
+        ecbh = min(cbh, 1 << (ppy - shift)) if ppy - shift < 15 else cbh
+        if r == 0:
+            lvl = nl
+            llr = _rect_level(x0, x1, y0, y1, nl)
+            res.append([_Band(lvl, _OR_LL, llr, ecbw, ecbh, bprects)])
+        else:
+            lvl = nl - r + 1
+            up = _rect_level(x0, x1, y0, y1, lvl - 1)
+            _, hlr, lhr, hhr = _split_rect(*up)
+            res.append([
+                _Band(lvl, _OR_HL, hlr, ecbw, ecbh, bprects),
+                _Band(lvl, _OR_LH, lhr, ecbw, ecbh, bprects),
+                _Band(lvl, _OR_HH, hhr, ecbw, ecbh, bprects),
+            ])
     return res
 
 
-def _progression_order(prog: int, layers: int, nres: int, ncomp: int):
-    """Packet order as (layer, res, comp) tuples — single-precinct case, so
-    the position loop is trivial for all five T.800 orders."""
+def _res_nprec(comp_res) -> list[int]:
+    """Precinct count per resolution for one tile-component."""
+    return [len(bands[0].prec) for bands in comp_res]
+
+
+def _progression_order(prog: int, layers: int, nprec):
+    """Packet order as (layer, res, comp, precinct) tuples.  ``nprec[c][r]``
+    is the precinct count of component c at resolution r (0 when the
+    resolution rect is empty or beyond that component's levels — no packet
+    exists there).  Precinct "position" iterates by flat grid index; all
+    components share one grid per resolution (no subsampling here)."""
+    ncomp = len(nprec)
+    nres = max(len(n) for n in nprec)
+
+    def np_(c, r):
+        return nprec[c][r] if r < len(nprec[c]) else 0
+
     seq = []
     if prog == 0:  # LRCP
         for la in range(layers):
             for r in range(nres):
                 for c in range(ncomp):
-                    seq.append((la, r, c))
+                    for pi in range(np_(c, r)):
+                        seq.append((la, r, c, pi))
     elif prog == 1:  # RLCP
         for r in range(nres):
             for la in range(layers):
                 for c in range(ncomp):
-                    seq.append((la, r, c))
+                    for pi in range(np_(c, r)):
+                        seq.append((la, r, c, pi))
     elif prog == 2:  # RPCL
         for r in range(nres):
-            for c in range(ncomp):
-                for la in range(layers):
-                    seq.append((la, r, c))
+            for pi in range(max((np_(c, r) for c in range(ncomp)), default=0)):
+                for c in range(ncomp):
+                    if pi < np_(c, r):
+                        for la in range(layers):
+                            seq.append((la, r, c, pi))
     elif prog == 3:  # PCRL
-        for c in range(ncomp):
-            for r in range(nres):
-                for la in range(layers):
-                    seq.append((la, r, c))
+        maxp = max(
+            (np_(c, r) for c in range(ncomp) for r in range(nres)), default=0
+        )
+        for pi in range(maxp):
+            for c in range(ncomp):
+                for r in range(nres):
+                    if pi < np_(c, r):
+                        for la in range(layers):
+                            seq.append((la, r, c, pi))
     elif prog == 4:  # CPRL
         for c in range(ncomp):
-            for r in range(nres):
-                for la in range(layers):
-                    seq.append((la, r, c))
+            maxp = max((np_(c, r) for r in range(nres)), default=0)
+            for pi in range(maxp):
+                for r in range(nres):
+                    if pi < np_(c, r):
+                        for la in range(layers):
+                            seq.append((la, r, c, pi))
     else:
         raise Jp2Error(f"unsupported progression order {prog}")
     return seq
@@ -892,24 +974,27 @@ def _progression_order(prog: int, layers: int, nres: int, ncomp: int):
 # ---------------------------------------------------------------------------
 
 
-def _encode_packet(bands: list[_Band], w: _HdrWriter, bodies: list[bytes]) -> None:
-    """Single-layer packet for one (comp, res): header bits + body chunks."""
-    any_incl = any(b.included for band in bands for b in band.blocks)
+def _encode_packet(
+    bands: list[_Band], pi: int, w: _HdrWriter, bodies: list[bytes]
+) -> None:
+    """Single-layer packet for one (comp, res, precinct)."""
+    pbs = [band.prec[pi] for band in bands]
+    any_incl = any(b.included for pb in pbs for b in pb.blocks)
     if not any_incl:
         w.put(0)
         return
     w.put(1)
-    for band in bands:
-        if not band.blocks:
+    for pb in pbs:
+        if not pb.blocks:
             continue
-        incl = TagTreeEncoder(band.gw, band.gh)
-        zbp = TagTreeEncoder(band.gw, band.gh)
-        for b in band.blocks:
+        incl = TagTreeEncoder(pb.gw, pb.gh)
+        zbp = TagTreeEncoder(pb.gw, pb.gh)
+        for b in pb.blocks:
             incl.set_value(b.gx, b.gy, 0 if b.included else 1)
             zbp.set_value(b.gx, b.gy, b.zbp)
         incl.finalize()
         zbp.finalize()
-        for b in band.blocks:
+        for b in pb.blocks:
             incl.encode(b.gx, b.gy, 1, w)
             if not b.included:
                 continue
@@ -945,7 +1030,7 @@ def _encode_packet(bands: list[_Band], w: _HdrWriter, bodies: list[bytes]) -> No
 
 
 def _decode_packet(
-    bands: list[_Band], r: _HdrReader, layer: int, sop: bool, eph: bool
+    bands: list[_Band], pi: int, r: _HdrReader, layer: int, sop: bool, eph: bool
 ) -> None:
     """Decode one packet header + body into per-block state."""
     budget.check()  # per-packet guard
@@ -961,23 +1046,24 @@ def _decode_packet(
         return
     sched: list[tuple[_Block, int, int]] = []
     for band in bands:
-        if not band.blocks:
+        pb = band.prec[pi]
+        if not pb.blocks:
             continue
-        if band.incl_tt is None:
-            band.incl_tt = TagTreeDecoder(band.gw, band.gh)
-            band.zbp_tt = TagTreeDecoder(band.gw, band.gh)
-        for b in band.blocks:
+        if pb.incl_tt is None:
+            pb.incl_tt = TagTreeDecoder(pb.gw, pb.gh)
+            pb.zbp_tt = TagTreeDecoder(pb.gw, pb.gh)
+        for b in pb.blocks:
             if not b.included:
-                inc = band.incl_tt.decode(b.gx, b.gy, layer + 1, r)
+                inc = pb.incl_tt.decode(b.gx, b.gy, layer + 1, r)
             else:
                 inc = r.get() == 1
             if not inc:
                 continue
             if not b.included:
                 t = 1
-                while not band.zbp_tt.decode(b.gx, b.gy, t, r):
+                while not pb.zbp_tt.decode(b.gx, b.gy, t, r):
                     t += 1
-                b.zbp = band.zbp_tt.value(b.gx, b.gy)
+                b.zbp = pb.zbp_tt.value(b.gx, b.gy)
                 b.included = True
             if r.get() == 0:
                 n = 1
@@ -1034,6 +1120,7 @@ def encode_jp2(
     eph: bool = False,
     comp_cblk: dict | None = None,
     chroma_step_mult: float | None = None,
+    precinct: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode a uint8 grayscale (h,w) or RGB (h,w,3) image as a JPEG 2000
     Part-1 codestream (raw, or JP2 box container when ``wrap``).
@@ -1079,6 +1166,15 @@ def encode_jp2(
         cblks[c] = (bw, bh)
     if chroma_step_mult is not None and (reversible or ncomp != 3):
         raise Jp2Error("chroma_step_mult needs 9/7 with three components")
+    if precinct is not None:
+        ppx, ppy = precinct
+        if not (1 <= ppx <= 14 and 1 <= ppy <= 14):
+            raise Jp2Error("precinct exponents must be in 1..14")
+        if comp_cblk:
+            raise Jp2Error("precinct cannot combine with comp_cblk overrides")
+        precs = [(ppx, ppy)] * (levels + 1)
+    else:
+        precs = [(15, 15)] * (levels + 1)
     prog_id = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}.get(progression)
     if prog_id is None:
         raise Jp2Error(f"unknown progression {progression!r}")
@@ -1112,11 +1208,13 @@ def encode_jp2(
     # COD
     xcb = cbw.bit_length() - 1 - 2
     ycb = cbh.bit_length() - 1 - 2
-    scod = (2 if sop else 0) | (4 if eph else 0)
+    scod = (2 if sop else 0) | (4 if eph else 0) | (1 if precinct else 0)
     cod = struct.pack(
         ">BBHBBBBBB", scod, prog_id, 1, 1 if mct else 0,
         levels, xcb, ycb, 0, 1 if reversible else 0,
     )
+    if precinct is not None:
+        cod += bytes((px | (py << 4)) for px, py in precs)
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
     # COC overrides (per-component code-block size)
     for c, (bw, bh) in sorted((comp_cblk or {}).items()):
@@ -1167,7 +1265,7 @@ def encode_jp2(
             )
             body = _encode_tile(
                 planes, rect, levels, reversible, cblks, prog_id,
-                comp_mb, comp_delta, sop=sop, eph=eph,
+                comp_mb, comp_delta, sop=sop, eph=eph, precs=precs,
             )
             psot = 12 + 2 + len(body)
             out += b"\xff\x90" + struct.pack(">HHIBB", 10, tidx, psot, 0, 1)
@@ -1197,7 +1295,7 @@ def _band_qcd_index(lvl: int, orient: int, levels: int) -> int:
 
 def _encode_tile(
     planes, rect, levels, reversible, cblks, prog_id, comp_mb, comp_delta,
-    sop=False, eph=False,
+    sop=False, eph=False, precs=None,
 ) -> bytes:
     x0, x1, y0, y1 = rect
     ncomp = len(planes)
@@ -1208,7 +1306,7 @@ def _encode_tile(
         band_delta = comp_delta[ci]
         sub = plane[y0:y1, x0:x1]
         coeffs = _fwd_dwt_2d(sub, rect, levels, reversible)
-        res = _tile_comp_bands(rect, levels, cbw, cbh)
+        res = _tile_comp_bands(rect, levels, cbw, cbh, precs)
         for bands in res:
             for band in bands:
                 arr = coeffs[(band.lvl, band.orient)]
@@ -1240,10 +1338,11 @@ def _encode_tile(
         comp_bands.append(res)
     body = bytearray()
     nsop = 0
-    for layer, r, c in _progression_order(prog_id, 1, levels + 1, ncomp):
+    nprec = [_res_nprec(cr) for cr in comp_bands]
+    for layer, r, c, pi in _progression_order(prog_id, 1, nprec):
         wtr = _HdrWriter()
         bodies: list[bytes] = []
-        _encode_packet(comp_bands[c][r], wtr, bodies)
+        _encode_packet(comp_bands[c][r], pi, wtr, bodies)
         if sop:
             body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
             nsop += 1
@@ -1304,7 +1403,7 @@ def _unwrap_jp2(data: bytes) -> bytes:
 class _CodMarker:
     __slots__ = (
         "prog", "layers", "mct", "levels", "cbw", "cbh", "cbstyle",
-        "reversible", "sop", "eph",
+        "reversible", "sop", "eph", "precs",
     )
 
 
@@ -1328,11 +1427,12 @@ def _parse_cod(seg: bytes) -> _CodMarker:
     if cod.levels > 32:
         raise Jp2Error(f"too many decomposition levels: {cod.levels}")
     if scod & 1:
-        # explicit precinct sizes: accept only sizes that keep one precinct
-        # per resolution for this image (checked later against dims)
-        for b in seg[10 : 10 + cod.levels + 1]:
-            if (b & 0xF) < 15 or (b >> 4) < 15:
-                raise Jp2Error("sub-tile precincts are not supported")
+        pb = seg[10 : 10 + cod.levels + 1]
+        if len(pb) < cod.levels + 1:
+            raise Jp2Error("COD precinct list too short")
+        cod.precs = [(b & 0xF, b >> 4) for b in pb]
+    else:
+        cod.precs = [(15, 15)] * (cod.levels + 1)
     return cod
 
 
@@ -1394,13 +1494,14 @@ _REJECT_MARKERS = {
 class _CompCoding:
     """Per-component coding parameters (COD defaults, COC overrides)."""
 
-    __slots__ = ("levels", "cbw", "cbh", "reversible")
+    __slots__ = ("levels", "cbw", "cbh", "reversible", "precs")
 
     def __init__(self, cod: _CodMarker):
         self.levels = cod.levels
         self.cbw = cod.cbw
         self.cbh = cod.cbh
         self.reversible = cod.reversible
+        self.precs = list(cod.precs)
 
 
 def _parse_coc(seg: bytes, ncomp: int) -> tuple[int, "_CodMarkerLike"]:
@@ -1526,6 +1627,8 @@ def decode_jp2(data: bytes) -> np.ndarray:
         c, ov = _parse_coc(seg, ncomp)
         ccs[c].levels, ccs[c].cbw = ov.levels, ov.cbw
         ccs[c].cbh, ccs[c].reversible = ov.cbh, ov.reversible
+        # a COC without its own precinct list resets to maximal (T.800 A.6.2)
+        ccs[c].precs = [(15, 15)] * (ov.levels + 1)
     # per-component quantization: QCD defaults, QCC overrides
     comp_mb: list[list[int]] = []
     comp_delta: list[list[float]] = []
@@ -1596,14 +1699,13 @@ def decode_jp2(data: bytes) -> np.ndarray:
 def _decode_tile(tdata, rect, cod, ccs, comp_mb, comp_delta, planes) -> None:
     ncomp = len(ccs)
     comp_res = [
-        _tile_comp_bands(rect, cc.levels, cc.cbw, cc.cbh) for cc in ccs
+        _tile_comp_bands(rect, cc.levels, cc.cbw, cc.cbh, cc.precs)
+        for cc in ccs
     ]
-    nres = max(cc.levels for cc in ccs) + 1
+    nprec = [_res_nprec(cr) for cr in comp_res]
     rdr = _HdrReader(tdata, 0)
-    for layer, r, c in _progression_order(cod.prog, cod.layers, nres, ncomp):
-        if r > ccs[c].levels:
-            continue  # no packet exists beyond this component's resolutions
-        _decode_packet(comp_res[c][r], rdr, layer, cod.sop, cod.eph)
+    for layer, r, c, pi in _progression_order(cod.prog, cod.layers, nprec):
+        _decode_packet(comp_res[c][r], pi, rdr, layer, cod.sop, cod.eph)
     x0, x1, y0, y1 = rect
     for c in range(ncomp):
         cc = ccs[c]

@@ -386,3 +386,52 @@ class TestHighBitDepth:
     def test_unsupported_dtype(self):
         with pytest.raises(Jp2Error):
             encode_jp2(np.zeros((8, 8), dtype=np.float32))
+
+
+class TestPrecincts:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {"precinct": (6, 6)},
+            {"precinct": (5, 6), "levels": 4},
+            {"precinct": (6, 6), "progression": "RPCL"},
+            {"precinct": (6, 6), "progression": "PCRL"},
+            {"precinct": (6, 6), "progression": "CPRL"},
+            {"precinct": (6, 6), "tile": (100, 80)},
+            {"precinct": (6, 6), "sop": True, "eph": True},
+            {"precinct": (4, 4), "cblk": (32, 32)},  # cblk capped to 2^3
+        ],
+    )
+    def test_gray_bit_exact(self, kw):
+        yy, xx = np.mgrid[0:130, 0:190]
+        img = ((xx * 1.3 + yy * 0.7) % 256).astype(np.uint8)
+        img[30:70, 40:150] = 20
+        cs = encode_jp2(img, **kw)
+        assert np.array_equal(decode_jp2(cs), img)
+
+    def test_rgb_lossy(self):
+        rng = np.random.default_rng(18)
+        img = rng.integers(0, 256, size=(100, 90, 3)).astype(np.uint8)
+        assert np.array_equal(decode_jp2(encode_jp2(img, precinct=(6, 6))), img)
+        out = decode_jp2(
+            encode_jp2(img, precinct=(6, 6), reversible=False, quality_step=0.5)
+        )
+        assert np.abs(img.astype(float) - out.astype(float)).max() < 24
+
+    def test_validation(self):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        with pytest.raises(Jp2Error):
+            encode_jp2(img, precinct=(0, 6))
+        with pytest.raises(Jp2Error):
+            encode_jp2(img, precinct=(15, 15))
+        with pytest.raises(Jp2Error):
+            encode_jp2(img, precinct=(6, 6), comp_cblk={0: (16, 16)})
+
+    def test_multiple_packets_emitted(self):
+        # 190x130 at 64x64 precincts -> resolution NL has >1 precinct, so
+        # SOP counts must exceed the no-precinct packet count
+        yy, xx = np.mgrid[0:130, 0:190]
+        img = ((xx + yy) % 256).astype(np.uint8)
+        n_default = encode_jp2(img, sop=True).count(b"\xff\x91")
+        n_prec = encode_jp2(img, sop=True, precinct=(6, 6)).count(b"\xff\x91")
+        assert n_prec > n_default
