@@ -590,10 +590,9 @@ def _fwd53_1d(x: np.ndarray, a: int) -> np.ndarray:
     if n == 1:
         return x.copy() if a % 2 == 0 else x * 2
     e = _extend(x, 2).astype(np.int64)
-    # odd abs positions within extended index space: ext col k <-> abs a-2+k
-    first_odd = (a - 2) % 2 ^ 1  # smallest k with odd abs
-    k_odd = np.arange(first_odd if first_odd >= 1 else first_odd + 2, n + 3, 2)
-    k_odd = k_odd[(k_odd >= 1) & (k_odd <= n + 2)]
+    # ext col k <-> abs position a-2+k
+    k_all = np.arange(1, n + 3)
+    k_odd = k_all[((a - 2 + k_all) % 2) == 1]
     e2 = e.copy()
     e2[..., k_odd] = e[..., k_odd] - ((e[..., k_odd - 1] + e[..., k_odd + 1]) >> 1)
     # re-mirror the lifted odd samples so the even update sees consistent
@@ -601,10 +600,6 @@ def _fwd53_1d(x: np.ndarray, a: int) -> np.ndarray:
     idx = [_mirror(j, n) + 2 for j in range(-2, n + 2)]
     core = e2[..., 2 : n + 2]
     e2 = core[..., [i - 2 for i in idx]]
-    k_even = np.arange(2 - (a % 2 == 1), n + 2, 2)
-    k_even = k_even[(k_even >= 1) & (k_even <= n + 2)]
-    # recompute: even abs positions have k parity == a % 2 in ext space
-    k_all = np.arange(1, n + 3)
     k_even = k_all[((a - 2 + k_all) % 2) == 0]
     e3 = e2.copy()
     e3[..., k_even] = e2[..., k_even] + (

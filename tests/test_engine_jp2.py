@@ -435,3 +435,30 @@ class TestPrecincts:
         n_default = encode_jp2(img, sop=True).count(b"\xff\x91")
         n_prec = encode_jp2(img, sop=True, precinct=(6, 6)).count(b"\xff\x91")
         assert n_prec > n_default
+
+
+class TestFilterChain:
+    def test_jpx_behind_ascii_filters(self):
+        # /Filter [/ASCIIHexDecode /JPXDecode]: earlier filters unwrap first
+        import binascii
+
+        from activestorage_ocr_spark.engine.pdfx import _assemble
+
+        img = rasters.render_text("CHAIN JPX", scale=2)
+        cs = jp2x.encode_jp2(img)
+        hexed = binascii.hexlify(cs) + b">"
+        h, w = img.shape
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /XObject << /Im0 4 0 R >> >> >>", None),
+            (4, b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+                + str(len(hexed)).encode()
+                + b" /Filter [/ASCIIHexDecode /JPXDecode] >>", hexed),
+        ]
+        res = extract_document(_assemble(objs))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "CHAIN JPX"
