@@ -98,3 +98,43 @@ class TestDurableJob:
         assert outs[0] == outs[1]
         # exactly one keeper per distinct body
         assert len(outs[0]) == 3
+
+
+class TestFullPipeline:
+    def test_warc_to_extraction_to_curation(self, spark, tmp_path):
+        # the complete raw-crawl path: .warc.gz -> pages -> durable
+        # extraction -> durable curation, both stages resumable
+        from activestorage_ocr_spark.operators.lineage import (
+            read_output, run_extraction_job,
+        )
+        from activestorage_ocr_spark.sources import warc
+
+        body = (
+            b"<html><body><p>A full paragraph of ordinary readable prose "
+            b"with enough words to clear every curation gate easily.</p>"
+            b"</body></html>"
+        )
+        recs = [
+            {"url": f"http://p.example/{i}", "date": "2023-05-01T00:00:00Z",
+             "html": body if i % 3 else body.replace(b"full", b"second")}
+            for i in range(12)
+        ]
+        paths = [warc.write_warc(str(tmp_path / "c.warc.gz"), recs)]
+        pages = warc.to_pages(warc.read_warc(spark, paths))
+        ex_out = str(tmp_path / "extracted")
+        s1 = run_extraction_job(spark, pages, ex_out, run_id="e1", n_parts=4)
+        assert s1["n_rows"] == 12
+        extracted = read_output(spark, ex_out)
+        cur_out = str(tmp_path / "curated")
+        s2 = curation.run_curation_job(
+            spark, extracted, cur_out, run_id="c1", n_parts=4,
+            id_col="url", text_col="extracted_text",
+        )
+        assert s2["n_rows"] == 12
+        curated = curation.read_curated(spark, cur_out)
+        rejected = curation.read_rejected(spark, cur_out)
+        # two distinct texts -> two keepers; the other 10 are duplicates
+        assert curated.count() == 2
+        assert rejected.count() == 10
+        reasons = {r.reject_reason for r in rejected.collect()}
+        assert reasons == {curation.REJECT_DUP}
