@@ -1851,6 +1851,53 @@ def q_crawl_delta(spark, sf_dir):
     return joined.select("url", "fp_a", "fp_b", status.alias("status"))
 
 
+def q_robots_filter(spark, sf_dir):
+    """Robots.txt compliance filtering: every page joins its host's
+    disallow rules and is kept only when no rule prefixes its path — the
+    post-hoc robots honoring step of a polite crawl pipeline. Hosts and
+    paths derive deterministically from doc_id; each host carries two
+    synthetic disallow rules ('/admin' everywhere, '/p/<host_id>' on
+    hosts where host_id%3==0), so both rule shapes fire.
+
+    100 TB posture: the rules table is per-host tiny (real robots files
+    are a few KB) — broadcast it; ONE BroadcastHashJoin on host, prefix
+    test as a map-side expression, groupBy(url) any-match aggregation.
+    The corpus-sized pages side never shuffles on a non-key."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = lambda n: F.pmod(F.col("doc_id"), F.lit(n))  # noqa: E731
+    host = F.concat(F.lit("site"), mod(20).cast("string"), F.lit(".example"))
+    path = F.concat(
+        F.when(mod(11) == 0, F.lit("/admin")).otherwise(F.lit("")),
+        F.lit("/p/"), mod(40).cast("string"),
+    )
+    pages = docs.select(
+        "doc_id", host.alias("host"), path.alias("path"),
+    )
+    hosts = spark.range(20).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.col("id").alias("host_id"),
+    )
+    rules = hosts.select("host", F.lit("/admin").alias("disallow")).unionByName(
+        hosts.filter(F.pmod(F.col("host_id"), F.lit(3)) == 0).select(
+            "host",
+            F.concat(F.lit("/p/"), F.col("host_id").cast("string")).alias(
+                "disallow"
+            ),
+        )
+    )
+    joined = pages.join(F.broadcast(rules), "host", "left")
+    hit = F.col("disallow").isNotNull() & F.col("path").startswith(
+        F.col("disallow")
+    )
+    return (
+        joined.groupBy("doc_id", "host", "path")
+        .agg(F.max(hit.cast("int")).cast("boolean").alias("blocked"))
+        .select("doc_id", "host", "path", "blocked",
+                (~F.col("blocked")).alias("keep"))
+    )
+
+
 QUERIES.update(
     {
         "pack_sequences": q_pack_sequences,
@@ -1864,6 +1911,7 @@ QUERIES.update(
         "curation_domain_stats": q_curation_domain_stats,
         "urlfilter_flags": q_urlfilter_flags,
         "crawl_delta": q_crawl_delta,
+        "robots_filter": q_robots_filter,
     }
 )
 
@@ -1951,6 +1999,36 @@ ORACLES.update(
                         WHEN fp_a = fp_b THEN 'same'
                         ELSE 'changed' END AS status
             FROM snap_a a FULL OUTER JOIN snap_b b ON a.url = b.url
+        """,
+        "robots_filter": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+                       (CASE WHEN doc_id % 11 = 0 THEN '/admin' ELSE '' END)
+                       || '/p/' || CAST(doc_id % 40 AS VARCHAR) AS path
+                FROM documents
+            ),
+            hosts AS (
+                SELECT 'site' || CAST(i AS VARCHAR) || '.example' AS host, i AS host_id
+                FROM unnest(generate_series(0, 19)) AS t(i)
+            ),
+            rules AS (
+                SELECT host, '/admin' AS disallow FROM hosts
+                UNION ALL
+                SELECT host, '/p/' || CAST(host_id AS VARCHAR) FROM hosts
+                WHERE host_id % 3 = 0
+            )
+            SELECT p.doc_id, p.host, p.path,
+                   coalesce(
+                       max(CASE WHEN r.disallow IS NOT NULL
+                                 AND p.path LIKE r.disallow || '%'
+                            THEN TRUE ELSE FALSE END), FALSE) AS blocked,
+                   NOT coalesce(
+                       max(CASE WHEN r.disallow IS NOT NULL
+                                 AND p.path LIKE r.disallow || '%'
+                            THEN TRUE ELSE FALSE END), FALSE) AS keep
+            FROM pages p LEFT JOIN rules r USING (host)
+            GROUP BY p.doc_id, p.host, p.path
         """,
     }
 )
