@@ -1859,10 +1859,12 @@ def q_robots_filter(spark, sf_dir):
     synthetic disallow rules ('/admin' everywhere, '/p/<host_id>' on
     hosts where host_id%3==0), so both rule shapes fire.
 
-    100 TB posture: the rules table is per-host tiny (real robots files
-    are a few KB) — broadcast it; ONE BroadcastHashJoin on host, prefix
-    test as a map-side expression, groupBy(url) any-match aggregation.
-    The corpus-sized pages side never shuffles on a non-key."""
+    100 TB posture: rules pre-aggregate to ONE array row per host (tiny —
+    real robots files are KB-sized), broadcast; the corpus-sized pages
+    side takes one BroadcastHashJoin and a map-side higher-order
+    ``exists`` prefix test — the pages table NEVER shuffles (an any-match
+    groupBy over pages would shuffle the whole corpus for a per-row
+    question)."""
     docs = _t(spark, sf_dir, "documents")
     mod = lambda n: F.pmod(F.col("doc_id"), F.lit(n))  # noqa: E731
     host = F.concat(F.lit("site"), mod(20).cast("string"), F.lit(".example"))
@@ -1886,15 +1888,20 @@ def q_robots_filter(spark, sf_dir):
             ),
         )
     )
-    joined = pages.join(F.broadcast(rules), "host", "left")
-    hit = F.col("disallow").isNotNull() & F.col("path").startswith(
-        F.col("disallow")
+    host_rules = rules.groupBy("host").agg(
+        F.sort_array(F.collect_list("disallow")).alias("disallows")
     )
-    return (
-        joined.groupBy("doc_id", "host", "path")
-        .agg(F.max(hit.cast("int")).cast("boolean").alias("blocked"))
-        .select("doc_id", "host", "path", "blocked",
-                (~F.col("blocked")).alias("keep"))
+    joined = pages.join(F.broadcast(host_rules), "host", "left")
+    blocked = F.coalesce(
+        F.exists(
+            F.col("disallows"), lambda d: F.col("path").startswith(d)
+        ),
+        F.lit(False),
+    )
+    return joined.select(
+        "doc_id", "host", "path",
+        blocked.alias("blocked"),
+        (~blocked).alias("keep"),
     )
 
 

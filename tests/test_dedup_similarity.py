@@ -434,3 +434,23 @@ class TestRound4CurationPlanShapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert plan.count("Scan parquet") == 1
+
+    def test_robots_filter_pages_side_map_only(self, spark):
+        # both Exchanges must sit on the tiny rules subtree: the pages scan
+        # feeds straight into the broadcast join, never an Exchange
+        import __spark_entry__ as e
+
+        df = e.queries()["robots_filter"](spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        assert len(rows) == 500
+        assert any(r.blocked for r in rows) and any(not r.blocked for r in rows)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("BroadcastHashJoin") == 1
+        assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+        # the pages-side subtree (BroadcastHashJoin down to the parquet
+        # scan, which sits last in the streamed-side print order) carries
+        # no Exchange — both Exchanges belong to the rules subtree
+        assert final.count("Scan parquet") == 1
+        seg = final[final.index("BroadcastHashJoin") : final.index("Scan parquet")]
+        assert "Exchange" not in seg
