@@ -523,16 +523,22 @@ def _symcodelen(n_syms: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
-    """Arithmetic symbol dictionary -> exported symbol bitmaps."""
+def _decode_symbol_dict(
+    payload: bytes, input_syms: list[np.ndarray] | None = None
+) -> list[np.ndarray]:
+    """Arithmetic symbol dictionary -> exported symbol bitmaps.
+
+    ``input_syms``: symbols imported from referred-to dictionaries (T.88
+    §6.5.8.2.3) — the id space and export runs cover input + new."""
+    input_syms = input_syms or []
     if len(payload) < 2:
         raise Jbig2Error("truncated symbol dictionary")
     flags = struct.unpack_from(">H", payload, 0)[0]
     if flags & 1:
         raise Jbig2Error("unsupported JBIG2 segment: Huffman symbol dictionary")
-    if flags & 2:
-        raise Jbig2Error("unsupported JBIG2 segment: refinement/aggregate symbols")
+    refagg = bool(flags & 2)
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     pos = 2
     n_at = len(_TEMPLATE_AT_NOMINAL[template])
     if len(payload) < pos + 2 * n_at + 8:
@@ -543,6 +549,17 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
         for i in range(n_at)
     )
     pos += 2 * n_at
+    rat = None
+    if refagg and rtemplate == 0:
+        if len(payload) < pos + 4 + 8:
+            raise Jbig2Error("truncated SDRAT pixel list")
+        rat = (
+            (struct.unpack_from("b", payload, pos)[0],
+             struct.unpack_from("b", payload, pos + 1)[0]),
+            (struct.unpack_from("b", payload, pos + 2)[0],
+             struct.unpack_from("b", payload, pos + 3)[0]),
+        )
+        pos += 4
     numex, numnew = struct.unpack_from(">II", payload, pos)
     pos += 8
     if numnew > 10_000 or numex > 10_000:
@@ -552,6 +569,13 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
     gb_i, gb_mps = bytearray(1 << nbits), bytearray(1 << nbits)
     dec = MQDecoder(payload[pos:])
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    if refagg:
+        gr_coding, gr_refc = _refine_coords(rtemplate, rat)
+        gr_n = len(gr_coding) + len(gr_refc)
+        gr_i, gr_mps = bytearray(1 << gr_n), bytearray(1 << gr_n)
+        iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+        symcodelen = _symcodelen(len(input_syms) + numnew)
+        iaid = _IntCtx(1 << (symcodelen + 1))
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < numnew:
@@ -572,25 +596,56 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
                 raise Jbig2Error("JBIG2 symbol too large")
             if len(new_syms) >= numnew:
                 raise Jbig2Error("more symbols than declared")
+            if refagg:
+                # T.88 6.5.8.2: one refinement instance per symbol is the
+                # tractable arithmetic case; aggregate text regions
+                # (REFAGGNINST > 1) stay a labeled gap
+                ninst = _decode_int(dec, iaai)
+                if ninst != 1:
+                    raise Jbig2Error(
+                        "unsupported JBIG2 segment: aggregate symbol "
+                        f"(REFAGGNINST={ninst})"
+                    )
+                rid = _decode_iaid(dec, iaid, symcodelen)
+                rdx = _decode_int(dec, iardx)
+                rdy = _decode_int(dec, iardy)
+                if rid is None or rdx is None or rdy is None:
+                    raise Jbig2Error("OOB refinement parameters")
+                combined = len(input_syms) + len(new_syms)
+                if not (0 <= rid < combined):
+                    raise Jbig2Error(f"refinement references unknown symbol {rid}")
+                ref = (
+                    input_syms[rid]
+                    if rid < len(input_syms)
+                    else new_syms[rid - len(input_syms)]
+                )
+                new_syms.append(
+                    _decode_refinement_bitmap(
+                        dec, gr_i, gr_mps, symwidth, hcheight,
+                        ref, gr_coding, gr_refc, rtemplate,
+                        False, rdx, rdy,
+                    )
+                )
+                continue
             new_syms.append(
                 _decode_generic_bitmap(
                     dec, gb_i, gb_mps, symwidth, hcheight, coords, template, False
                 )
             )
     # export flags (6.5.10): alternating skip/export run lengths over the
-    # (input + new) symbol sequence; input symbols are empty here (single
-    # dictionary per stream — the PDF-embedded common case)
+    # (input + new) symbol sequence
+    seq = list(input_syms) + new_syms
     exported: list[np.ndarray] = []
     idx = 0
     exflag = 0
-    for _ in range(2 * len(new_syms) + 2):  # run-count bound: never spin
-        if idx >= len(new_syms) or len(exported) >= numex:
+    for _ in range(2 * len(seq) + 2):  # run-count bound: never spin
+        if idx >= len(seq) or len(exported) >= numex:
             break
         run = _decode_int(dec, iaex)
         if run is None or run < 0:
             raise Jbig2Error("bad export run length")
         if exflag:
-            exported.extend(new_syms[idx : idx + run])
+            exported.extend(seq[idx : idx + run])
         idx += run
         exflag ^= 1
     if len(exported) != numex:
@@ -600,18 +655,50 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
     return exported
 
 
-def _encode_symbol_dict(symbols: list[np.ndarray], template: int = 0) -> bytes:
-    """Mirror of :func:`_decode_symbol_dict`: all symbols exported, one
-    height class per distinct height (ascending, per spec)."""
+def _encode_symbol_dict(
+    symbols: list[np.ndarray],
+    template: int = 0,
+    refine_from: dict[int, int] | None = None,
+    rtemplate: int = 0,
+    input_syms: list[np.ndarray] | None = None,
+) -> bytes:
+    """Mirror of :func:`_decode_symbol_dict`: all NEW symbols exported, one
+    height class per distinct height (ascending, per spec).
+
+    When ``refine_from`` is given the dictionary is SDREFAGG: EVERY new
+    symbol refines ``refine_from[i]`` — an id in the combined
+    (input + new-in-decode-order) space; ``input_syms`` must match the
+    referred-to dictionaries' exports at decode time."""
     syms = [np.asarray(s, dtype=bool) for s in symbols]
     if not syms or any(s.ndim != 2 or 0 in s.shape for s in syms):
         raise Jbig2Error("symbol dictionary needs non-empty 2-D symbols")
+    input_syms = [np.asarray(s, dtype=bool) for s in (input_syms or [])]
+    refagg = refine_from is not None
+    refine_from = refine_from or {}
     order = sorted(range(len(syms)), key=lambda i: (syms[i].shape[0], i))
+    decode_pos = {orig: k for k, orig in enumerate(order)}
+    if refagg:
+        for k, orig in enumerate(order):
+            pid = refine_from.get(orig)
+            if pid is None:
+                raise Jbig2Error("refagg dictionary needs refine_from for every symbol")
+            if not (0 <= pid < len(input_syms) + k):
+                raise Jbig2Error(
+                    "refine_from id must reference an input symbol or an "
+                    "earlier new symbol"
+                )
     coords = _context_coords(template, None)
     nbits = len(coords)
     gb_i, gb_mps = bytearray(1 << nbits), bytearray(1 << nbits)
     enc = MQEncoder()
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    if refagg:
+        gr_coding, gr_refc = _refine_coords(rtemplate, None)
+        gr_n = len(gr_coding) + len(gr_refc)
+        gr_i, gr_mps = bytearray(1 << gr_n), bytearray(1 << gr_n)
+        iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+        symcodelen = _symcodelen(len(input_syms) + len(syms))
+        iaid = _IntCtx(1 << (symcodelen + 1))
     hcheight = 0
     i = 0
     while i < len(order):
@@ -620,22 +707,43 @@ def _encode_symbol_dict(symbols: list[np.ndarray], template: int = 0) -> bytes:
         hcheight = h
         symwidth = 0
         while i < len(order) and syms[order[i]].shape[0] == h:
-            w = syms[order[i]].shape[1]
+            orig = order[i]
+            w = syms[orig].shape[1]
             _encode_int(enc, iadw, w - symwidth)
             symwidth = w
+            if refagg:
+                _encode_int(enc, iaai, 1)  # REFAGGNINST
+                pid = refine_from[orig]
+                _encode_iaid(enc, iaid, symcodelen, pid)
+                _encode_int(enc, iardx, 0)
+                _encode_int(enc, iardy, 0)
+                ref = (
+                    input_syms[pid]
+                    if pid < len(input_syms)
+                    else syms[order[pid - len(input_syms)]]
+                )
+                _encode_refinement_bitmap(
+                    enc, gr_i, gr_mps, syms[orig], ref,
+                    gr_coding, gr_refc, rtemplate, False, 0, 0,
+                )
+                i += 1
+                continue
             _encode_generic_bitmap(
-                enc, gb_i, gb_mps, syms[order[i]], coords, template, False
+                enc, gb_i, gb_mps, syms[orig], coords, template, False
             )
             i += 1
         _encode_int(enc, iadw, None)  # OOB: height class done
-    _encode_int(enc, iaex, 0)               # skip-run 0
-    _encode_int(enc, iaex, len(syms))       # export all
+    _encode_int(enc, iaex, len(input_syms))  # skip the imported symbols
+    _encode_int(enc, iaex, len(syms))        # export all new symbols
     body = enc.flush()
     n_at = len(_TEMPLATE_AT_NOMINAL[template])
     at_bytes = b"".join(
         struct.pack("bb", dx, dy) for dx, dy in _TEMPLATE_AT_NOMINAL[template][:n_at]
     )
-    head = struct.pack(">H", template << 10) + at_bytes
+    flags = (template << 10) | (2 if refagg else 0) | (rtemplate << 12)
+    head = struct.pack(">H", flags) + at_bytes
+    if refagg and rtemplate == 0:
+        head += b"".join(struct.pack("bb", dx, dy) for dx, dy in _REFINE_AT_NOMINAL)
     head += struct.pack(">II", len(syms), len(syms))
     # NOTE: export order is height-ascending (the decode order), so the
     # caller must address symbols by that order; _sorted_symbol_order gives
@@ -750,14 +858,20 @@ def _encode_text_region(
     instances: list[tuple[int, int, int]],
     width: int,
     height: int,
+    export_order: list[int] | None = None,
 ) -> bytes:
     """Mirror of :func:`_decode_text_region`: instances are (symbol_index,
     x, y) with x/y the TOP-LEFT corner, placed onto a width x height region
     with OR composition. Symbol indices refer to the ORIGINAL symbol list;
-    the dictionary's height-ascending export order is applied here."""
-    order = _sorted_symbol_order([np.asarray(s, dtype=bool) for s in symbols])
-    id_of = {orig: new for new, orig in enumerate(order)}
-    symcodelen = _symcodelen(len(symbols))
+    the dictionary's height-ascending export order is applied here, unless
+    ``export_order`` (original indices in decoder id order — the multi-
+    dictionary case) overrides it."""
+    if export_order is None:
+        export_order = _sorted_symbol_order(
+            [np.asarray(s, dtype=bool) for s in symbols]
+        )
+    id_of = {orig: new for new, orig in enumerate(export_order)}
+    symcodelen = _symcodelen(len(export_order))
     enc = MQEncoder()
     iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
     iaid = _IntCtx(1 << (symcodelen + 1))
@@ -936,7 +1050,10 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 if st.h == 0xFFFFFFFF:
                     st.h = None  # striped page: grow with regions
             elif seg_type == _SEG_SYMBOL_DICT:
-                sym_dicts[number] = _decode_symbol_dict(payload)
+                inputs: list[np.ndarray] = []
+                for r in referred:
+                    inputs.extend(sym_dicts.get(r, []))
+                sym_dicts[number] = _decode_symbol_dict(payload, inputs)
             elif seg_type == _SEG_PATTERN_DICT:
                 pat_dicts[number] = decode_pattern_dict(payload)
             elif seg_type in (
@@ -1085,6 +1202,72 @@ def encode_jbig2_symbol_mode(image: np.ndarray) -> bytes:
     return encode_jbig2_text_page(symbols, instances, w, h)
 
 
+def encode_jbig2_symbol_refagg_mode(image: np.ndarray) -> bytes:
+    """Encode a bool page the way jbig2enc's refinement-assisted symbol
+    mode does: same-shape near-duplicate ink components become SDREFAGG
+    symbols refining a base symbol from a FIRST dictionary (cross-
+    dictionary input symbols, T.88 §6.5.8.2.3); a text region referring to
+    both dictionaries places every instance.  Falls back to plain symbol
+    mode when no same-shape pairs exist."""
+    img = np.asarray(image, dtype=bool)
+    if img.ndim != 2:
+        raise Jbig2Error("encode_jbig2_symbol_refagg_mode expects a 2-D bool array")
+    comps = _connected_components(img)
+    if not comps:
+        return encode_jbig2_embedded(img)
+    symbols: list[np.ndarray] = []
+    index: dict[tuple, int] = {}
+    instances = []
+    for x, y, bmp in comps:
+        key = (bmp.shape, bmp.tobytes())
+        sid = index.get(key)
+        if sid is None:
+            sid = len(symbols)
+            index[key] = sid
+            symbols.append(bmp)
+        instances.append((sid, x, y))
+    h, w = img.shape
+    by_shape: dict[tuple, list[int]] = {}
+    for i, sym in enumerate(symbols):
+        by_shape.setdefault(sym.shape, []).append(i)
+    base_ids: list[int] = []
+    derived: dict[int, int] = {}  # derived orig idx -> base orig idx
+    for ids in by_shape.values():
+        base_ids.append(ids[0])
+        for j in ids[1:]:
+            derived[j] = ids[0]
+    if not derived:
+        return encode_jbig2_text_page(symbols, instances, w, h)
+    bases = [symbols[i] for i in base_ids]
+    derived_ids = sorted(derived)
+    derived_syms = [symbols[j] for j in derived_ids]
+    base_export = _sorted_symbol_order(bases)
+    input_id = {base_ids[k]: pos for pos, k in enumerate(base_export)}
+    refine_from = {
+        li: input_id[derived[j]] for li, j in enumerate(derived_ids)
+    }
+    input_syms = [bases[k] for k in base_export]
+    sd1 = _encode_symbol_dict(bases)
+    sd2 = _encode_symbol_dict(
+        derived_syms, refine_from=refine_from, input_syms=input_syms
+    )
+    export_order = [base_ids[k] for k in base_export] + [
+        derived_ids[k] for k in _sorted_symbol_order(derived_syms)
+    ]
+    tregion = _encode_text_region(
+        symbols, instances, w, h, export_order=export_order
+    )
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    return (
+        _segment_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
+        + _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sd1)) + sd1
+        + _segment_header(2, _SEG_SYMBOL_DICT, 1, len(sd2), referred=(1,)) + sd2
+        + _segment_header(3, _SEG_TEXT_IMMEDIATE, 1, len(tregion), referred=(1, 2))
+        + tregion
+        + _segment_header(4, _SEG_END_OF_PAGE, 1, 0)
+    )
+
+
 def encode_jbig2_text_page(
     symbols: list[np.ndarray],
     instances: list[tuple[int, int, int]],
@@ -1183,6 +1366,19 @@ def decode_refinement_region(
     cx_i = bytearray(1 << nbits)
     cx_mps = bytearray(1 << nbits)
     dec = MQDecoder(data)
+    return _decode_refinement_bitmap(
+        dec, cx_i, cx_mps, width, height, reference, coding, refc,
+        template, tpgron, dx, dy,
+    )
+
+
+def _decode_refinement_bitmap(
+    dec, cx_i, cx_mps, width, height, reference, coding, refc,
+    template, tpgron, dx, dy,
+) -> np.ndarray:
+    """Core refinement pixel loop over a CALLER-OWNED decoder and GR
+    context (REFAGG symbol dictionaries refine many symbols through one
+    shared decoder/context — T.88 §6.5.8.2)."""
     ref = np.asarray(reference, dtype=bool)
     rh, rw = ref.shape
     ref_rows = ref.astype(np.uint8).tolist()
@@ -1239,6 +1435,17 @@ def encode_refinement_region(
     cx_i = bytearray(1 << nbits)
     cx_mps = bytearray(1 << nbits)
     enc = MQEncoder()
+    _encode_refinement_bitmap(
+        enc, cx_i, cx_mps, img, ref, coding, refc, template, tpgron, dx, dy
+    )
+    return enc.flush()
+
+
+def _encode_refinement_bitmap(
+    enc, cx_i, cx_mps, img, ref, coding, refc, template, tpgron, dx, dy
+) -> None:
+    """Mirror of :func:`_decode_refinement_bitmap`."""
+    height, width = img.shape
     rows = img.astype(np.uint8).tolist()
     rh, rw = ref.shape
     ref_rows = ref.astype(np.uint8).tolist()
@@ -1275,7 +1482,6 @@ def encode_refinement_region(
                 else:
                     cx <<= 1
             enc.encode(cx_i, cx_mps, cx, rows[y][x])
-    return enc.flush()
 
 
 def _decode_refinement_segment(payload: bytes, st: "_PageState"):

@@ -152,7 +152,7 @@ def build_image_pdf(
         img_id = next_id
         next_id += 1
         h, w = arr.shape[:2]
-        if cs in ("JBIG2", "JBIG2G", "JBIG2S", "JBIG2R", "JBIG2H"):
+        if cs in ("JBIG2", "JBIG2G", "JBIG2S", "JBIG2R", "JBIG2H", "JBIG2RA"):
             # JBIG2 bitonal image; "JBIG2G" splits the page info segment
             # into a /JBIG2Globals stream (the shared-segment organization
             # real PDF producers use); "JBIG2S" uses symbol mode (connected
@@ -160,18 +160,22 @@ def build_image_pdf(
             # default); "JBIG2R" uses refinement mode (rough generic pass +
             # lossless refinement region, the jbig2enc lossless shape);
             # "JBIG2H" halftone-dithers the GRAY array through a pattern
-            # dictionary (cell=2 keeps glyph shapes OCR-readable)
+            # dictionary (cell=2 keeps glyph shapes OCR-readable);
+            # "JBIG2RA" uses SDREFAGG symbols refining a base dictionary
             from .jbig2x import (
                 _SEG_PAGE_INFO,
                 encode_jbig2_embedded,
                 encode_jbig2_halftone_mode,
                 encode_jbig2_refinement_mode,
                 encode_jbig2_symbol_mode,
+                encode_jbig2_symbol_refagg_mode,
             )
 
             black = arr if arr.dtype == bool else arr < 128
             if cs == "JBIG2S":
                 stream = encode_jbig2_symbol_mode(black)
+            elif cs == "JBIG2RA":
+                stream = encode_jbig2_symbol_refagg_mode(black)
             elif cs == "JBIG2R":
                 stream = encode_jbig2_refinement_mode(black)
             elif cs == "JBIG2H":

@@ -469,3 +469,65 @@ class TestHalftone:
         pd[0] |= 1  # set HDMMR
         with pytest.raises(Jbig2Error, match="MMR pattern"):
             jbig2x.decode_pattern_dict(bytes(pd))
+
+
+class TestRefAggSymbols:
+    def test_cross_dictionary_refinement_round_trip(self):
+        # same-shape near-dup components: bases in dict 1, SDREFAGG
+        # derivatives in dict 2 with dict-1 input symbols
+        rng = np.random.default_rng(8)
+        img = np.zeros((30, 60), dtype=bool)
+        img[2:10, 2:10] = rng.random((8, 8)) < 0.5
+        img[2:10, 20:28] = img[2:10, 2:10] ^ (rng.random((8, 8)) < 0.1)
+        img[2:10, 40:48] = img[2:10, 2:10]
+        img[15:20, 5:30] = rng.random((5, 25)) < 0.4
+        stream = jbig2x.encode_jbig2_symbol_refagg_mode(img)
+        assert np.array_equal(jbig2x.decode_jbig2_embedded(stream), img)
+
+    def test_text_raster_round_trip(self):
+        g = rasters.render_text("AABB AABA", scale=2)
+        black = g < 128
+        stream = jbig2x.encode_jbig2_symbol_refagg_mode(black)
+        assert np.array_equal(jbig2x.decode_jbig2_embedded(stream), black)
+
+    def test_falls_back_without_pairs(self):
+        # all-distinct shapes: plain symbol mode, still exact
+        img = np.zeros((20, 40), dtype=bool)
+        img[2:6, 2:8] = True
+        img[10:17, 12:15] = True
+        stream = jbig2x.encode_jbig2_symbol_refagg_mode(img)
+        assert np.array_equal(jbig2x.decode_jbig2_embedded(stream), img)
+
+    def test_aggregate_ninst_gt_1_rejected(self):
+        # REFAGGNINST > 1 (aggregate text region) stays a labeled gap:
+        # hand-build a dict whose first coded int says 2 instances
+        base = np.ones((4, 4), dtype=bool)
+        sd = jbig2x._encode_symbol_dict(
+            [base], refine_from={0: 0}, input_syms=[np.ones((4, 4), bool)]
+        )
+        # corrupt: re-encode with ninst=2 by patching the int stream is
+        # fragile; instead drive the decoder directly
+        from activestorage_ocr_spark.engine.jbig2x import (
+            MQEncoder, _encode_int, _encode_iaid, _IntCtx, _symcodelen,
+        )
+        import struct as st
+
+        enc = MQEncoder()
+        iadh, iadw = _IntCtx(), _IntCtx()
+        iaai = _IntCtx()
+        _encode_int(enc, iadh, 4)
+        _encode_int(enc, iadw, 4)
+        _encode_int(enc, iaai, 2)  # REFAGGNINST = 2
+        body = enc.flush()
+        head = st.pack(">H", 2 | (0 << 12))
+        head += b"\x03\xff\xfd\xff\x02\xfe\xfe\xfe"  # SDAT (template 0: 4 pairs)
+        head += b"\xff\xff\xff\xff"  # SDRAT (2 pairs)
+        head += st.pack(">II", 1, 1)
+        with pytest.raises(Jbig2Error, match="REFAGGNINST"):
+            jbig2x._decode_symbol_dict(head + body, [np.ones((4, 4), bool)])
+
+    def test_pdf_end_to_end(self):
+        img = rasters.render_text("REFAGG SYMBOLS", scale=2)
+        res = extract_document(pdfx.build_image_pdf([(img, "JBIG2RA")]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "REFAGG SYMBOLS"
