@@ -1905,6 +1905,39 @@ def q_robots_filter(spark, sf_dir):
     )
 
 
+def q_training_mix(spark, sf_dir):
+    """Training-mix assembly — the capstone curation step: fill per-language
+    token QUOTAS with the highest-quality documents (quality desc, doc_id
+    tiebreak), marking each doc selected while the language's running token
+    total sits under its quota (the boundary doc may overshoot — standard
+    greedy fill). Quotas: en 20000 tokens, de 8000, everything else 3000.
+
+    100 TB posture: ONE window over (lang, quality desc, doc_id) carries
+    both the rank and the running sum — a single shuffle on lang, no joins,
+    no second scan. Same skew note as pack_sequences: a production run
+    subpartitions the en-dominated window key by a url-hash prefix and
+    spreads the quota pro rata across subpartitions, keeping the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    quota = (
+        F.when(F.col("lang") == "en", F.lit(20000))
+        .when(F.col("lang") == "de", F.lit(8000))
+        .otherwise(F.lit(3000))
+    )
+    scored = docs.select(
+        "doc_id", "lang",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        F.round(ts.quality_score(F.col("text")), 9).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "quality",
+        F.row_number().over(w).cast("long").alias("lang_rank"),
+        cum_before.alias("cum_tokens_before"),
+        (cum_before < quota).alias("selected"),
+    )
+
+
 QUERIES.update(
     {
         "pack_sequences": q_pack_sequences,
@@ -1919,6 +1952,7 @@ QUERIES.update(
         "urlfilter_flags": q_urlfilter_flags,
         "crawl_delta": q_crawl_delta,
         "robots_filter": q_robots_filter,
+        "training_mix": q_training_mix,
     }
 )
 
@@ -2036,6 +2070,40 @@ ORACLES.update(
                             THEN TRUE ELSE FALSE END), FALSE) AS keep
             FROM pages p LEFT JOIN rules r USING (host)
             GROUP BY p.doc_id, p.host, p.path
+        """,
+        "training_mix": rf"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END::BIGINT AS n_tokens,
+                       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE (
+                           least(length(text) / 500.0, 1.0)
+                         + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / length(text)::DOUBLE
+                         + least(({_stop_count_sql('the')} + {_stop_count_sql('and')}
+                                  + {_stop_count_sql('of')} + {_stop_count_sql('to')}
+                                  + {_stop_count_sql('in')}) / 10.0, 1.0)
+                       ) / 3.0 END::DOUBLE, 9) AS quality
+                FROM documents
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER
+                           (PARTITION BY lang ORDER BY quality DESC, doc_id)
+                           ::BIGINT AS lang_rank,
+                       (sum(n_tokens) OVER
+                           (PARTITION BY lang ORDER BY quality DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens)
+                           ::BIGINT AS cum_tokens_before
+                FROM scored
+            )
+            SELECT doc_id, lang, n_tokens, quality, lang_rank,
+                   cum_tokens_before,
+                   cum_tokens_before < (CASE WHEN lang = 'en' THEN 20000
+                                             WHEN lang = 'de' THEN 8000
+                                             ELSE 3000 END) AS selected
+            FROM ranked
         """,
     }
 )

@@ -143,3 +143,26 @@ def test_tiff_roundtrip_property(dims, seed, comp):
     pred = 2 if (comp == 5 and seed % 3 == 0) else 1
     got = rasters.decode_tiff(_make_tiff(img, big_endian=big, comp=comp, predictor=pred))
     assert np.array_equal(got, img)
+
+
+@given(
+    st.sampled_from(["JPX", "JPXJ", "JPXL", "JBIG2R", "JBIG2H", "JBIG2RA"]),
+    st.integers(0, 2**31 - 1),
+    st.integers(1, 8),
+)
+@settings(max_examples=30, deadline=None)
+def test_mutated_codec_pdfs_never_raise(kind, seed, nflips):
+    """O7 for the round-4 codecs: byte-mutated JPX / JBIG2-refinement /
+    halftone / refagg PDFs must extract or quarantine, never raise."""
+    import numpy as np
+
+    from activestorage_ocr_spark.engine import pdfx, rasters
+    from activestorage_ocr_spark.engine.extract import extract_document
+
+    rng = np.random.RandomState(seed)
+    img = rasters.render_text("FUZZ 1", scale=2)
+    pdf = bytearray(pdfx.build_image_pdf([(img, kind)]))
+    for _ in range(nflips):
+        pdf[rng.randint(0, len(pdf))] = rng.randint(0, 256)
+    res = extract_document(bytes(pdf))
+    assert isinstance(res, dict) and "status" in res
