@@ -1551,9 +1551,22 @@ def decode_jp2(data: bytes) -> np.ndarray:
             )
             sot_start = pos - 2
             seg_end = pos + lsot
-            # find SOD
-            if cs[seg_end : seg_end + 2] != b"\xff\x93":
-                raise Jp2Error("SOT not followed by SOD")
+            # tile-part header: COM markers skip; per-tile coding/quant
+            # overrides are a named rejection; then SOD starts the data
+            while cs[seg_end : seg_end + 2] != b"\xff\x93":
+                if seg_end + 4 > n:
+                    raise Jp2Error("tile-part header truncated before SOD")
+                (tmark,) = struct.unpack(">H", cs[seg_end : seg_end + 2])
+                if tmark in (0xFF52, 0xFF5C, 0xFF53, 0xFF5D, 0xFF5E, 0xFF5F):
+                    raise Jp2Error(
+                        "per-tile coding/quantization overrides are not supported"
+                    )
+                if tmark != 0xFF64 and tmark not in _SKIP_MARKERS:
+                    raise Jp2Error(
+                        f"unexpected marker 0x{tmark:04x} in tile-part header"
+                    )
+                (tlen,) = struct.unpack(">H", cs[seg_end + 2 : seg_end + 4])
+                seg_end += 2 + tlen
             data_start = seg_end + 2
             if psot == 0:
                 data_end = n - 2  # until EOC

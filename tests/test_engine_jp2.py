@@ -462,3 +462,29 @@ class TestFilterChain:
         res = extract_document(_assemble(objs))
         assert res["status"] == "ok"
         assert res["extracted_text"] == "CHAIN JPX"
+
+
+class TestTilePartHeaders:
+    def _spliced(self, marker_seg):
+        import struct
+
+        img = (np.arange(32 * 40) % 256).astype(np.uint8).reshape(32, 40)
+        cs = bytearray(encode_jp2(img))
+        sot = cs.index(b"\xff\x90")
+        at = sot + 12  # after the 10-byte SOT segment body
+        psot = struct.unpack(">I", cs[sot + 6 : sot + 10])[0]
+        cs[sot + 6 : sot + 10] = struct.pack(">I", psot + len(marker_seg))
+        return img, bytes(cs[:at]) + marker_seg + bytes(cs[at:])
+
+    def test_com_in_tile_part_header_skipped(self):
+        import struct
+
+        img, cs = self._spliced(b"\xff\x64" + struct.pack(">H", 6) + b"\x00\x01ok")
+        assert np.array_equal(decode_jp2(cs), img)
+
+    def test_per_tile_cod_named_rejection(self):
+        import struct
+
+        _, cs = self._spliced(b"\xff\x52" + struct.pack(">H", 12) + b"\x00" * 10)
+        with pytest.raises(Jp2Error, match="per-tile"):
+            decode_jp2(cs)
