@@ -570,12 +570,8 @@ def _decode_symbol_dict(
     dec = MQDecoder(payload[pos:])
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
     if refagg:
-        gr_coding, gr_refc = _refine_coords(rtemplate, rat)
-        gr_n = len(gr_coding) + len(gr_refc)
-        gr_i, gr_mps = bytearray(1 << gr_n), bytearray(1 << gr_n)
-        iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
-        symcodelen = _symcodelen(len(input_syms) + numnew)
-        iaid = _IntCtx(1 << (symcodelen + 1))
+        iaai = _IntCtx()
+        tcx = _TextCtxs(len(input_syms) + numnew, True, rtemplate, rat)
     new_syms: list[np.ndarray] = []
     hcheight = 0
     while len(new_syms) < numnew:
@@ -597,35 +593,40 @@ def _decode_symbol_dict(
             if len(new_syms) >= numnew:
                 raise Jbig2Error("more symbols than declared")
             if refagg:
-                # T.88 6.5.8.2: one refinement instance per symbol is the
-                # tractable arithmetic case; aggregate text regions
-                # (REFAGGNINST > 1) stay a labeled gap
                 ninst = _decode_int(dec, iaai)
-                if ninst != 1:
-                    raise Jbig2Error(
-                        "unsupported JBIG2 segment: aggregate symbol "
-                        f"(REFAGGNINST={ninst})"
+                if ninst is None or ninst < 1 or ninst > 10_000:
+                    raise Jbig2Error(f"bad REFAGGNINST {ninst}")
+                combined_syms = list(input_syms) + new_syms
+                if ninst == 1:
+                    # single refinement instance (6.5.8.2.2 fast path)
+                    rid = _decode_iaid(dec, tcx.iaid, tcx.symcodelen)
+                    rdx = _decode_int(dec, tcx.iardx)
+                    rdy = _decode_int(dec, tcx.iardy)
+                    if rid is None or rdx is None or rdy is None:
+                        raise Jbig2Error("OOB refinement parameters")
+                    if not (0 <= rid < len(combined_syms)):
+                        raise Jbig2Error(
+                            f"refinement references unknown symbol {rid}"
+                        )
+                    new_syms.append(
+                        _decode_refinement_bitmap(
+                            dec, tcx.gr_i, tcx.gr_mps, symwidth, hcheight,
+                            combined_syms[rid], tcx.gr_coding, tcx.gr_refc,
+                            rtemplate, False, rdx, rdy,
+                        )
                     )
-                rid = _decode_iaid(dec, iaid, symcodelen)
-                rdx = _decode_int(dec, iardx)
-                rdy = _decode_int(dec, iardy)
-                if rid is None or rdx is None or rdy is None:
-                    raise Jbig2Error("OOB refinement parameters")
-                combined = len(input_syms) + len(new_syms)
-                if not (0 <= rid < combined):
-                    raise Jbig2Error(f"refinement references unknown symbol {rid}")
-                ref = (
-                    input_syms[rid]
-                    if rid < len(input_syms)
-                    else new_syms[rid - len(input_syms)]
-                )
-                new_syms.append(
-                    _decode_refinement_bitmap(
-                        dec, gr_i, gr_mps, symwidth, hcheight,
-                        ref, gr_coding, gr_refc, rtemplate,
-                        False, rdx, rdy,
+                else:
+                    # aggregate symbol: a mini text bitmap of ninst refined
+                    # instances over the symbols decoded so far, SHARING
+                    # the dictionary's contexts (6.5.8.2.1)
+                    if not combined_syms:
+                        raise Jbig2Error("aggregate symbol with no symbols")
+                    new_syms.append(
+                        _decode_text_bitmap(
+                            dec, tcx, combined_syms, symwidth, hcheight,
+                            ninst, 1, _REFCORNER_TL, 0, 0, 0, True,
+                        )
                     )
-                )
                 continue
             new_syms.append(
                 _decode_generic_bitmap(
@@ -679,10 +680,11 @@ def _encode_symbol_dict(
     decode_pos = {orig: k for k, orig in enumerate(order)}
     if refagg:
         for k, orig in enumerate(order):
-            pid = refine_from.get(orig)
-            if pid is None:
+            spec = refine_from.get(orig)
+            if spec is None:
                 raise Jbig2Error("refagg dictionary needs refine_from for every symbol")
-            if not (0 <= pid < len(input_syms) + k):
+            pids = [spec] if isinstance(spec, int) else [pl[0] for pl in spec]
+            if not pids or any(not (0 <= p < len(input_syms) + k) for p in pids):
                 raise Jbig2Error(
                     "refine_from id must reference an input symbol or an "
                     "earlier new symbol"
@@ -693,12 +695,8 @@ def _encode_symbol_dict(
     enc = MQEncoder()
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
     if refagg:
-        gr_coding, gr_refc = _refine_coords(rtemplate, None)
-        gr_n = len(gr_coding) + len(gr_refc)
-        gr_i, gr_mps = bytearray(1 << gr_n), bytearray(1 << gr_n)
-        iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
-        symcodelen = _symcodelen(len(input_syms) + len(syms))
-        iaid = _IntCtx(1 << (symcodelen + 1))
+        iaai = _IntCtx()
+        tcx = _TextCtxs(len(input_syms) + len(syms), True, rtemplate)
     hcheight = 0
     i = 0
     while i < len(order):
@@ -712,20 +710,28 @@ def _encode_symbol_dict(
             _encode_int(enc, iadw, w - symwidth)
             symwidth = w
             if refagg:
-                _encode_int(enc, iaai, 1)  # REFAGGNINST
-                pid = refine_from[orig]
-                _encode_iaid(enc, iaid, symcodelen, pid)
-                _encode_int(enc, iardx, 0)
-                _encode_int(enc, iardy, 0)
-                ref = (
+                spec = refine_from[orig]
+                get_ref = lambda pid: (  # noqa: E731
                     input_syms[pid]
                     if pid < len(input_syms)
                     else syms[order[pid - len(input_syms)]]
                 )
-                _encode_refinement_bitmap(
-                    enc, gr_i, gr_mps, syms[orig], ref,
-                    gr_coding, gr_refc, rtemplate, False, 0, 0,
-                )
+                if isinstance(spec, int):
+                    _encode_int(enc, iaai, 1)  # REFAGGNINST
+                    _encode_iaid(enc, tcx.iaid, tcx.symcodelen, spec)
+                    _encode_int(enc, tcx.iardx, 0)
+                    _encode_int(enc, tcx.iardy, 0)
+                    _encode_refinement_bitmap(
+                        enc, tcx.gr_i, tcx.gr_mps, syms[orig], get_ref(spec),
+                        tcx.gr_coding, tcx.gr_refc, rtemplate, False, 0, 0,
+                    )
+                else:
+                    # aggregate symbol: placements [(pid, x, y[, bitmap])]
+                    # decoded as a mini TL/1-strip text bitmap (6.5.8.2.2)
+                    _encode_int(enc, iaai, len(spec))
+                    _encode_text_bitmap_shared(
+                        enc, tcx, get_ref, spec
+                    )
                 i += 1
                 continue
             _encode_generic_bitmap(
@@ -760,41 +766,49 @@ def _sorted_symbol_order(symbols: list) -> list[int]:
 _REFCORNER_BL, _REFCORNER_TL, _REFCORNER_BR, _REFCORNER_TR = 0, 1, 2, 3
 
 
-def _decode_text_region(payload: bytes, symbols: list[np.ndarray]):
-    """Arithmetic text region -> (bitmap, x, y, comb_op)."""
-    if len(payload) < 21:
-        raise Jbig2Error("truncated text region")
-    w, h, x, y, comb = struct.unpack_from(">IIIIB", payload, 0)
-    flags = struct.unpack_from(">H", payload, 17)[0]
-    pos = 19
-    if flags & 1:
-        raise Jbig2Error("unsupported JBIG2 segment: Huffman text region")
-    if flags & 2:
-        raise Jbig2Error("unsupported JBIG2 segment: refinement text region")
-    log2strips = (flags >> 2) & 3
-    refcorner = (flags >> 4) & 3
-    if (flags >> 6) & 1:
-        raise Jbig2Error("unsupported JBIG2 text region: transposed placement")
-    sbcombop = (flags >> 7) & 3
-    defpixel = (flags >> 9) & 1
-    dsoffset = (flags >> 10) & 0x1F
-    if dsoffset > 15:
-        dsoffset -= 32  # signed 5-bit
-    (n_instances,) = struct.unpack_from(">I", payload, pos)
-    pos += 4
-    if not symbols:
-        raise Jbig2Error("text region with no symbol dictionary")
-    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
-        raise Jbig2Error("bad text region dimensions")
-    if n_instances > 1_000_000:
-        raise Jbig2Error("text region instance count too large")
-    strips = 1 << log2strips
-    symcodelen = _symcodelen(len(symbols))
-    dec = MQDecoder(payload[pos:])
-    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
-    iaid = _IntCtx(1 << (symcodelen + 1))
+class _TextCtxs:
+    """Integer/ID/refinement contexts for text-bitmap coding — one bundle
+    per text region, or SHARED across a dictionary's aggregate symbols."""
+
+    __slots__ = (
+        "iadt", "iafs", "iads", "iait", "iaid", "iari",
+        "iardw", "iardh", "iardx", "iardy", "gr_i", "gr_mps",
+        "gr_coding", "gr_refc", "rtemplate", "symcodelen",
+    )
+
+    def __init__(self, n_syms: int, refine: bool, rtemplate: int, rat=None):
+        self.iadt, self.iafs, self.iads, self.iait = (
+            _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+        )
+        self.symcodelen = _symcodelen(n_syms)
+        self.iaid = _IntCtx(1 << (self.symcodelen + 1))
+        self.rtemplate = rtemplate
+        if refine:
+            self.iari = _IntCtx()
+            self.iardw, self.iardh = _IntCtx(), _IntCtx()
+            self.iardx, self.iardy = _IntCtx(), _IntCtx()
+            self.gr_coding, self.gr_refc = _refine_coords(rtemplate, rat)
+            n = len(self.gr_coding) + len(self.gr_refc)
+            self.gr_i, self.gr_mps = bytearray(1 << n), bytearray(1 << n)
+
+
+def _decode_text_bitmap(
+    dec: MQDecoder,
+    cx: _TextCtxs,
+    symbols: list[np.ndarray],
+    w: int,
+    h: int,
+    n_instances: int,
+    strips: int,
+    refcorner: int,
+    sbcombop: int,
+    defpixel: int,
+    dsoffset: int,
+    refine: bool,
+) -> np.ndarray:
+    """Instance loop of T.88 §6.4 over a caller-owned decoder + contexts."""
     region = np.full((h, w), bool(defpixel), dtype=bool)
-    dt = _decode_int(dec, iadt)
+    dt = _decode_int(dec, cx.iadt)
     if dt is None:
         raise Jbig2Error("OOB strip T in text region")
     stript = -dt * strips
@@ -802,7 +816,7 @@ def _decode_text_region(payload: bytes, symbols: list[np.ndarray]):
     n_done = 0
     while n_done < n_instances:
         budget.check()
-        dt = _decode_int(dec, iadt)
+        dt = _decode_int(dec, cx.iadt)
         if dt is None:
             raise Jbig2Error("OOB strip T in text region")
         stript += dt * strips
@@ -810,25 +824,42 @@ def _decode_text_region(payload: bytes, symbols: list[np.ndarray]):
         curs = 0
         while True:
             if first_in_strip:
-                dfs = _decode_int(dec, iafs)
+                dfs = _decode_int(dec, cx.iafs)
                 if dfs is None:
                     raise Jbig2Error("OOB first-S in text region")
                 firsts += dfs
                 curs = firsts
                 first_in_strip = False
             else:
-                ids = _decode_int(dec, iads)
+                ids = _decode_int(dec, cx.iads)
                 if ids is None:
                     break  # strip done
                 curs += ids + dsoffset
-            curt = 0 if strips == 1 else _decode_int(dec, iait)
+            curt = 0 if strips == 1 else _decode_int(dec, cx.iait)
             if curt is None:
                 raise Jbig2Error("OOB T offset in text region")
             t = stript + curt
-            sid = _decode_iaid(dec, iaid, symcodelen)
+            sid = _decode_iaid(dec, cx.iaid, cx.symcodelen)
             if sid >= len(symbols):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = symbols[sid]
+            if refine and _decode_int(dec, cx.iari):
+                # SBREFINE (6.4.11): per-instance refinement of the symbol
+                rdw = _decode_int(dec, cx.iardw)
+                rdh = _decode_int(dec, cx.iardh)
+                rdx = _decode_int(dec, cx.iardx)
+                rdy = _decode_int(dec, cx.iardy)
+                if None in (rdw, rdh, rdx, rdy):
+                    raise Jbig2Error("OOB refinement deltas in text region")
+                nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                if nw <= 0 or nh <= 0 or nw * nh > _MAX_PIXELS:
+                    raise Jbig2Error("bad refined instance dimensions")
+                gdx = (rdw >> 1) + rdx
+                gdy = (rdh >> 1) + rdy
+                sym = _decode_refinement_bitmap(
+                    dec, cx.gr_i, cx.gr_mps, nw, nh, sym,
+                    cx.gr_coding, cx.gr_refc, cx.rtemplate, False, gdx, gdy,
+                )
             sh, sw = sym.shape
             if refcorner in (_REFCORNER_TR, _REFCORNER_BR):
                 curs += sw - 1
@@ -850,59 +881,184 @@ def _decode_text_region(payload: bytes, symbols: list[np.ndarray]):
             n_done += 1
             if n_done > n_instances:
                 raise Jbig2Error("more instances than declared")
+    return region
+
+
+def _decode_text_region(payload: bytes, symbols: list[np.ndarray]):
+    """Arithmetic text region -> (bitmap, x, y, comb_op)."""
+    if len(payload) < 21:
+        raise Jbig2Error("truncated text region")
+    w, h, x, y, comb = struct.unpack_from(">IIIIB", payload, 0)
+    flags = struct.unpack_from(">H", payload, 17)[0]
+    pos = 19
+    if flags & 1:
+        raise Jbig2Error("unsupported JBIG2 segment: Huffman text region")
+    refine = bool(flags & 2)
+    log2strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    if (flags >> 6) & 1:
+        raise Jbig2Error("unsupported JBIG2 text region: transposed placement")
+    sbcombop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit
+    rtemplate = (flags >> 15) & 1
+    rat = None
+    if refine and rtemplate == 0:
+        if len(payload) < pos + 4:
+            raise Jbig2Error("truncated SBRAT pixel list")
+        rat = (
+            (struct.unpack_from("b", payload, pos)[0],
+             struct.unpack_from("b", payload, pos + 1)[0]),
+            (struct.unpack_from("b", payload, pos + 2)[0],
+             struct.unpack_from("b", payload, pos + 3)[0]),
+        )
+        pos += 4
+    (n_instances,) = struct.unpack_from(">I", payload, pos)
+    pos += 4
+    if not symbols:
+        raise Jbig2Error("text region with no symbol dictionary")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise Jbig2Error("bad text region dimensions")
+    if n_instances > 1_000_000:
+        raise Jbig2Error("text region instance count too large")
+    strips = 1 << log2strips
+    dec = MQDecoder(payload[pos:])
+    cx = _TextCtxs(len(symbols), refine, rtemplate, rat)
+    region = _decode_text_bitmap(
+        dec, cx, symbols, w, h, n_instances, strips, refcorner,
+        sbcombop, defpixel, dsoffset, refine,
+    )
     return region, x, y, comb & 7
+
+
+def _encode_text_bitmap_shared(
+    enc: MQEncoder, cx: "_TextCtxs", get_ref, placements
+) -> None:
+    """Encode (decoder_id, x, y[, bitmap]) placements as a text bitmap over
+    CALLER-OWNED contexts — the aggregate-symbol form (strips of 1, TL
+    corner, OR, zero DS offset, SBREFINE on)."""
+    by_t: dict[int, list] = {}
+    for pl in placements:
+        pid, sx, sy = pl[0], pl[1], pl[2]
+        bmp = pl[3] if len(pl) == 4 else None
+        by_t.setdefault(sy, []).append((sx, pid, bmp))
+    _encode_int(enc, cx.iadt, 0)
+    stript = 0
+    firsts = 0
+    for t in sorted(by_t):
+        _encode_int(enc, cx.iadt, t - stript)
+        stript = t
+        row = sorted(by_t[t], key=lambda e: e[0])
+        _encode_int(enc, cx.iafs, row[0][0] - firsts)
+        firsts = row[0][0]
+        curs = firsts
+        for k, (sx, pid, bmp) in enumerate(row):
+            if k > 0:
+                _encode_int(enc, cx.iads, sx - curs)
+                curs = sx
+            _encode_iaid(enc, cx.iaid, cx.symcodelen, pid)
+            ref = np.asarray(get_ref(pid), dtype=bool)
+            if bmp is None:
+                _encode_int(enc, cx.iari, 0)
+                eff = ref
+            else:
+                _encode_int(enc, cx.iari, 1)
+                new = np.asarray(bmp, dtype=bool)
+                rdw = new.shape[1] - ref.shape[1]
+                rdh = new.shape[0] - ref.shape[0]
+                _encode_int(enc, cx.iardw, rdw)
+                _encode_int(enc, cx.iardh, rdh)
+                _encode_int(enc, cx.iardx, 0)
+                _encode_int(enc, cx.iardy, 0)
+                _encode_refinement_bitmap(
+                    enc, cx.gr_i, cx.gr_mps, new, ref,
+                    cx.gr_coding, cx.gr_refc, cx.rtemplate, False,
+                    (rdw >> 1), (rdh >> 1),
+                )
+                eff = new
+            curs += eff.shape[1] - 1
+        _encode_int(enc, cx.iads, None)
 
 
 def _encode_text_region(
     symbols: list[np.ndarray],
-    instances: list[tuple[int, int, int]],
+    instances: list[tuple],
     width: int,
     height: int,
     export_order: list[int] | None = None,
 ) -> bytes:
     """Mirror of :func:`_decode_text_region`: instances are (symbol_index,
     x, y) with x/y the TOP-LEFT corner, placed onto a width x height region
-    with OR composition. Symbol indices refer to the ORIGINAL symbol list;
-    the dictionary's height-ascending export order is applied here, unless
-    ``export_order`` (original indices in decoder id order — the multi-
-    dictionary case) overrides it."""
+    with OR composition — or (symbol_index, x, y, bitmap) to place a
+    SBREFINE per-instance refinement of the symbol (the bitmap's dims may
+    differ; RDW/RDH signal the delta). Symbol indices refer to the ORIGINAL
+    symbol list; the dictionary's height-ascending export order is applied
+    here, unless ``export_order`` (original indices in decoder id order —
+    the multi-dictionary case) overrides it."""
     if export_order is None:
         export_order = _sorted_symbol_order(
             [np.asarray(s, dtype=bool) for s in symbols]
         )
     id_of = {orig: new for new, orig in enumerate(export_order)}
     symcodelen = _symcodelen(len(export_order))
+    refine = any(len(inst) == 4 for inst in instances)
     enc = MQEncoder()
-    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
-    iaid = _IntCtx(1 << (symcodelen + 1))
+    cx = _TextCtxs(len(export_order), refine, 0)
     # strips of height 1 (LOG2SBSTRIPS=0, REFCORNER=TOPLEFT): group by y
     by_t: dict[int, list] = {}
-    for sid, sx, sy in instances:
-        by_t.setdefault(sy, []).append((sx, sid))
-    _encode_int(enc, iadt, 0)  # STRIPT starts at 0
+    for inst in instances:
+        sid, sx, sy = inst[0], inst[1], inst[2]
+        bmp = inst[3] if len(inst) == 4 else None
+        by_t.setdefault(sy, []).append((sx, sid, bmp))
+    _encode_int(enc, cx.iadt, 0)  # STRIPT starts at 0
     stript = 0
     firsts = 0
     for t in sorted(by_t):
-        _encode_int(enc, iadt, t - stript)
+        _encode_int(enc, cx.iadt, t - stript)
         stript = t
-        row = sorted(by_t[t])
+        row = sorted(by_t[t], key=lambda e: e[0])
         dfs = row[0][0] - firsts
-        _encode_int(enc, iafs, dfs)
+        _encode_int(enc, cx.iafs, dfs)
         firsts = row[0][0]
         curs = firsts
-        for k, (sx, sid) in enumerate(row):
+        for k, (sx, sid, bmp) in enumerate(row):
             if k > 0:
-                _encode_int(enc, iads, sx - curs)
+                _encode_int(enc, cx.iads, sx - curs)
                 curs = sx
-            _encode_iaid(enc, iaid, symcodelen, id_of[sid])
-            curs += symbols[sid].shape[1] - 1
-        _encode_int(enc, iads, None)  # OOB: strip done
+            _encode_iaid(enc, cx.iaid, symcodelen, id_of[sid])
+            eff = symbols[sid]
+            if refine:
+                if bmp is None:
+                    _encode_int(enc, cx.iari, 0)
+                else:
+                    _encode_int(enc, cx.iari, 1)
+                    ref = np.asarray(symbols[sid], dtype=bool)
+                    new = np.asarray(bmp, dtype=bool)
+                    rdw = new.shape[1] - ref.shape[1]
+                    rdh = new.shape[0] - ref.shape[0]
+                    _encode_int(enc, cx.iardw, rdw)
+                    _encode_int(enc, cx.iardh, rdh)
+                    _encode_int(enc, cx.iardx, 0)
+                    _encode_int(enc, cx.iardy, 0)
+                    _encode_refinement_bitmap(
+                        enc, cx.gr_i, cx.gr_mps, new, ref,
+                        cx.gr_coding, cx.gr_refc, 0, False,
+                        (rdw >> 1), (rdh >> 1),
+                    )
+                    eff = new
+            curs += eff.shape[1] - 1
+        _encode_int(enc, cx.iads, None)  # OOB: strip done
     body = enc.flush()
-    flags = _REFCORNER_TL << 4  # arithmetic, 1-strip, OR, defpixel 0
+    flags = (_REFCORNER_TL << 4) | (2 if refine else 0)
     head = struct.pack(">IIIIB", width, height, 0, 0, 0)
     head += struct.pack(">H", flags)
+    if refine:
+        head += b"".join(struct.pack("bb", dx, dy) for dx, dy in _REFINE_AT_NOMINAL)
     head += struct.pack(">I", len(instances))
     return head + body
+
 
 _SEG_SYMBOL_DICT = 0
 _SEG_TEXT_INTERMEDIATE = 4

@@ -498,17 +498,10 @@ class TestRefAggSymbols:
         stream = jbig2x.encode_jbig2_symbol_refagg_mode(img)
         assert np.array_equal(jbig2x.decode_jbig2_embedded(stream), img)
 
-    def test_aggregate_ninst_gt_1_rejected(self):
-        # REFAGGNINST > 1 (aggregate text region) stays a labeled gap:
-        # hand-build a dict whose first coded int says 2 instances
-        base = np.ones((4, 4), dtype=bool)
-        sd = jbig2x._encode_symbol_dict(
-            [base], refine_from={0: 0}, input_syms=[np.ones((4, 4), bool)]
-        )
-        # corrupt: re-encode with ninst=2 by patching the int stream is
-        # fragile; instead drive the decoder directly
+    def test_bad_refaggninst_rejected(self):
+        # REFAGGNINST of 0 is malformed: hand-build a dict coding it
         from activestorage_ocr_spark.engine.jbig2x import (
-            MQEncoder, _encode_int, _encode_iaid, _IntCtx, _symcodelen,
+            MQEncoder, _encode_int, _IntCtx,
         )
         import struct as st
 
@@ -517,7 +510,7 @@ class TestRefAggSymbols:
         iaai = _IntCtx()
         _encode_int(enc, iadh, 4)
         _encode_int(enc, iadw, 4)
-        _encode_int(enc, iaai, 2)  # REFAGGNINST = 2
+        _encode_int(enc, iaai, 0)  # REFAGGNINST = 0
         body = enc.flush()
         head = st.pack(">H", 2 | (0 << 12))
         head += b"\x03\xff\xfd\xff\x02\xfe\xfe\xfe"  # SDAT (template 0: 4 pairs)
@@ -525,6 +518,45 @@ class TestRefAggSymbols:
         head += st.pack(">II", 1, 1)
         with pytest.raises(Jbig2Error, match="REFAGGNINST"):
             jbig2x._decode_symbol_dict(head + body, [np.ones((4, 4), bool)])
+
+    def test_sbrefine_text_region_instances(self):
+        # per-instance refinement (SBREFINE): same-size and size-changing
+        rng = np.random.default_rng(5)
+        a = rng.random((8, 6)) < 0.5
+        b = rng.random((5, 9)) < 0.4
+        syms = [a, b]
+        a2 = a ^ (rng.random((8, 6)) < 0.1)
+        b2 = np.pad(b, ((1, 0), (0, 2)))
+        b2 ^= rng.random(b2.shape) < 0.05
+        inst = [(0, 2, 2), (0, 12, 2, a2), (1, 24, 2, b2), (1, 40, 3)]
+        tr = jbig2x._encode_text_region(syms, inst, 60, 14)
+        order = jbig2x._sorted_symbol_order(syms)
+        region, _, _, _ = jbig2x._decode_text_region(tr, [syms[i] for i in order])
+        exp = np.zeros((14, 60), dtype=bool)
+        exp[2:10, 2:8] |= a
+        exp[2:10, 12:18] |= a2
+        exp[2:8, 24:35] |= b2
+        exp[3:8, 40:49] |= b
+        assert np.array_equal(region, exp)
+
+    def test_aggregate_symbol_ninst_2(self):
+        # a ligature symbol built from TWO refined placements of input
+        # symbols (REFAGGNINST=2 -> nested text bitmap, shared contexts)
+        rng = np.random.default_rng(12)
+        a = rng.random((8, 6)) < 0.5
+        b = rng.random((8, 7)) < 0.4
+        pa = a ^ (rng.random(a.shape) < 0.08)
+        pb = b ^ (rng.random(b.shape) < 0.08)
+        lig = np.zeros((8, 15), dtype=bool)
+        lig[:, 0:6] = pa
+        lig[:, 8:15] = pb
+        sd = jbig2x._encode_symbol_dict(
+            [lig],
+            refine_from={0: [(0, 0, 0, pa), (1, 8, 0, pb)]},
+            input_syms=[a, b],
+        )
+        out = jbig2x._decode_symbol_dict(sd, [a, b])
+        assert len(out) == 1 and np.array_equal(out[0], lig)
 
     def test_pdf_end_to_end(self):
         img = rasters.render_text("REFAGG SYMBOLS", scale=2)
