@@ -88,6 +88,68 @@ def dedup_pages_stream(pages: DataFrame, late_threshold: str = "2 hours") -> Dat
     return pages.withWatermark("warc_ts", late_threshold).dropDuplicatesWithinWatermark(["url"])
 
 
+def curate_stream(
+    extracted: DataFrame,
+    late_threshold: str = "2 hours",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """Streaming curation stage — the streaming twin of
+    ``operators/curation.run_curation_job``: identical map-side gates
+    (token count, quality score) then content-fingerprint dedup within the
+    watermark horizon.
+
+    Keeper semantics differ from the batch job HONESTLY: the batch keeper
+    is the global min-id per fingerprint (a pure function of the whole
+    input, resume-split-invariant); a stream keeps the FIRST ARRIVAL per
+    fingerprint and evicts state once the watermark passes, so a duplicate
+    arriving later than ``late_threshold`` passes through — bounded state
+    is the price of unbounded input. The batch job downstream remains the
+    source of truth for exact global dedup; this stage is the
+    cheap-early-drop in front of it (the standard lambda shape)."""
+    from ..operators import textstats as ts
+    from ..operators.extraction import OK_STATUSES
+
+    text = F.col("extracted_text")
+    gated = (
+        extracted.filter(F.col("status").isin(*OK_STATUSES))
+        .withColumn("n_tokens", ts.token_count(text))
+        .withColumn("quality", F.round(ts.quality_score(text), 9))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality") >= min_quality)
+        )
+        .withColumn("fp", F.md5(F.trim(F.lower(text)).cast("binary")))
+    )
+    return gated.withWatermark("warc_ts", late_threshold).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )
+
+
+def start_curation_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    late_threshold: str = "2 hours",
+    **kwargs,
+) -> StreamingQuery:
+    """File source -> extraction -> streaming curation -> parquet sink:
+    the full landing-to-curated flow as one exactly-once streaming query."""
+    curated = curate_stream(
+        extract_pages_stream(read_pages_stream(spark, landing_dir), **kwargs),
+        late_threshold=late_threshold,
+    )
+    return (
+        curated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def hourly_metrics_stream(
     extracted: DataFrame, late_threshold: str = "1 hour"
 ) -> DataFrame:

@@ -187,3 +187,46 @@ class TestSiteCrawlSessions:
         assert by["b.example"][0].total_bytes == 40
         # host c arrived last: still open in state, not emitted
         assert "c.example" not in by
+
+
+class TestStreamingCuration:
+    def test_curation_stream_matches_batch_gates_and_dedup(
+        self, spark, landing, tmp_path
+    ):
+        # full landing->curated flow; gate decisions must equal the batch
+        # curation stage's, and exactly one row survives per fingerprint
+        from activestorage_ocr_spark.operators import curation
+        from activestorage_ocr_spark.operators.extraction import (
+            OK_STATUSES, extract_pages,
+        )
+
+        d, pages = landing
+        out = str(tmp_path / "curated")
+        ck = str(tmp_path / "ck")
+        q = ingest.start_curation_stream(spark, d, out, ck, max_bytes=262_144)
+        q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        # one survivor per fingerprint
+        assert got.groupBy("fp").count().filter("count > 1").count() == 0
+        # batch reference: same gates over the batch-extracted corpus
+        batch = extract_pages(
+            spark.read.parquet(d), max_bytes=262_144
+        ).filter(F.col("status").isin(*OK_STATUSES))
+        flags = curation.curation_flags(
+            batch, id_col="url", text_col="extracted_text"
+        )
+        batch_pass = flags.filter(
+            F.col("reject_reason").isNull()
+            | (F.col("reject_reason") == curation.REJECT_DUP)
+        )
+        # gate-pass fingerprint sets agree (dedup keeps one member of each)
+        want_fps = {r.fp for r in batch_pass.select("fp").distinct().collect()}
+        got_fps = {r.fp for r in got.select("fp").collect()}
+        assert got_fps == want_fps
+        # and the streaming gate rejections mirror the batch reasons
+        n_gate_rejected = flags.filter(
+            F.col("reject_reason").isin(
+                curation.REJECT_SHORT, curation.REJECT_QUALITY
+            )
+        ).count()
+        assert batch.count() - n_gate_rejected >= got.count()
