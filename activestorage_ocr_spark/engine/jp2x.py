@@ -789,7 +789,8 @@ def _exp_mant_to_step(eps: int, mant: int, rb: int) -> float:
 
 class _Block:
     __slots__ = (
-        "gx", "gy", "rect", "included", "lblock", "npasses", "data", "nbps", "zbp"
+        "gx", "gy", "rect", "included", "lblock", "npasses", "data", "nbps",
+        "zbp", "layer_parts",
     )
 
     def __init__(self, gx: int, gy: int, rect: tuple[int, int, int, int]):
@@ -802,6 +803,7 @@ class _Block:
         self.data = bytearray()
         self.nbps = 0
         self.zbp = 0
+        self.layer_parts = None  # encoder: [(npasses, bytes)] per layer
 
 
 class _PrecBand:
@@ -969,51 +971,78 @@ def _progression_order(prog: int, layers: int, nprec):
 # ---------------------------------------------------------------------------
 
 
+def _put_npasses(w: _HdrWriter, n: int) -> None:
+    if n == 1:
+        w.put(0)
+    elif n == 2:
+        w.put_bits(0b10, 2)
+    elif n <= 5:
+        w.put_bits(0b11, 2)
+        w.put_bits(n - 3, 2)
+    elif n <= 36:
+        w.put_bits(0b1111, 4)
+        w.put_bits(n - 6, 5)
+    elif n <= 164:
+        w.put_bits(0b111111111, 9)
+        w.put_bits(n - 37, 7)
+    else:
+        raise Jp2Error(f"too many coding passes: {n}")
+
+
 def _encode_packet(
-    bands: list[_Band], pi: int, w: _HdrWriter, bodies: list[bytes]
+    bands: list[_Band], pi: int, layer: int, w: _HdrWriter, bodies: list[bytes]
 ) -> None:
-    """Single-layer packet for one (comp, res, precinct)."""
+    """One packet for (comp, res, precinct, layer).  A block's first
+    contributing layer signals inclusion via the tag tree (persistent per
+    precinct across layers); later layers use the 1-bit form."""
     pbs = [band.prec[pi] for band in bands]
-    any_incl = any(b.included for pb in pbs for b in pb.blocks)
-    if not any_incl:
+
+    def part(b):
+        if b.layer_parts is None:
+            return (b.npasses, bytes(b.data)) if (b.included and layer == 0) else None
+        return b.layer_parts[layer] if layer < len(b.layer_parts) else None
+
+    if not any(part(b) for pb in pbs for b in pb.blocks):
         w.put(0)
         return
     w.put(1)
     for pb in pbs:
         if not pb.blocks:
             continue
-        incl = TagTreeEncoder(pb.gw, pb.gh)
-        zbp = TagTreeEncoder(pb.gw, pb.gh)
+        if pb.incl_tt is None:
+            pb.incl_tt = TagTreeEncoder(pb.gw, pb.gh)
+            pb.zbp_tt = TagTreeEncoder(pb.gw, pb.gh)
+            for b in pb.blocks:
+                first = 0
+                if b.layer_parts is not None:
+                    first = next(
+                        (li for li, pt in enumerate(b.layer_parts) if pt),
+                        0xFFFF,  # all parts empty: never included
+                    )
+                elif not b.included:
+                    first = 0xFFFF  # never included: beyond every layer
+                pb.incl_tt.set_value(b.gx, b.gy, first)
+                pb.zbp_tt.set_value(b.gx, b.gy, b.zbp)
+            pb.incl_tt.finalize()
+            pb.zbp_tt.finalize()
         for b in pb.blocks:
-            incl.set_value(b.gx, b.gy, 0 if b.included else 1)
-            zbp.set_value(b.gx, b.gy, b.zbp)
-        incl.finalize()
-        zbp.finalize()
-        for b in pb.blocks:
-            incl.encode(b.gx, b.gy, 1, w)
-            if not b.included:
-                continue
-            t = 1
-            while not zbp.known[0][b.gy, b.gx]:
-                zbp.encode(b.gx, b.gy, t, w)
-                t += 1
-            n = b.npasses
-            if n == 1:
-                w.put(0)
-            elif n == 2:
-                w.put_bits(0b10, 2)
-            elif n <= 5:
-                w.put_bits(0b11, 2)
-                w.put_bits(n - 3, 2)
-            elif n <= 36:
-                w.put_bits(0b1111, 4)
-                w.put_bits(n - 6, 5)
-            elif n <= 164:
-                w.put_bits(0b111111111, 9)
-                w.put_bits(n - 37, 7)
+            pt = part(b)
+            first_layer = int(pb.incl_tt.values[0][b.gy, b.gx])
+            if first_layer >= layer:  # inclusion still undecided
+                pb.incl_tt.encode(b.gx, b.gy, layer + 1, w)
+                if first_layer != layer:
+                    continue
+                t = 1
+                while not pb.zbp_tt.known[0][b.gy, b.gx]:
+                    pb.zbp_tt.encode(b.gx, b.gy, t, w)
+                    t += 1
             else:
-                raise Jp2Error(f"too many coding passes: {n}")
-            length = len(b.data)
+                w.put(1 if pt else 0)
+                if not pt:
+                    continue
+            n, data = pt
+            _put_npasses(w, n)
+            length = len(data)
             nbits = b.lblock + n.bit_length() - 1
             while length >= (1 << nbits):
                 w.put(1)
@@ -1021,7 +1050,7 @@ def _encode_packet(
                 nbits += 1
             w.put(0)
             w.put_bits(length, nbits)
-            bodies.append(bytes(b.data))
+            bodies.append(data)
 
 
 def _decode_packet(
@@ -1116,6 +1145,7 @@ def encode_jp2(
     comp_cblk: dict | None = None,
     chroma_step_mult: float | None = None,
     precinct: tuple[int, int] | None = None,
+    layers: int = 1,
 ) -> bytes:
     """Encode a uint8 grayscale (h,w) or RGB (h,w,3) image as a JPEG 2000
     Part-1 codestream (raw, or JP2 box container when ``wrap``).
@@ -1161,6 +1191,8 @@ def encode_jp2(
         cblks[c] = (bw, bh)
     if chroma_step_mult is not None and (reversible or ncomp != 3):
         raise Jp2Error("chroma_step_mult needs 9/7 with three components")
+    if not (1 <= layers <= 16):
+        raise Jp2Error("layers must be in 1..16")
     if precinct is not None:
         ppx, ppy = precinct
         if not (1 <= ppx <= 14 and 1 <= ppy <= 14):
@@ -1205,7 +1237,7 @@ def encode_jp2(
     ycb = cbh.bit_length() - 1 - 2
     scod = (2 if sop else 0) | (4 if eph else 0) | (1 if precinct else 0)
     cod = struct.pack(
-        ">BBHBBBBBB", scod, prog_id, 1, 1 if mct else 0,
+        ">BBHBBBBBB", scod, prog_id, layers, 1 if mct else 0,
         levels, xcb, ycb, 0, 1 if reversible else 0,
     )
     if precinct is not None:
@@ -1261,6 +1293,7 @@ def encode_jp2(
             body = _encode_tile(
                 planes, rect, levels, reversible, cblks, prog_id,
                 comp_mb, comp_delta, sop=sop, eph=eph, precs=precs,
+                layers=layers,
             )
             psot = 12 + 2 + len(body)
             out += b"\xff\x90" + struct.pack(">HHIBB", 10, tidx, psot, 0, 1)
@@ -1290,7 +1323,7 @@ def _band_qcd_index(lvl: int, orient: int, levels: int) -> int:
 
 def _encode_tile(
     planes, rect, levels, reversible, cblks, prog_id, comp_mb, comp_delta,
-    sop=False, eph=False, precs=None,
+    sop=False, eph=False, precs=None, layers=1,
 ) -> bytes:
     x0, x1, y0, y1 = rect
     ncomp = len(planes)
@@ -1330,14 +1363,39 @@ def _encode_tile(
                         blk.npasses = npasses
                         blk.zbp = mb - nbps
                         blk.nbps = nbps
+                        if layers > 1:
+                            # quality layers: split the single codeword at
+                            # proportional byte boundaries (decoder
+                            # concatenates before tier-1, so any split
+                            # round-trips; real truncation points would
+                            # terminate per pass)
+                            parts = []
+                            base = npasses // layers
+                            extra = npasses % layers
+                            off_p = 0
+                            off_b = 0
+                            for li in range(layers):
+                                np_l = base + (1 if li < extra else 0)
+                                if np_l == 0:
+                                    parts.append(None)
+                                    continue
+                                end_p = off_p + np_l
+                                end_b = (
+                                    len(data)
+                                    if end_p == npasses
+                                    else max(off_b, len(data) * end_p // npasses)
+                                )
+                                parts.append((np_l, bytes(data[off_b:end_b])))
+                                off_p, off_b = end_p, end_b
+                            blk.layer_parts = parts
         comp_bands.append(res)
     body = bytearray()
     nsop = 0
     nprec = [_res_nprec(cr) for cr in comp_bands]
-    for layer, r, c, pi in _progression_order(prog_id, 1, nprec):
+    for layer, r, c, pi in _progression_order(prog_id, layers, nprec):
         wtr = _HdrWriter()
         bodies: list[bytes] = []
-        _encode_packet(comp_bands[c][r], pi, wtr, bodies)
+        _encode_packet(comp_bands[c][r], pi, layer, wtr, bodies)
         if sop:
             body += b"\xff\x91" + struct.pack(">HH", 4, nsop & 0xFFFF)
             nsop += 1

@@ -488,3 +488,41 @@ class TestTilePartHeaders:
         _, cs = self._spliced(b"\xff\x52" + struct.pack(">H", 12) + b"\x00" * 10)
         with pytest.raises(Jp2Error, match="per-tile"):
             decode_jp2(cs)
+
+
+class TestQualityLayers:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {"layers": 2},
+            {"layers": 3},
+            {"layers": 5, "levels": 2},
+            {"layers": 2, "progression": "RLCP"},
+            {"layers": 2, "progression": "RPCL"},
+            {"layers": 2, "precinct": (6, 6)},
+            {"layers": 2, "tile": (50, 37)},
+            {"layers": 4, "cblk": (16, 16)},
+            {"layers": 2, "sop": True, "eph": True},
+        ],
+    )
+    def test_lossless_bit_exact(self, kw):
+        # multi-layer tier-2: tag-tree inclusion across layers, the 1-bit
+        # re-inclusion form, Lblock growth and codeword concatenation
+        img = _structured(97, 130)
+        assert np.array_equal(decode_jp2(encode_jp2(img, **kw)), img)
+
+    def test_rgb_and_lossy(self):
+        rng = np.random.default_rng(3)
+        img3 = rng.integers(0, 256, (40, 50, 3)).astype(np.uint8)
+        assert np.array_equal(decode_jp2(encode_jp2(img3, layers=3)), img3)
+        img = _structured(60, 80)
+        out = decode_jp2(
+            encode_jp2(img, layers=3, reversible=False, quality_step=1.0)
+        )
+        assert np.abs(img.astype(float) - out.astype(float)).max() < 16
+
+    def test_layer_count_validation(self):
+        with pytest.raises(Jp2Error):
+            encode_jp2(np.zeros((8, 8), dtype=np.uint8), layers=0)
+        with pytest.raises(Jp2Error):
+            encode_jp2(np.zeros((8, 8), dtype=np.uint8), layers=99)
