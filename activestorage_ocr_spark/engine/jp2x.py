@@ -1146,6 +1146,7 @@ def encode_jp2(
     chroma_step_mult: float | None = None,
     precinct: tuple[int, int] | None = None,
     layers: int = 1,
+    derived_quant: bool = False,
 ) -> bytes:
     """Encode a uint8 grayscale (h,w) or RGB (h,w,3) image as a JPEG 2000
     Part-1 codestream (raw, or JP2 box container when ``wrap``).
@@ -1193,6 +1194,8 @@ def encode_jp2(
         raise Jp2Error("chroma_step_mult needs 9/7 with three components")
     if not (1 <= layers <= 16):
         raise Jp2Error("layers must be in 1..16")
+    if derived_quant and (reversible or chroma_step_mult is not None):
+        raise Jp2Error("derived_quant needs 9/7 without per-component QCC")
     if precinct is not None:
         ppx, ppy = precinct
         if not (1 <= ppx <= 14 and 1 <= ppy <= 14):
@@ -1272,7 +1275,21 @@ def encode_jp2(
         )
         return sq, mb, delta
 
-    sqcd, band_mb, band_delta = _quant_tables(quality_step)
+    if derived_quant:
+        # QCD style 1: one (eps, mant) pair; the decoder derives per-band
+        # exponents as eps0 - (r - 1) — mirror that here so Mb/delta match
+        eps0, mant0 = _step_to_exp_mant(quality_step, depth)
+        sqcd = bytes([(guard << 5) | 1]) + struct.pack(">H", (eps0 << 11) | mant0)
+        band_mb, band_delta = [], []
+        for qi, g in enumerate(_qcd_band_gains(levels)):
+            r = 0 if qi == 0 else (qi - 1) // 3 + 1
+            eps = eps0 if qi == 0 else eps0 - (r - 1)
+            if not (0 <= eps <= 31):
+                raise Jp2Error("derived exponent out of range for this step")
+            band_mb.append(guard + eps - 1)
+            band_delta.append(_exp_mant_to_step(eps, mant0, depth + g))
+    else:
+        sqcd, band_mb, band_delta = _quant_tables(quality_step)
     out += b"\xff\x5c" + struct.pack(">H", len(sqcd) + 2) + sqcd
     comp_mb = [band_mb] * ncomp
     comp_delta = [band_delta] * ncomp

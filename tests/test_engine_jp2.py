@@ -526,3 +526,25 @@ class TestQualityLayers:
             encode_jp2(np.zeros((8, 8), dtype=np.uint8), layers=0)
         with pytest.raises(Jp2Error):
             encode_jp2(np.zeros((8, 8), dtype=np.uint8), layers=99)
+
+
+class TestDerivedQuant:
+    def test_style1_round_trip(self):
+        # QCD style 1 (derived): single (eps, mant); per-band exponents
+        # derive as eps0 - (r-1) — decoder path otherwise fixture-dead
+        yy, xx = np.mgrid[0:70, 0:90]
+        img = ((xx * 2 + yy) % 256).astype(np.uint8)
+        cs = encode_jp2(img, reversible=False, quality_step=0.5, derived_quant=True)
+        qcd_at = cs.index(b"\xff\x5c")
+        assert cs[qcd_at + 4] & 0x1F == 1
+        out = decode_jp2(cs)
+        assert np.abs(img.astype(float) - out.astype(float)).max() <= 12
+
+    def test_validation(self):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        with pytest.raises(Jp2Error):
+            encode_jp2(img, derived_quant=True)  # reversible
+        with pytest.raises(Jp2Error):
+            encode_jp2(
+                img, reversible=False, derived_quant=True, chroma_step_mult=2.0
+            )
