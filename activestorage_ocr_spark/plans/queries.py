@@ -1851,6 +1851,45 @@ def q_crawl_delta(spark, sf_dir):
     return joined.select("url", "fp_a", "fp_b", status.alias("status"))
 
 
+def q_extract_scanned(spark, sf_dir):
+    """The round-4 codec stack through the DISTRIBUTED pipeline: scanned
+    PDFs whose images are CCITT G3/G4, JBIG2 (generic / globals / symbol /
+    refinement / halftone / refagg), and JPEG 2000 (raw / JP2 / lossy)
+    extract via the same ``extract_pages`` kernel as the crawl corpus —
+    text-layer miss -> image decode -> OCR. Every 11th payload is
+    truncated (per-image skip -> empty-PDF path). Oracled against
+    single-node golden parquet (fixtures/gen_scanned.py). The bench page
+    corpus deliberately excludes these payloads for cross-round
+    comparability; this table is their driver-level home.
+
+    100 TB posture: identical to extract_flagship (the kernel is the same
+    Arrow batch code); skew routing off here because the table is tiny by
+    construction."""
+    import datetime as _dt
+
+    from ..fixtures.gen_scanned import (
+        SCANNED_KINDS, scanned_counts, synthetic_scanned_rows,
+    )
+    from ..operators.extraction import extract_pages
+
+    n = scanned_counts(_corpus_docs_for(sf_dir))
+    rows = synthetic_scanned_rows(n)
+    ts = _dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [(u, ts, p, "eng") for u, p in rows],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    ex = extract_pages(pages, skew_handling="off")
+    kinds = spark.createDataFrame(
+        [(u, SCANNED_KINDS[i % len(SCANNED_KINDS)]) for i, (u, _) in enumerate(rows)],
+        "url string, kind string",
+    )
+    return ex.join(F.broadcast(kinds), "url").select(
+        "url", "kind", "status", "extracted_text",
+        F.size("warnings").cast("int").alias("n_warnings"),
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots.txt compliance filtering: every page joins its host's
     disallow rules and is kept only when no rule prefixes its path — the
@@ -1953,6 +1992,7 @@ QUERIES.update(
         "crawl_delta": q_crawl_delta,
         "robots_filter": q_robots_filter,
         "training_mix": q_training_mix,
+        "extract_scanned": q_extract_scanned,
     }
 )
 
