@@ -1977,6 +1977,67 @@ def q_training_mix(spark, sf_dir):
     )
 
 
+def q_link_authority(spark, sf_dir):
+    """Link-graph authority (PageRank-style, crawl-prioritization signal):
+    3 fixed power-iteration steps over a deterministic link graph (each doc
+    links to 3 pseudo-random targets; dangling links semi-join away).  All
+    arithmetic is INTEGER (ranks scaled by 1e9, contributions floored), so
+    Spark and the DuckDB oracle agree bit-for-bit — float summation order
+    can never flip a digit.
+
+    100 TB posture: each iteration is ONE equi-join (edges x ranks on src)
+    + ONE aggregation on dst — the dedup_clusters label-propagation shape;
+    edges computed once and reused; no driver-side graph, no window over a
+    hub node (a 10^8-inlink host aggregates via map-side partial sums). A
+    production run caches the edge table and checkpoints between
+    iterations exactly like `dedup.connected_components`."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    edges = None
+    for k in (1, 2, 3):
+        e = docs.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 31 + F.lit(k * 7), F.lit(997)).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    # keep only edges whose target exists; drop self-links
+    edges = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(ids.withColumnRenamed("doc_id", "dst"), "dst", "left_semi")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = ids.count()  # corpus row count: known metadata in production
+    base = int(0.15e9) // n
+    ranks = ids.select("doc_id", F.lit(int(1e9) // n).alias("rank_e9"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                # integer DIV, not floor(double/) — double division can
+                # round a just-below-integer quotient up and break oracle
+                # bit-parity at large rank values
+                F.expr("rank_e9 * 85 DIV (outdeg * 100)")
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = ids.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (F.lit(base) + F.coalesce(F.col("in_rank"), F.lit(0)))
+            .cast("long")
+            .alias("rank_e9"),
+        )
+    return ranks.join(outdeg, ranks.doc_id == outdeg.src, "left").select(
+        "doc_id", "rank_e9",
+        F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
+        F.round(F.col("rank_e9") / 1e9, 9).alias("rank"),
+    )
+
+
 QUERIES.update(
     {
         "pack_sequences": q_pack_sequences,
@@ -1993,6 +2054,7 @@ QUERIES.update(
         "robots_filter": q_robots_filter,
         "training_mix": q_training_mix,
         "extract_scanned": q_extract_scanned,
+        "link_authority": q_link_authority,
     }
 )
 
@@ -2144,6 +2206,65 @@ ORACLES.update(
                                              WHEN lang = 'de' THEN 8000
                                              ELSE 3000 END) AS selected
             FROM ranked
+        """,
+        "link_authority": r"""
+            WITH ids AS (SELECT doc_id FROM documents),
+            raw_edges AS (
+                SELECT doc_id AS src, (doc_id * 31 + k * 7) % 997 AS dst
+                FROM documents, unnest([1, 2, 3]) AS t(k)
+            ),
+            edges AS (
+                SELECT src, dst FROM raw_edges
+                WHERE src <> dst AND dst IN (SELECT doc_id FROM ids)
+            ),
+            outdeg AS (
+                SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src
+            ),
+            n AS (SELECT count(*)::BIGINT AS n FROM ids),
+            r0 AS (
+                SELECT doc_id, (1000000000 // (SELECT n FROM n))::BIGINT AS rank_e9
+                FROM ids
+            ),
+            c1 AS (
+                SELECT e.dst AS doc_id,
+                       sum((r.rank_e9 * 85) // (o.outdeg * 100))::BIGINT AS in_rank
+                FROM edges e JOIN r0 r ON e.src = r.doc_id
+                JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst
+            ),
+            r1 AS (
+                SELECT i.doc_id,
+                       ((150000000 // (SELECT n FROM n)) + coalesce(c.in_rank, 0))::BIGINT AS rank_e9
+                FROM ids i LEFT JOIN c1 c USING (doc_id)
+            ),
+            c2 AS (
+                SELECT e.dst AS doc_id,
+                       sum((r.rank_e9 * 85) // (o.outdeg * 100))::BIGINT AS in_rank
+                FROM edges e JOIN r1 r ON e.src = r.doc_id
+                JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst
+            ),
+            r2 AS (
+                SELECT i.doc_id,
+                       ((150000000 // (SELECT n FROM n)) + coalesce(c.in_rank, 0))::BIGINT AS rank_e9
+                FROM ids i LEFT JOIN c2 c USING (doc_id)
+            ),
+            c3 AS (
+                SELECT e.dst AS doc_id,
+                       sum((r.rank_e9 * 85) // (o.outdeg * 100))::BIGINT AS in_rank
+                FROM edges e JOIN r2 r ON e.src = r.doc_id
+                JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst
+            ),
+            r3 AS (
+                SELECT i.doc_id,
+                       ((150000000 // (SELECT n FROM n)) + coalesce(c.in_rank, 0))::BIGINT AS rank_e9
+                FROM ids i LEFT JOIN c3 c USING (doc_id)
+            )
+            SELECT r.doc_id, r.rank_e9,
+                   coalesce(o.outdeg, 0)::BIGINT AS outdeg,
+                   round(r.rank_e9 / 1e9, 9) AS rank
+            FROM r3 r LEFT JOIN outdeg o ON r.doc_id = o.src
         """,
     }
 )
