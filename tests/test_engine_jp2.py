@@ -413,6 +413,10 @@ class TestPrecincts:
         rng = np.random.default_rng(18)
         img = rng.integers(0, 256, size=(100, 90, 3)).astype(np.uint8)
         assert np.array_equal(decode_jp2(encode_jp2(img, precinct=(6, 6))), img)
+        # multi-precinct positions iterated across comps (CPRL/PCRL)
+        for prog in ("CPRL", "PCRL"):
+            cs = encode_jp2(img, precinct=(6, 6), progression=prog)
+            assert np.array_equal(decode_jp2(cs), img), prog
         out = decode_jp2(
             encode_jp2(img, precinct=(6, 6), reversible=False, quality_step=0.5)
         )
