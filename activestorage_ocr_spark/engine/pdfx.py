@@ -69,8 +69,10 @@ def _esc(s: str) -> bytes:
     )
 
 
-def build_text_pdf(pages: list[list[str]]) -> bytes:
-    """A PDF with one flate content stream per page of ``Tj`` text lines."""
+def build_text_pdf(pages: list[list[str]], objstm: bool = False) -> bytes:
+    """A PDF with one flate content stream per page of ``Tj`` text lines.
+    ``objstm`` packs the dict-only objects into a PDF 1.5 compressed
+    object stream (the modern-producer layout)."""
     objs: list[bytes] = []
     page_refs = []
     content_refs = []
@@ -112,13 +114,14 @@ def build_text_pdf(pages: list[list[str]]) -> bytes:
         (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
         (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count " + str(len(pages)).encode() + b" >>", None),
     ]
-    return _assemble(header + objs)
+    return (_assemble_objstm if objstm else _assemble)(header + objs)
 
 
 def build_image_pdf(
     images: list[tuple[np.ndarray, str]],
     icc_indirect: bool = False,
     corrupt_data: bool = False,
+    objstm: bool = False,
 ) -> bytes:
     """Image-only PDF (no text operators — same structure as the reference's
     two fixture PDFs, SURVEY.md §5.1).
@@ -322,7 +325,7 @@ def build_image_pdf(
         (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
         (2, b"<< /Type /Pages /Kids [" + str(page_id).encode() + b" 0 R] /Count 1 >>", None),
     ]
-    return _assemble(header + objs + extra)
+    return (_assemble_objstm if objstm else _assemble)(header + objs + extra)
 
 
 def build_empty_pdf() -> bytes:
@@ -335,6 +338,46 @@ def build_empty_pdf() -> bytes:
         (4, b"<< /Length " + str(len(empty)).encode() + b" /Filter /FlateDecode >>", empty),
     ]
     return _assemble(objs)
+
+
+def _assemble_objstm(objs: list[tuple[int, bytes, bytes | None]]) -> bytes:
+    """PDF 1.5-style assembly: every dict-only object packs into ONE
+    compressed ``/Type /ObjStm`` stream (the modern-producer layout —
+    pdfTeX, word processors, most optimizers); stream-bearing objects stay
+    top-level (streams cannot live inside an ObjStm). A ``/Type /XRef``
+    stream object is emitted for structural realism; its binary content is
+    a placeholder because the parser is deliberately xref-free."""
+    plain = [(oid, d) for oid, d, stream in objs if stream is None]
+    streams = [(oid, d, st) for oid, d, st in objs if st is not None]
+    maxid = max(o for o, _, _ in objs)
+    objstm_id = maxid + 1
+    xref_id = maxid + 2
+    bodies = []
+    offsets = []
+    at = 0
+    for oid, d in sorted(plain):
+        offsets.append(f"{oid} {at}".encode())
+        bodies.append(d)
+        at += len(d) + 1
+    head = b" ".join(offsets) + b"\n"
+    payload = head + b"\n".join(bodies) + b"\n"
+    packed = zlib.compress(payload, 6)
+    objstm_dict = (
+        b"<< /Type /ObjStm /N " + str(len(plain)).encode()
+        + b" /First " + str(len(head)).encode()
+        + b" /Length " + str(len(packed)).encode()
+        + b" /Filter /FlateDecode >>"
+    )
+    xref_payload = zlib.compress(bytes(3 * (maxid + 3)), 6)
+    xref_dict = (
+        b"<< /Type /XRef /Size " + str(maxid + 3).encode()
+        + b" /W [1 1 1] /Root 1 0 R /Length " + str(len(xref_payload)).encode()
+        + b" /Filter /FlateDecode >>"
+    )
+    return _assemble(
+        streams
+        + [(objstm_id, objstm_dict, packed), (xref_id, xref_dict, xref_payload)]
+    )
 
 
 def _assemble(objs: list[tuple[int, bytes, bytes | None]]) -> bytes:
@@ -565,7 +608,47 @@ def parse_objects(data: bytes) -> dict[int, PdfObject]:
         objects[oid] = PdfObject(oid, d, stream)
     if not objects:
         raise PdfError("no objects found (truncated or invalid PDF)")
+    _expand_object_streams(objects)
     return objects
+
+
+def _expand_object_streams(objects: dict[int, "PdfObject"]) -> None:
+    """PDF 1.5 compressed object streams (32000-1 §7.5.7): a ``/Type
+    /ObjStm`` stream packs dict/value objects as ``[N pairs of (objnum,
+    offset)] + bodies``. Modern producers put page trees, font dicts, and
+    image dictionaries here — without expansion the scan above sees only
+    the stream shells. Malformed ObjStms are skipped per-stream (the E2
+    skip-and-warn convention); contained objects never override directly
+    scanned ids."""
+    for shell in list(objects.values()):
+        if shell.dict.get("/Type") != "/ObjStm" or shell.stream is None:
+            continue
+        try:
+            n = shell.dict.get("/N")
+            first = shell.dict.get("/First")
+            if not isinstance(n, int) or not isinstance(first, int):
+                continue
+            if not (0 < n <= 10_000 and 0 <= first <= 10_000_000):
+                continue
+            data = _decode_stream(shell)
+            head = data[:first].split()
+            if len(head) < 2 * n:
+                continue
+            pairs = [
+                (int(head[2 * i]), int(head[2 * i + 1])) for i in range(n)
+            ]
+            for oid, off in pairs:
+                if oid in objects:
+                    continue  # direct objects win (xref-free convention)
+                pos = _skip_ws(data, first + off)
+                if data[pos : pos + 2] == b"<<":
+                    d, _ = _parse_dict(data, pos)
+                    objects[oid] = PdfObject(oid, d, None)
+                else:
+                    v, _ = _parse_value(data, pos)
+                    objects[oid] = PdfObject(oid, {}, None, value=v)
+        except (PdfError, AssertionError, IndexError, ValueError):
+            continue  # one bad ObjStm never takes down the document
 
 
 def _filter_list(d: dict) -> list:

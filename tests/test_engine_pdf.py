@@ -213,3 +213,76 @@ class TestDctImages:
         r = extract_document(pdf)
         # decode failure is recorded and skipped (E2), never a crash
         assert r["status"] in ("ok", "empty", "PROCESSING_ERROR")
+
+
+class TestObjectStreams:
+    def test_text_pdf_via_objstm(self):
+        # PDF 1.5 layout: page tree + font dicts inside a compressed
+        # /ObjStm — the modern-producer organization
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        pdf = pdfx.build_text_pdf(
+            [["Hello ObjStm world with enough characters"]], objstm=True
+        )
+        assert b"/ObjStm" in pdf and b"/XRef" in pdf
+        res = extract_document(pdf)
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "Hello ObjStm world with enough characters"
+        # identical text to the classic layout
+        classic = extract_document(
+            pdfx.build_text_pdf([["Hello ObjStm world with enough characters"]])
+        )
+        assert res["extracted_text"] == classic["extracted_text"]
+
+    def test_image_pdf_via_objstm(self):
+        from activestorage_ocr_spark.engine import rasters
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        img = rasters.render_text("OBJSTM IMG", scale=2)
+        pdf = pdfx.build_image_pdf([(img, "DeviceGray")], objstm=True)
+        res = extract_document(pdf)
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "OBJSTM IMG"
+
+    def test_codec_image_via_objstm(self):
+        # round-4 codec + ObjStm layout combined
+        from activestorage_ocr_spark.engine import rasters
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        img = rasters.render_text("MODERN G4", scale=2)
+        res = extract_document(
+            pdfx.build_image_pdf([(img, "G4")], objstm=True)
+        )
+        assert res["extracted_text"] == "MODERN G4"
+
+    def test_corrupt_objstm_degrades_gracefully(self):
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        pdf = bytearray(
+            pdfx.build_text_pdf([["Graceful degradation body text here"]], objstm=True)
+        )
+        at = pdf.index(b"/ObjStm")
+        z_at = pdf.index(b"stream\n", at) + 7
+        pdf[z_at : z_at + 8] = b"\x00" * 8
+        res = extract_document(bytes(pdf))  # must not raise
+        assert res["status"] in ("ok", "empty")
+
+    def test_objstm_never_overrides_direct_objects(self):
+        # an ObjStm claiming an oid that exists top-level loses
+        import zlib as _z
+
+        body = b"<< /Type /Catalog /Pages 99 0 R >>"
+        head = b"1 0\n"
+        packed = _z.compress(head + body + b"\n", 6)
+        objstm = (
+            b"<< /Type /ObjStm /N 1 /First " + str(len(head)).encode()
+            + b" /Length " + str(len(packed)).encode()
+            + b" /Filter /FlateDecode >>"
+        )
+        pdf = pdfx._assemble(
+            [(1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+             (2, b"<< /Type /Pages /Kids [] /Count 0 >>", None),
+             (3, objstm, packed)]
+        )
+        objs = pdfx.parse_objects(pdf)
+        assert objs[1].dict["/Pages"].oid == 2  # direct object won
