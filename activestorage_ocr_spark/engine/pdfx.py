@@ -69,10 +69,17 @@ def _esc(s: str) -> bytes:
     )
 
 
-def build_text_pdf(pages: list[list[str]], objstm: bool = False) -> bytes:
+def build_text_pdf(
+    pages: list[list[str]],
+    objstm: bool = False,
+    encrypt: str | None = None,
+    user_password: bytes = b"",
+) -> bytes:
     """A PDF with one flate content stream per page of ``Tj`` text lines.
     ``objstm`` packs the dict-only objects into a PDF 1.5 compressed
-    object stream (the modern-producer layout)."""
+    object stream (the modern-producer layout); ``encrypt`` applies the
+    standard security handler ("rc4-40" | "rc4" | "aes") with an empty
+    user password unless ``user_password`` is set."""
     objs: list[bytes] = []
     page_refs = []
     content_refs = []
@@ -114,7 +121,10 @@ def build_text_pdf(pages: list[list[str]], objstm: bool = False) -> bytes:
         (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
         (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count " + str(len(pages)).encode() + b" >>", None),
     ]
-    return (_assemble_objstm if objstm else _assemble)(header + objs)
+    assembled = header + objs
+    if objstm:
+        return _assemble_objstm(assembled, encrypt=encrypt, user_password=user_password)
+    return _assemble(assembled, encrypt=encrypt, user_password=user_password)
 
 
 def build_image_pdf(
@@ -122,6 +132,8 @@ def build_image_pdf(
     icc_indirect: bool = False,
     corrupt_data: bool = False,
     objstm: bool = False,
+    encrypt: str | None = None,
+    user_password: bytes = b"",
 ) -> bytes:
     """Image-only PDF (no text operators — same structure as the reference's
     two fixture PDFs, SURVEY.md §5.1).
@@ -325,7 +337,10 @@ def build_image_pdf(
         (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
         (2, b"<< /Type /Pages /Kids [" + str(page_id).encode() + b" 0 R] /Count 1 >>", None),
     ]
-    return (_assemble_objstm if objstm else _assemble)(header + objs + extra)
+    assembled = header + objs + extra
+    if objstm:
+        return _assemble_objstm(assembled, encrypt=encrypt, user_password=user_password)
+    return _assemble(assembled, encrypt=encrypt, user_password=user_password)
 
 
 def build_empty_pdf() -> bytes:
@@ -340,7 +355,11 @@ def build_empty_pdf() -> bytes:
     return _assemble(objs)
 
 
-def _assemble_objstm(objs: list[tuple[int, bytes, bytes | None]]) -> bytes:
+def _assemble_objstm(
+    objs: list[tuple[int, bytes, bytes | None]],
+    encrypt: str | None = None,
+    user_password: bytes = b"",
+) -> bytes:
     """PDF 1.5-style assembly: every dict-only object packs into ONE
     compressed ``/Type /ObjStm`` stream (the modern-producer layout —
     pdfTeX, word processors, most optimizers); stream-bearing objects stay
@@ -376,11 +395,66 @@ def _assemble_objstm(objs: list[tuple[int, bytes, bytes | None]]) -> bytes:
     )
     return _assemble(
         streams
-        + [(objstm_id, objstm_dict, packed), (xref_id, xref_dict, xref_payload)]
+        + [(objstm_id, objstm_dict, packed), (xref_id, xref_dict, xref_payload)],
+        encrypt=encrypt,
+        user_password=user_password,
     )
 
 
-def _assemble(objs: list[tuple[int, bytes, bytes | None]]) -> bytes:
+_ENCRYPT_PROFILES = {
+    # name -> (V, R, key bytes, aes)
+    "rc4-40": (1, 2, 5, False),
+    "rc4": (2, 3, 16, False),
+    "aes": (4, 4, 16, True),
+}
+
+
+def _assemble(
+    objs: list[tuple[int, bytes, bytes | None]],
+    encrypt: str | None = None,
+    user_password: bytes = b"",
+) -> bytes:
+    extra_trailer = b""
+    if encrypt is not None:
+        from . import pdfcrypt as pc
+
+        v, r, nb, aes = _ENCRYPT_PROFILES[encrypt]
+        id0 = __import__("hashlib").md5(
+            b"".join(d for _, d, _ in sorted(objs))
+        ).digest()
+        o_val = pc.compute_o(b"", user_password, r, nb)
+        p_val = -44
+        key = pc.derive_key(o_val, p_val, id0, r, nb, password=user_password)
+        u_val = pc.compute_u(key, id0, r)
+        enc_objs = []
+        for oid, d, stream in objs:
+            if stream is not None and b"/Type /XRef" not in d:
+                # XRef streams are never encrypted (32000-1 §7.5.8.2)
+                stream = pc.encrypt_bytes(stream, key, oid, 0, aes)
+                d = re.sub(
+                    rb"/Length \d+", b"/Length %d" % len(stream), d, count=1
+                )
+            enc_objs.append((oid, d, stream))
+        maxid = max(o for o, _, _ in objs)
+        cf = b""
+        if v == 4:
+            cf = (
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+            )
+        enc_dict = (
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(r).encode()
+            + b" /Length " + str(nb * 8).encode()
+            + b" /P " + str(p_val).encode()
+            + b" /O <" + o_val.hex().encode() + b">"
+            + b" /U <" + u_val.hex().encode() + b">" + cf + b" >>"
+        )
+        objs = enc_objs + [(maxid + 1, enc_dict, None)]
+        extra_trailer = (
+            b" /Encrypt " + str(maxid + 1).encode() + b" 0 R /ID [<"
+            + id0.hex().encode() + b"> <" + id0.hex().encode() + b">]"
+        )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for oid, d, stream in sorted(objs):
@@ -397,7 +471,8 @@ def _assemble(objs: list[tuple[int, bytes, bytes | None]]) -> bytes:
         off = offsets.get(i, 0)
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        b"trailer\n<< /Size " + str(maxid + 1).encode() + b" /Root 1 0 R >>\nstartxref\n"
+        b"trailer\n<< /Size " + str(maxid + 1).encode() + b" /Root 1 0 R"
+        + extra_trailer + b" >>\nstartxref\n"
         + str(xref_at).encode()
         + b"\n%%EOF\n"
     )
@@ -608,8 +683,95 @@ def parse_objects(data: bytes) -> dict[int, PdfObject]:
         objects[oid] = PdfObject(oid, d, stream)
     if not objects:
         raise PdfError("no objects found (truncated or invalid PDF)")
+    _decrypt_document(data, objects)
     _expand_object_streams(objects)
     return objects
+
+
+def _find_trailer_dict(data: bytes, objects: dict[int, "PdfObject"]) -> dict:
+    """Merge every classic trailer dict plus any /Type /XRef stream dict
+    (32000-1 §7.5.8 puts /Encrypt and /ID there in 1.5+ files)."""
+    merged: dict = {}
+    pos = 0
+    while True:
+        at = data.find(b"trailer", pos)
+        if at == -1:
+            break
+        try:
+            d, _ = _parse_dict(data, _skip_ws(data, at + 7))
+            merged.update(d)
+        except (PdfError, AssertionError, IndexError, ValueError):
+            pass
+        pos = at + 7
+    for obj in objects.values():
+        if obj.dict.get("/Type") == "/XRef":
+            merged.update({k: v for k, v in obj.dict.items() if k in ("/Encrypt", "/ID")})
+    return merged
+
+
+def _decrypt_document(data: bytes, objects: dict[int, "PdfObject"]) -> None:
+    """Standard-security-handler decryption (32000-1 §7.6) for documents
+    that open with the EMPTY user password (owner-locked files). Streams
+    decrypt in place before filters run; /Type /XRef streams and the
+    /Encrypt dictionary itself are never encrypted. User-password-protected
+    or unsupported-handler documents raise a NAMED PdfError (quarantine)."""
+    trailer = _find_trailer_dict(data, objects)
+    enc = trailer.get("/Encrypt")
+    if enc is None:
+        return
+    if isinstance(enc, _Ref):
+        enc_oid = enc.oid
+        enc_obj = objects.get(enc_oid)
+        enc_dict = enc_obj.dict if enc_obj is not None else None
+    else:
+        enc_oid = None
+        enc_dict = enc if isinstance(enc, dict) else None
+    if not enc_dict:
+        raise PdfError("encrypted PDF with unreadable /Encrypt dictionary")
+    if enc_dict.get("/Filter") != "/Standard":
+        raise PdfError(
+            f"unsupported PDF security handler: {enc_dict.get('/Filter')!r}"
+        )
+    v = enc_dict.get("/V", 0)
+    r = enc_dict.get("/R", 2)
+    aes = False
+    if v == 4:
+        cf = enc_dict.get("/CF", {})
+        stdcf = cf.get("/StdCF", {}) if isinstance(cf, dict) else {}
+        cfm = stdcf.get("/CFM") if isinstance(stdcf, dict) else None
+        if cfm == "/AESV2":
+            aes = True
+        elif cfm != "/V2":
+            raise PdfError(f"unsupported PDF crypt filter: {cfm!r}")
+    elif v not in (1, 2):
+        raise PdfError(f"unsupported PDF encryption version V={v}")
+    if r not in (2, 3, 4):
+        raise PdfError(f"unsupported PDF encryption revision R={r}")
+    nbytes = 5 if v == 1 else int(enc_dict.get("/Length", 40)) // 8
+    o_val, u_val, p_val = (
+        enc_dict.get("/O"), enc_dict.get("/U"), enc_dict.get("/P"),
+    )
+    ids = trailer.get("/ID")
+    id0 = ids[0] if isinstance(ids, list) and ids else None
+    if not (
+        isinstance(o_val, bytes) and isinstance(u_val, bytes)
+        and isinstance(p_val, int) and isinstance(id0, bytes)
+    ):
+        raise PdfError("encrypted PDF missing /O, /U, /P, or /ID")
+    from . import pdfcrypt as pc
+
+    key = pc.authenticate_empty_user(o_val, u_val, p_val, id0, r, nbytes)
+    if key is None:
+        raise PdfError("password-protected PDF (user password required)")
+    for obj in objects.values():
+        if obj.stream is None or obj.oid == enc_oid:
+            continue
+        if obj.dict.get("/Type") == "/XRef":
+            continue  # never encrypted (§7.5.8.2)
+        try:
+            obj.stream = pc.decrypt_bytes(obj.stream, key, obj.oid, 0, aes)
+        except ValueError as e:
+            raise PdfError(f"PDF stream decryption failed: {e}") from e
 
 
 def _expand_object_streams(objects: dict[int, "PdfObject"]) -> None:
