@@ -1,15 +1,21 @@
-"""Standard security handler (PDF 32000-1 §7.6) — RC4-40/128 (V1/V2,
-R2/R3) and AES-128-CBC (V4/R4, /AESV2) for the EMPTY-user-password case:
+"""Standard security handler (PDF 32000-1 §7.6 + ISO 32000-2 §7.6.4) —
+RC4-40/128 (V1/V2, R2/R3), AES-128-CBC (V4/R4, /AESV2), and AES-256-CBC
+(V5, R5 legacy + R6 with the hardened Algorithm-2.B KDF) for the
+EMPTY-user-password case:
 owner-locked PDFs that every viewer opens without prompting, a large
 fraction of real crawled PDFs. User-password-protected documents
 authenticate false and quarantine with a named error upstream.
 
 Both directions ship (the builder encrypts fixtures, the parser decrypts),
-so coverage needs no external tool. AES is implemented from FIPS-197 with
-a COMPUTED S-box — multiplicative inverse in GF(2^8) plus the affine
-transform — so no lookup-table transcription is involved; the only
-memorized constant in this module is the spec's famous 32-byte password
-pad. RC4 is the standard KSA/PRGA.
+so coverage needs no external tool. AES (128 and 256) is implemented from
+FIPS-197 with a COMPUTED S-box — multiplicative inverse in GF(2^8) plus
+the affine transform, T-tables derived from it — so no lookup-table
+transcription is involved, and both key sizes are pinned against the
+official appendix-C known-answer vectors; the only memorized constant in
+this module is the spec's famous 32-byte password pad. RC4 is the
+standard KSA/PRGA. An R6 KDF detail divergence would fail CLOSED (the
+empty-password authentication misses and the document quarantines as
+password-protected) — never silently wrong output.
 """
 
 from __future__ import annotations
@@ -89,18 +95,23 @@ _SBOX, _INV_SBOX = _build_sbox()
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    assert len(key) == 16
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    """AES key schedule for 128- or 256-bit keys (FIPS-197 §5.2)."""
+    nk = len(key) // 4
+    assert nk in (4, 8)
+    rounds = 10 if nk == 4 else 14
+    words = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (rounds + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
             t[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    return [sum(words[4 * r : 4 * r + 4], []) for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return [sum(words[4 * r : 4 * r + 4], []) for r in range(rounds + 1)]
 
 
 def _add_rk(st: list[int], rk: list[int]) -> None:
@@ -112,65 +123,173 @@ _SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
 _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
+def _build_ttables():
+    """Classical T-table AES: one 32-bit lookup per state byte per round
+    (the R6 KDF runs thousands of blocks through CBC — byte-wise
+    MixColumns is ~20x too slow in Python)."""
+    te = [[0] * 256 for _ in range(4)]
+    td = [[0] * 256 for _ in range(4)]
+    for x in range(256):
+        sx = _SBOX[x]
+        w = (
+            (_gf_mul(sx, 2) << 24) | (sx << 16) | (sx << 8) | _gf_mul(sx, 3)
+        )
+        for i in range(4):
+            te[i][x] = ((w >> (8 * i)) | (w << (32 - 8 * i))) & 0xFFFFFFFF
+        ix = _INV_SBOX[x]
+        wd = (
+            (_gf_mul(ix, 14) << 24) | (_gf_mul(ix, 9) << 16)
+            | (_gf_mul(ix, 13) << 8) | _gf_mul(ix, 11)
+        )
+        for i in range(4):
+            td[i][x] = ((wd >> (8 * i)) | (wd << (32 - 8 * i))) & 0xFFFFFFFF
+    return te, td
+
+
+(_TE, _TD) = _build_ttables()
+
+
+def _rk_words(rks: list[list[int]]) -> list[list[int]]:
+    return [
+        [
+            (rk[4 * c] << 24) | (rk[4 * c + 1] << 16) | (rk[4 * c + 2] << 8)
+            | rk[4 * c + 3]
+            for c in range(4)
+        ]
+        for rk in rks
+    ]
+
+
 def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
-    st = list(block)
-    _add_rk(st, rks[0])
-    for rnd in range(1, 11):
-        st = [_SBOX[b] for b in st]
-        st = [st[_SHIFT[i]] for i in range(16)]
-        if rnd < 10:
-            ns = [0] * 16
-            for c in range(4):
-                a = st[4 * c : 4 * c + 4]
-                ns[4 * c + 0] = _gf_mul(a[0], 2) ^ _gf_mul(a[1], 3) ^ a[2] ^ a[3]
-                ns[4 * c + 1] = a[0] ^ _gf_mul(a[1], 2) ^ _gf_mul(a[2], 3) ^ a[3]
-                ns[4 * c + 2] = a[0] ^ a[1] ^ _gf_mul(a[2], 2) ^ _gf_mul(a[3], 3)
-                ns[4 * c + 3] = _gf_mul(a[0], 3) ^ a[1] ^ a[2] ^ _gf_mul(a[3], 2)
-            st = ns
-        _add_rk(st, rks[rnd])
-    return bytes(st)
+    return _encrypt_block_w(block, _rk_words(rks))
+
+
+def _encrypt_block_w(block: bytes, rw: list[list[int]]) -> bytes:
+    te0, te1, te2, te3 = _TE
+    nr = len(rw) - 1
+    s0 = int.from_bytes(block[0:4], "big") ^ rw[0][0]
+    s1 = int.from_bytes(block[4:8], "big") ^ rw[0][1]
+    s2 = int.from_bytes(block[8:12], "big") ^ rw[0][2]
+    s3 = int.from_bytes(block[12:16], "big") ^ rw[0][3]
+    for rnd in range(1, nr):
+        k = rw[rnd]
+        t0 = (
+            te0[s0 >> 24] ^ te1[(s1 >> 16) & 0xFF] ^ te2[(s2 >> 8) & 0xFF]
+            ^ te3[s3 & 0xFF] ^ k[0]
+        )
+        t1 = (
+            te0[s1 >> 24] ^ te1[(s2 >> 16) & 0xFF] ^ te2[(s3 >> 8) & 0xFF]
+            ^ te3[s0 & 0xFF] ^ k[1]
+        )
+        t2 = (
+            te0[s2 >> 24] ^ te1[(s3 >> 16) & 0xFF] ^ te2[(s0 >> 8) & 0xFF]
+            ^ te3[s1 & 0xFF] ^ k[2]
+        )
+        t3 = (
+            te0[s3 >> 24] ^ te1[(s0 >> 16) & 0xFF] ^ te2[(s1 >> 8) & 0xFF]
+            ^ te3[s2 & 0xFF] ^ k[3]
+        )
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = rw[nr]
+    sb = _SBOX
+    out = bytearray(16)
+    for c, (a, b, cc, d) in enumerate(
+        ((s0, s1, s2, s3), (s1, s2, s3, s0), (s2, s3, s0, s1), (s3, s0, s1, s2))
+    ):
+        w = (
+            (sb[a >> 24] << 24) | (sb[(b >> 16) & 0xFF] << 16)
+            | (sb[(cc >> 8) & 0xFF] << 8) | sb[d & 0xFF]
+        ) ^ k[c]
+        out[4 * c : 4 * c + 4] = w.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _inv_schedule(rw: list[list[int]]) -> list[list[int]]:
+    """Equivalent-inverse-cipher round keys (InvMixColumns on the middle
+    rounds) — prepared ONCE per CBC call, not per block."""
+    nr = len(rw) - 1
+    ik = [list(rw[nr])]
+    for rnd in range(nr - 1, 0, -1):
+        row = []
+        for w in rw[rnd]:
+            b = w.to_bytes(4, "big")
+            m = (
+                (
+                    (_gf_mul(b[0], 14) ^ _gf_mul(b[1], 11)
+                     ^ _gf_mul(b[2], 13) ^ _gf_mul(b[3], 9)) << 24
+                )
+                | (
+                    (_gf_mul(b[0], 9) ^ _gf_mul(b[1], 14)
+                     ^ _gf_mul(b[2], 11) ^ _gf_mul(b[3], 13)) << 16
+                )
+                | (
+                    (_gf_mul(b[0], 13) ^ _gf_mul(b[1], 9)
+                     ^ _gf_mul(b[2], 14) ^ _gf_mul(b[3], 11)) << 8
+                )
+                | (
+                    _gf_mul(b[0], 11) ^ _gf_mul(b[1], 13)
+                    ^ _gf_mul(b[2], 9) ^ _gf_mul(b[3], 14)
+                )
+            )
+            row.append(m)
+        ik.append(row)
+    ik.append(list(rw[0]))
+    return ik
 
 
 def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
-    st = list(block)
-    _add_rk(st, rks[10])
-    for rnd in range(9, -1, -1):
-        st = [st[_INV_SHIFT[i]] for i in range(16)]
-        st = [_INV_SBOX[b] for b in st]
-        _add_rk(st, rks[rnd])
-        if rnd > 0:
-            ns = [0] * 16
-            for c in range(4):
-                a = st[4 * c : 4 * c + 4]
-                ns[4 * c + 0] = (
-                    _gf_mul(a[0], 14) ^ _gf_mul(a[1], 11)
-                    ^ _gf_mul(a[2], 13) ^ _gf_mul(a[3], 9)
-                )
-                ns[4 * c + 1] = (
-                    _gf_mul(a[0], 9) ^ _gf_mul(a[1], 14)
-                    ^ _gf_mul(a[2], 11) ^ _gf_mul(a[3], 13)
-                )
-                ns[4 * c + 2] = (
-                    _gf_mul(a[0], 13) ^ _gf_mul(a[1], 9)
-                    ^ _gf_mul(a[2], 14) ^ _gf_mul(a[3], 11)
-                )
-                ns[4 * c + 3] = (
-                    _gf_mul(a[0], 11) ^ _gf_mul(a[1], 13)
-                    ^ _gf_mul(a[2], 9) ^ _gf_mul(a[3], 14)
-                )
-            st = ns
-    return bytes(st)
+    return _decrypt_block_w(block, _inv_schedule(_rk_words(rks)))
+
+
+def _decrypt_block_w(block: bytes, ik: list[list[int]]) -> bytes:
+    td0, td1, td2, td3 = _TD
+    sb = _INV_SBOX
+    nr = len(ik) - 1
+    s0 = int.from_bytes(block[0:4], "big") ^ ik[0][0]
+    s1 = int.from_bytes(block[4:8], "big") ^ ik[0][1]
+    s2 = int.from_bytes(block[8:12], "big") ^ ik[0][2]
+    s3 = int.from_bytes(block[12:16], "big") ^ ik[0][3]
+    for rnd in range(1, nr):
+        k = ik[rnd]
+        t0 = (
+            td0[s0 >> 24] ^ td1[(s3 >> 16) & 0xFF] ^ td2[(s2 >> 8) & 0xFF]
+            ^ td3[s1 & 0xFF] ^ k[0]
+        )
+        t1 = (
+            td0[s1 >> 24] ^ td1[(s0 >> 16) & 0xFF] ^ td2[(s3 >> 8) & 0xFF]
+            ^ td3[s2 & 0xFF] ^ k[1]
+        )
+        t2 = (
+            td0[s2 >> 24] ^ td1[(s1 >> 16) & 0xFF] ^ td2[(s0 >> 8) & 0xFF]
+            ^ td3[s3 & 0xFF] ^ k[2]
+        )
+        t3 = (
+            td0[s3 >> 24] ^ td1[(s2 >> 16) & 0xFF] ^ td2[(s1 >> 8) & 0xFF]
+            ^ td3[s0 & 0xFF] ^ k[3]
+        )
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = ik[nr]
+    out = bytearray(16)
+    for c, (a, b, cc, d) in enumerate(
+        ((s0, s3, s2, s1), (s1, s0, s3, s2), (s2, s1, s0, s3), (s3, s2, s1, s0))
+    ):
+        w = (
+            (sb[a >> 24] << 24) | (sb[(b >> 16) & 0xFF] << 16)
+            | (sb[(cc >> 8) & 0xFF] << 8) | sb[d & 0xFF]
+        ) ^ k[c]
+        out[4 * c : 4 * c + 4] = w.to_bytes(4, "big")
+    return bytes(out)
 
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    rks = _expand_key(key)
+    rw = _rk_words(_expand_key(key))
     padlen = 16 - (len(data) % 16)
     data = data + bytes([padlen]) * padlen
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(blk, rks)
+        prev = _encrypt_block_w(blk, rw)
         out += prev
     return iv + bytes(out)
 
@@ -178,13 +297,13 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload length")
-    rks = _expand_key(key)
+    ik = _inv_schedule(_rk_words(_expand_key(key)))
     iv = data[:16]
     out = bytearray()
     prev = iv
     for i in range(16, len(data), 16):
         blk = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        out += bytes(a ^ b for a, b in zip(_decrypt_block_w(blk, ik), prev))
         prev = blk
     padlen = out[-1]
     if not (1 <= padlen <= 16):
@@ -277,3 +396,77 @@ def encrypt_bytes(data: bytes, key: bytes, oid: int, gen: int, aes: bool) -> byt
         iv = hashlib.md5(b"iv" + ok + struct.pack("<I", oid)).digest()
         return aes_cbc_encrypt(ok, iv, data)
     return rc4(ok, data)
+
+
+# ---------------------------------------------------------------------------
+# AES-256 handler (PDF 2.0 / ISO 32000-2 §7.6.4: V5, R5 legacy + R6)
+# ---------------------------------------------------------------------------
+
+
+def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs 16-byte multiples")
+    rw = _rk_words(_expand_key(key))
+    ik = _inv_schedule(rw) if decrypt else None
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        if decrypt:
+            out += bytes(a ^ b for a, b in zip(_decrypt_block_w(blk, ik), prev))
+            prev = blk
+        else:
+            prev = _encrypt_block_w(bytes(a ^ b for a, b in zip(blk, prev)), rw)
+            out += prev
+    return bytes(out)
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the hardened R6 password hash."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_nopad(k[:16], k[16:32], k1, decrypt=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _r5_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    return hashlib.sha256(password + salt + udata).digest()
+
+
+def r6_make(file_key: bytes, r: int = 6, seed: bytes = b"fixture") -> dict:
+    """Builder side: /U //UE //O //OE for EMPTY user and owner passwords
+    (deterministic salts so fixtures reproduce bit-for-bit)."""
+    assert len(file_key) == 32
+    h = hash_2b if r == 6 else _r5_hash
+    vs = hashlib.md5(seed + b"vs").digest()[:8]
+    ks = hashlib.md5(seed + b"ks").digest()[:8]
+    u = h(b"", vs) + vs + ks
+    ue = _aes_cbc_nopad(h(b"", ks), bytes(16), file_key, decrypt=False)
+    ovs = hashlib.md5(seed + b"ovs").digest()[:8]
+    oks = hashlib.md5(seed + b"oks").digest()[:8]
+    o = h(b"", ovs, u[:48]) + ovs + oks
+    oe = _aes_cbc_nopad(h(b"", oks, u[:48]), bytes(16), file_key, decrypt=False)
+    return {"U": u, "UE": ue, "O": o, "OE": oe}
+
+
+def r6_authenticate_empty(
+    u: bytes, ue: bytes, o: bytes, oe: bytes, r: int = 6
+) -> bytes | None:
+    """Empty-password authentication for V5 (R5 legacy or R6); returns the
+    32-byte file key or None."""
+    if len(u) < 48 or len(o) < 48 or len(ue) < 32 or len(oe) < 32:
+        return None
+    h = hash_2b if r == 6 else _r5_hash
+    if h(b"", u[32:40]) == u[:32]:
+        ikey = h(b"", u[40:48])
+        return _aes_cbc_nopad(ikey, bytes(16), ue[:32], decrypt=True)
+    if h(b"", o[32:40], u[:48]) == o[:32]:
+        ikey = h(b"", o[40:48], u[:48])
+        return _aes_cbc_nopad(ikey, bytes(16), oe[:32], decrypt=True)
+    return None

@@ -406,6 +406,7 @@ _ENCRYPT_PROFILES = {
     "rc4-40": (1, 2, 5, False),
     "rc4": (2, 3, 16, False),
     "aes": (4, 4, 16, True),
+    "aes256": (5, 6, 32, True),
 }
 
 
@@ -419,13 +420,31 @@ def _assemble(
         from . import pdfcrypt as pc
 
         v, r, nb, aes = _ENCRYPT_PROFILES[encrypt]
-        id0 = __import__("hashlib").md5(
-            b"".join(d for _, d, _ in sorted(objs))
-        ).digest()
-        o_val = pc.compute_o(b"", user_password, r, nb)
-        p_val = -44
-        key = pc.derive_key(o_val, p_val, id0, r, nb, password=user_password)
-        u_val = pc.compute_u(key, id0, r)
+        hashlib = __import__("hashlib")
+        id0 = hashlib.md5(b"".join(d for _, d, _ in sorted(objs))).digest()
+        if v == 5:
+            key = hashlib.sha256(b"filekey" + id0).digest()
+            if user_password:
+                # user-locked R6 fixture: real U from the password
+                vs = hashlib.md5(id0 + b"vs").digest()[:8]
+                ks = hashlib.md5(id0 + b"ks").digest()[:8]
+                u_val = pc.hash_2b(user_password, vs) + vs + ks
+                ue_val = pc._aes_cbc_nopad(
+                    pc.hash_2b(user_password, ks), bytes(16), key, decrypt=False
+                )
+                o_val = pc.hash_2b(user_password, vs, u_val[:48]) + vs + ks
+                oe_val = ue_val
+            else:
+                vals = pc.r6_make(key, r=6, seed=id0)
+                u_val, ue_val = vals["U"], vals["UE"]
+                o_val, oe_val = vals["O"], vals["OE"]
+            p_val = -44
+        else:
+            o_val = pc.compute_o(b"", user_password, r, nb)
+            p_val = -44
+            key = pc.derive_key(o_val, p_val, id0, r, nb, password=user_password)
+            u_val = pc.compute_u(key, id0, r)
+            ue_val = oe_val = None
         enc_objs = []
         for oid, d, stream in objs:
             if stream is not None and b"/Type /XRef" not in d:
@@ -441,6 +460,13 @@ def _assemble(
             cf = (
                 b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
                 b" /StmF /StdCF /StrF /StdCF"
+            )
+        elif v == 5:
+            cf = (
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                + b" /UE <" + ue_val.hex().encode() + b">"
+                + b" /OE <" + oe_val.hex().encode() + b">"
             )
         enc_dict = (
             b"<< /Filter /Standard /V " + str(v).encode()
@@ -735,34 +761,47 @@ def _decrypt_document(data: bytes, objects: dict[int, "PdfObject"]) -> None:
     v = enc_dict.get("/V", 0)
     r = enc_dict.get("/R", 2)
     aes = False
-    if v == 4:
+    if v in (4, 5):
         cf = enc_dict.get("/CF", {})
         stdcf = cf.get("/StdCF", {}) if isinstance(cf, dict) else {}
         cfm = stdcf.get("/CFM") if isinstance(stdcf, dict) else None
-        if cfm == "/AESV2":
+        if cfm == ("/AESV3" if v == 5 else "/AESV2"):
             aes = True
-        elif cfm != "/V2":
+        elif v == 4 and cfm == "/V2":
+            aes = False
+        else:
             raise PdfError(f"unsupported PDF crypt filter: {cfm!r}")
     elif v not in (1, 2):
         raise PdfError(f"unsupported PDF encryption version V={v}")
-    if r not in (2, 3, 4):
+    if r not in (2, 3, 4, 5, 6):
         raise PdfError(f"unsupported PDF encryption revision R={r}")
-    nbytes = 5 if v == 1 else int(enc_dict.get("/Length", 40)) // 8
     o_val, u_val, p_val = (
         enc_dict.get("/O"), enc_dict.get("/U"), enc_dict.get("/P"),
     )
-    ids = trailer.get("/ID")
-    id0 = ids[0] if isinstance(ids, list) and ids else None
-    if not (
-        isinstance(o_val, bytes) and isinstance(u_val, bytes)
-        and isinstance(p_val, int) and isinstance(id0, bytes)
-    ):
-        raise PdfError("encrypted PDF missing /O, /U, /P, or /ID")
     from . import pdfcrypt as pc
 
-    key = pc.authenticate_empty_user(o_val, u_val, p_val, id0, r, nbytes)
-    if key is None:
-        raise PdfError("password-protected PDF (user password required)")
+    if v == 5:
+        ue_val, oe_val = enc_dict.get("/UE"), enc_dict.get("/OE")
+        if not (
+            isinstance(o_val, bytes) and isinstance(u_val, bytes)
+            and isinstance(ue_val, bytes) and isinstance(oe_val, bytes)
+        ):
+            raise PdfError("encrypted PDF missing /O, /U, /OE, or /UE")
+        key = pc.r6_authenticate_empty(u_val, ue_val, o_val, oe_val, r=r)
+        if key is None:
+            raise PdfError("password-protected PDF (user password required)")
+    else:
+        nbytes = 5 if v == 1 else int(enc_dict.get("/Length", 40)) // 8
+        ids = trailer.get("/ID")
+        id0 = ids[0] if isinstance(ids, list) and ids else None
+        if not (
+            isinstance(o_val, bytes) and isinstance(u_val, bytes)
+            and isinstance(p_val, int) and isinstance(id0, bytes)
+        ):
+            raise PdfError("encrypted PDF missing /O, /U, /P, or /ID")
+        key = pc.authenticate_empty_user(o_val, u_val, p_val, id0, r, nbytes)
+        if key is None:
+            raise PdfError("password-protected PDF (user password required)")
     for obj in objects.values():
         if obj.stream is None or obj.oid == enc_oid:
             continue

@@ -9,7 +9,7 @@ from activestorage_ocr_spark.engine import pdfcrypt as pc
 from activestorage_ocr_spark.engine import pdfx, rasters
 from activestorage_ocr_spark.engine.extract import extract_document
 
-PROFILES = ["rc4-40", "rc4", "aes"]
+PROFILES = ["rc4-40", "rc4", "aes", "aes256"]
 
 
 class TestPrimitives:
@@ -26,6 +26,25 @@ class TestPrimitives:
         assert pc._SBOX[0x01] == 0x7C
         assert pc._SBOX[0x53] == 0xED
         assert pc._INV_SBOX[pc._SBOX[0xAB]] == 0xAB
+
+    def test_aes256_fips197_known_answer(self):
+        # FIPS-197 appendix C.3 (256-bit key)
+        key = bytes(range(32))
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = pc._encrypt_block(pt, pc._expand_key(key))
+        assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+        assert pc._decrypt_block(ct, pc._expand_key(key)) == pt
+
+    def test_r6_handler_round_trip(self):
+        import hashlib
+
+        fk = hashlib.sha256(b"filekey").digest()
+        for r in (5, 6):
+            vals = pc.r6_make(fk, r=r)
+            got = pc.r6_authenticate_empty(
+                vals["U"], vals["UE"], vals["O"], vals["OE"], r=r
+            )
+            assert got == fk
 
     def test_rc4_known_answer(self):
         assert pc.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
