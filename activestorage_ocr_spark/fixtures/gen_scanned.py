@@ -37,13 +37,28 @@ def scanned_counts(n_docs: int) -> int:
 def make_scanned_payload(i: int) -> bytes:
     """One scanned-PDF payload — a pure function of ``i``: rendered text
     encoded through the rotating codec kind; every 11th payload truncates
-    the image stream to exercise the per-image skip + empty-PDF path."""
+    the image stream (per-image skip + empty-PDF path); every 5th uses the
+    PDF 1.5 ObjStm layout; encryption rotates in (RC4-128 at i%13==6,
+    AES-128 at i%13==12, AES-256/R6 at i%17==16) — so the driver-level
+    oracle also covers the modern-producer layouts end to end."""
     from ..engine import pdfx, rasters
 
     kind = SCANNED_KINDS[i % len(SCANNED_KINDS)]
     text = f"SCAN {i} CODE {(i * 7) % 97}"
     img = rasters.render_text(text, scale=2)
-    return pdfx.build_image_pdf([(img, kind)], corrupt_data=(i % 11 == 10))
+    encrypt = None
+    if i % 17 == 16:
+        encrypt = "aes256"
+    elif i % 13 == 12:
+        encrypt = "aes"
+    elif i % 13 == 6:
+        encrypt = "rc4"
+    return pdfx.build_image_pdf(
+        [(img, kind)],
+        corrupt_data=(i % 11 == 10),
+        objstm=(i % 5 == 3),
+        encrypt=encrypt,
+    )
 
 
 def synthetic_scanned_rows(n: int) -> list[tuple[str, bytes]]:
@@ -71,7 +86,7 @@ def ensure_scanned_goldens(n_docs: int, base: str = "/tmp/asos_spark_corpus") ->
     from ..engine.extract import extract_document
 
     n = scanned_counts(n_docs)
-    d = os.path.join(base, f"scanned_goldens_n{n}_v1")
+    d = os.path.join(base, f"scanned_goldens_n{n}_v2")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
