@@ -1,9 +1,14 @@
 """Minimal PDF builder + parser.
 
-Scope mirrors the reference's equally-partial PDF support (SURVEY.md §7.3):
-flate-compressed content streams with ``BT/ET``, ``Tj``/``TJ``/``Td``/``TD``/
-``T*`` text operators, and 8-bit DeviceGray / DeviceRGB / ICCBased / DeviceCMYK
-image XObjects. Anything else raises and the caller quarantines the row.
+Core scope mirrors the reference's equally-partial PDF support (SURVEY.md
+§7.3): flate-compressed content streams with ``BT/ET``, ``Tj``/``TJ``/
+``Td``/``TD``/``T*`` text operators, and 8-bit DeviceGray / DeviceRGB /
+ICCBased / DeviceCMYK image XObjects; unsupported constructs raise and the
+caller quarantines the row. Round 4 extends the crawl-reality surface far
+beyond the reference: CCITT (`ccittx`), JBIG2 (`jbig2x`), and JPEG 2000
+(`jp2x`) image filters; PDF 1.5 compressed object streams
+(`_expand_object_streams`); and standard-security-handler decryption
+(`pdfcrypt`: RC4-40/128, AES-128, AES-256/R6) for owner-locked files.
 
 Reference semantics reproduced exactly (SURVEY.md §2.4):
 
