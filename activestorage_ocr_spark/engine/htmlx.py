@@ -100,8 +100,21 @@ def decode_payload(payload: bytes) -> str:
     enc = "utf-8"
     if m:
         cand = m.group(1).decode("ascii", "replace").lower()
-        # Only honor encodings we can decode deterministically everywhere.
-        if cand in ("utf-8", "utf8", "ascii", "us-ascii", "latin-1", "latin1", "iso-8859-1", "windows-1252", "cp1252"):
+        # Honor any TEXT codec the stdlib resolves (deterministic across
+        # hosts — the codecs module ships with the interpreter): gbk,
+        # shift_jis, euc-jp/kr, big5, koi8-r, windows-125x, iso-8859-x —
+        # the legacy encodings a real crawl is full of. Bytes-to-bytes
+        # pseudo-codecs fail the probe decode and fall back to utf-8.
+        ok = False
+        try:
+            import codecs as _codecs
+
+            _codecs.lookup(cand)
+            b"probe".decode(cand)
+            ok = True
+        except (LookupError, UnicodeDecodeError, ValueError, TypeError):
+            ok = False
+        if ok:
             enc = cand
     try:
         return payload.decode(enc, errors="replace")

@@ -1,6 +1,8 @@
 """Unit tests: HTML main-content extraction (the graft branch — text-density +
 link-density boilerplate strip per BASELINE.json north_star)."""
 
+import pytest
+
 from activestorage_ocr_spark.engine import htmlx
 
 
@@ -201,3 +203,39 @@ class TestTokenizerInvariants:
                 last = end
             if spans:
                 assert last == len(text)
+
+
+class TestLegacyCharsets:
+    # the legacy encodings a real crawl is full of: any text codec the
+    # stdlib resolves is honored (BOM still wins; junk labels fall back)
+    @pytest.mark.parametrize(
+        "enc,body",
+        [
+            ("gbk", "中文网页的正文内容在这里继续很长一段"),
+            ("shift_jis", "日本語のページ本文がここにあります"),
+            ("windows-1251", "Русский текст страницы находится здесь"),
+            ("euc-kr", "한국어 페이지 본문이 여기에 있습니다"),
+            ("iso-8859-2", "Zażółć gęślą jaźń każdego dnia"),
+            ("big5", "繁體中文頁面的內容在此處繼續"),
+        ],
+    )
+    def test_declared_charset_decodes(self, enc, body):
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        html = (
+            f'<html><head><meta charset="{enc}"></head><body><p>'.encode()
+            + body.encode(enc)
+            + b" extra latin words to pass gates</p></body></html>"
+        )
+        r = extract_document(html)
+        assert body in r["extracted_text"]
+
+    def test_pseudo_codec_label_falls_back(self):
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        bad = (
+            b'<html><head><meta charset="hex"></head><body><p>'
+            b"Fallback body with many plain words here.</p></body></html>"
+        )
+        r = extract_document(bad)
+        assert "Fallback body" in r["extracted_text"]
