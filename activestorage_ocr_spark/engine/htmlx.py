@@ -62,8 +62,13 @@ _STRUCTURAL_TAGS = _BLOCK_TAGS | frozenset(
     {"div", "section", "article", "main", "table", "ul", "ol", "dl", "tr", "body", "html"}
 )
 
-_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " "}
-_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+#: full WHATWG named-entity table from the stdlib (case-sensitive first,
+#: lowercase fallback). One deliberate override: &nbsp; becomes a PLAIN
+#: space — training text wants no U+00A0 (and Java's \s, unlike Python's,
+#: does not match it, which would skew Spark-vs-oracle token counts).
+from html.entities import html5 as _HTML5_ENTITIES
+
+_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
 
 MIN_BLOCK_CHARS = 25
 MIN_HEADING_CHARS = 3
@@ -84,7 +89,12 @@ def _decode_entity(m: re.Match) -> str:
         except ValueError:
             pass
         return m.group(0)
-    return _ENTITIES.get(body.lower(), m.group(0))
+    if body in ("nbsp", "NonBreakingSpace"):
+        return " "
+    val = _HTML5_ENTITIES.get(body + ";")
+    if val is None:
+        val = _HTML5_ENTITIES.get(body.lower() + ";")
+    return m.group(0) if val is None else val.replace("\u00a0", " ")
 
 
 def decode_payload(payload: bytes) -> str:

@@ -239,3 +239,30 @@ class TestLegacyCharsets:
         )
         r = extract_document(bad)
         assert "Fallback body" in r["extracted_text"]
+
+
+class TestNamedEntities:
+    def test_whatwg_table(self):
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        html = (
+            b"<html><body><p>Caf&eacute; costs 5&nbsp;&euro; &mdash; "
+            b"&ldquo;cheap&rdquo; &Ouml;sterreich &hellip; &copy; 2024 "
+            b"with plenty of words</p></body></html>"
+        )
+        r = extract_document(html)
+        t = r["extracted_text"]
+        assert "Café costs 5 €" in t
+        assert "—" in t and "“cheap”" in t
+        assert "Österreich" in t and "©" in t and "…" in t
+        assert "\xa0" not in t  # nbsp normalizes to a plain space
+
+    def test_case_sensitivity_and_unknown(self):
+        from activestorage_ocr_spark.engine.htmlx import extract_main_content
+
+        t, _spans = extract_main_content(
+            b"<html><body><p>&Delta; and &delta; differ; &bogusname; "
+            b"stays literal in this long enough sentence.</p></body></html>"
+        )
+        assert "Δ" in t and "δ" in t
+        assert "&bogusname;" in t
