@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import datetime as dt
 import gzip
+import zlib
 import io
 import os
 from typing import Iterator
@@ -83,9 +84,59 @@ def _parse_warc_date(s: str) -> dt.datetime | None:
         return None
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo Transfer-Encoding: chunked (RFC 9112 §7.1). Malformed chunk
+    framing returns the body unchanged (resync posture — never raise)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            return bytes(body)
+        size_tok = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(body)
+        if size == 0:
+            break  # trailers ignored
+        start = eol + 2
+        if start + size > n:
+            return bytes(body)
+        out += body[start : start + size]
+        pos = start + size
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+    return bytes(out)
+
+
+def _decode_content(body: bytes, encoding: str | None) -> bytes:
+    """Undo Content-Encoding gzip/x-gzip/deflate (the encodings a crawl's
+    raw HTTP captures actually carry). Unknown encodings (br without a
+    brotli module, compress) and decode failures keep the raw bytes —
+    downstream MIME sniffing quarantines honestly."""
+    if not encoding:
+        return body
+    enc = encoding.lower().strip()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+    except (OSError, zlib.error, EOFError):
+        return body
+    return body
+
+
 def _split_http_response(block: bytes):
     """(status, content_type, content_language, body) from an HTTP response
-    block; (None, None, None, block) when it isn't one."""
+    block; (None, None, None, block) when it isn't one. Chunked transfer
+    framing is removed and gzip/deflate content encodings are undone, so
+    ``html`` always holds the entity bytes the browser would parse."""
     head_end = block.find(b"\r\n\r\n")
     if head_end == -1 or not block.startswith(b"HTTP/"):
         return None, None, None, block
@@ -94,7 +145,7 @@ def _split_http_response(block: bytes):
         status = int(head[0].split(None, 2)[1])
     except (IndexError, ValueError):
         return None, None, None, block
-    ctype = lang = None
+    ctype = lang = cenc = tenc = None
     for line in head[1:]:
         k, _, v = line.partition(":")
         lk = k.strip().lower()
@@ -102,7 +153,15 @@ def _split_http_response(block: bytes):
             ctype = v.strip() or None
         elif lk == "content-language" and lang is None:
             lang = v.strip() or None
-    return status, ctype, lang, block[head_end + 4 :]
+        elif lk == "content-encoding" and cenc is None:
+            cenc = v.strip() or None
+        elif lk == "transfer-encoding" and tenc is None:
+            tenc = v.strip() or None
+    body = block[head_end + 4 :]
+    if tenc and "chunked" in tenc.lower():
+        body = _dechunk(body)
+    body = _decode_content(body, cenc)
+    return status, ctype, lang, body
 
 
 def parse_warc_stream(

@@ -155,3 +155,69 @@ class TestSparkReader:
         assert summary["n_rows"] == 4  # 2 files x (RECS minus the 404)
         got = spark.read.parquet(f"{out}/data").count()
         assert got == 4
+
+
+class TestHttpPayloadDecoding:
+    # raw crawl captures carry the wire form: chunked framing and
+    # gzip/deflate content encodings must be undone before extraction
+    def _record(self, headers: bytes, body: bytes) -> bytes:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + headers + b"\r\n" + body
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://enc.example/x\r\n"
+            b"WARC-Date: 2023-05-01T00:00:00Z\r\n"
+            b"WARC-Record-ID: <urn:uuid:1>\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http + b"\r\n\r\n"
+        )
+        return rec
+
+    HTML = b"<html><body><p>Wire-encoded page body with enough words.</p></body></html>"
+
+    def _parse(self, rec: bytes):
+        import io
+
+        rows = list(warc.parse_warc_stream(io.BufferedReader(io.BytesIO(rec)), "t"))
+        assert len(rows) == 1
+        return rows[0]
+
+    def test_chunked(self):
+        body = b""
+        for part in (self.HTML[:25], self.HTML[25:]):
+            body += format(len(part), "x").encode() + b"\r\n" + part + b"\r\n"
+        body += b"0\r\n\r\n"
+        row = self._parse(self._record(b"Transfer-Encoding: chunked\r\n", body))
+        assert row["html"] == self.HTML
+
+    def test_gzip_content_encoding(self):
+        row = self._parse(
+            self._record(b"Content-Encoding: gzip\r\n", gzip.compress(self.HTML))
+        )
+        assert row["html"] == self.HTML
+
+    def test_chunked_plus_gzip(self):
+        gz = gzip.compress(self.HTML)
+        body = format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+        row = self._parse(self._record(
+            b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", body
+        ))
+        assert row["html"] == self.HTML
+
+    def test_raw_deflate(self):
+        import zlib
+
+        row = self._parse(self._record(
+            b"Content-Encoding: deflate\r\n", zlib.compress(self.HTML)[2:-4]
+        ))
+        assert row["html"] == self.HTML
+
+    def test_malformed_chunks_keep_raw(self):
+        row = self._parse(self._record(
+            b"Transfer-Encoding: chunked\r\n", b"ZZZ not chunks"
+        ))
+        assert row["html"] == b"ZZZ not chunks"
+
+    def test_unknown_encoding_keeps_raw(self):
+        row = self._parse(self._record(b"Content-Encoding: br\r\n", b"\x00\x01\x02"))
+        assert row["html"] == b"\x00\x01\x02"
