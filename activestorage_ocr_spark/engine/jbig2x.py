@@ -1,6 +1,7 @@
-"""JBIG2 (ITU-T T.88) generic-region codec for the PDF ``/JBIG2Decode``
-filter — the other dominant encoding of real-world scanned PDFs next to
-CCITT G4 (``engine/ccittx.py``).
+"""JBIG2 (ITU-T T.88) codec for the PDF ``/JBIG2Decode`` filter — the
+other dominant encoding of real-world scanned PDFs next to CCITT G4
+(``engine/ccittx.py``). Every ARITHMETIC-mode coding path is implemented;
+only Huffman-coded variants and MMR halftone/pattern payloads quarantine.
 
 Strictly BEYOND the reference (its raster path errors on anything but raw
 Gray/RGB/CMYK sample streams, `rust/src/engines/ocrs.rs:467-582`); added
@@ -22,6 +23,14 @@ Implemented from the public spec only:
   OOB class terminators, IAEX export runs) and text regions (strip
   decoding via IADT/IAFS/IADS/IAIT, REFCORNER placement, DS offset) —
   the *symbol mode* that is jbig2enc's default output for scanned text;
+* T.88 §6.3 — generic refinement regions (GR templates 0/1, TPGRON
+  typical prediction, offset references) with SDREFAGG refinement symbols
+  (cross-dictionary input symbols, REFAGGNINST>1 aggregate symbols as
+  nested text bitmaps over shared contexts) and SBREFINE per-instance
+  text-region refinement;
+* T.88 §6.6/§6.7 — pattern dictionaries (collective bitmap) and halftone
+  regions (gray-coded bitplane stack from one MQ stream, halftone grid
+  vector rendering);
 * T.88 §7 — the embedded-stream segment organization used inside PDFs:
   segment headers with referred-to segments, page information (type 48),
   symbol dictionary (0), immediate text region (4/6/7), immediate generic
