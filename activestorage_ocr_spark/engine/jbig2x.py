@@ -1173,6 +1173,9 @@ class _PageState:
             self.w, self.h = x + rw, y + rh
         cur_h = self.page.shape[0] if self.page is not None else 0
         need_h = max(y + rh, self.h or 0, cur_h)
+        if need_h * self.w > 4 * _MAX_PIXELS:
+            # forged region offsets must not force a giant page allocation
+            raise Jbig2Error("implausible page growth")
         if self.page is None:
             self.page = np.full((need_h, self.w), bool(self.default_pixel), dtype=bool)
         elif need_h > cur_h:
@@ -1211,6 +1214,10 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 if len(payload) < 17:
                     raise Jbig2Error("truncated page info segment")
                 st.w, st.h = struct.unpack_from(">II", payload, 0)
+                if st.w > 1 << 20 or (
+                    st.h not in (0xFFFFFFFF,) and st.w * max(st.h, 1) > 4 * _MAX_PIXELS
+                ):
+                    raise Jbig2Error("implausible page dimensions")
                 st.default_pixel = (payload[16] >> 2) & 1
                 if st.h == 0xFFFFFFFF:
                     st.h = None  # striped page: grow with regions

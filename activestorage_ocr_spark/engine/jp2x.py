@@ -857,6 +857,12 @@ def _prec_grid(rx0, rx1, ry0, ry1, ppx: int, ppy: int):
     if rx1 <= rx0 or ry1 <= ry0:
         return []
     sx, sy = 1 << ppx, 1 << ppy
+    npx = -(-rx1 // sx) - rx0 // sx
+    npy = -(-ry1 // sy) - ry0 // sy
+    if npx * npy > 65536:
+        # decompression-bomb guard: a forged tiny-precinct COD would
+        # otherwise materialize millions of per-precinct objects
+        raise Jp2Error(f"too many precincts ({npx}x{npy})")
     rects = []
     for py in range(ry0 // sy, -(-ry1 // sy)):
         for px in range(rx0 // sx, -(-rx1 // sx)):
@@ -881,6 +887,7 @@ def _tile_comp_bands(
     x0, x1, y0, y1 = rect
     res: list[list[_Band]] = []
     for r in range(nl + 1):
+        budget.check()
         ppx, ppy = precs[r] if precs is not None else (15, 15)
         shift = 0 if r == 0 else 1
         if r > 0 and (ppx < 1 or ppy < 1):
@@ -1486,6 +1493,8 @@ def _parse_cod(seg: bytes) -> _CodMarker:
     cod.eph = bool(scod & 4)
     cod.prog = seg[1]
     cod.layers = struct.unpack(">H", seg[2:4])[0]
+    if not (1 <= cod.layers <= 1024):
+        raise Jp2Error(f"implausible layer count {cod.layers}")
     cod.mct = seg[4] & 1
     cod.levels = seg[5]
     cod.cbw = 1 << (min(seg[6] & 0xF, 8) + 2)

@@ -563,3 +563,20 @@ class TestRefAggSymbols:
         res = extract_document(pdfx.build_image_pdf([(img, "JBIG2RA")]))
         assert res["status"] == "ok"
         assert res["extracted_text"] == "REFAGG SYMBOLS"
+
+
+class TestAllocationBombGuards:
+    # forged page dimensions / region offsets must not force giant
+    # allocations (adversarial-fuzz finding)
+    def test_page_info_bomb(self):
+        payload = struct.pack(">IIIIBH", 0xFFFFFF, 0xFFFFFF, 0, 0, 0, 0)
+        head = struct.pack(">IB", 0, jbig2x._SEG_PAGE_INFO) + b"\x00" + b"\x01"
+        head += struct.pack(">I", len(payload))
+        with pytest.raises(Jbig2Error, match="implausible page"):
+            jbig2x.decode_jbig2_embedded(head + payload)
+
+    def test_compose_growth_bomb(self):
+        st = jbig2x._PageState()
+        st.w, st.h = 1 << 19, None
+        with pytest.raises(Jbig2Error, match="implausible page growth"):
+            st.compose(np.ones((4, 4), dtype=bool), 0, 1 << 18, 0)

@@ -552,3 +552,21 @@ class TestDerivedQuant:
             encode_jp2(
                 img, reversible=False, derived_quant=True, chroma_step_mult=2.0
             )
+
+
+class TestDecompressionBombGuards:
+    # found by adversarial fuzzing: forged headers must fail FAST with a
+    # named error, never materialize millions of objects (one mutant
+    # reached 43 GB RSS before these caps existed)
+    def test_precinct_bomb(self):
+        with pytest.raises(Jp2Error, match="too many precincts"):
+            jp2x._prec_grid(0, 3000, 0, 3000, 1, 1)
+
+    def test_layer_bomb(self):
+        import struct
+
+        cs = bytearray(encode_jp2(_structured(32, 32)))
+        cod_at = cs.index(b"\xff\x52")
+        cs[cod_at + 6 : cod_at + 8] = struct.pack(">H", 65535)
+        with pytest.raises(Jp2Error, match="layer count"):
+            decode_jp2(bytes(cs))
