@@ -619,6 +619,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     (compression,) = struct.unpack("<I", data[30:34])
     flip = h > 0
     h = abs(h)
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError(f"BMP {w}x{h} exceeds the 64MP decode guard")
     if bpp == 32 and compression in (0, 3):
         # BGRA (BI_RGB) or BI_BITFIELDS; alpha composited over white like
         # every other format here
@@ -960,6 +962,8 @@ def decode_gif(data: bytes) -> np.ndarray:
     if data[:4] != b"GIF8":
         raise ValueError("not a GIF")
     w, h, flags = struct.unpack("<HHB", data[6:11])
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise ValueError(f"GIF {w}x{h} exceeds the 64MP decode guard")
     pos = 13
     palette = None
     if flags & 0x80:

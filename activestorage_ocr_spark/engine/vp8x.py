@@ -769,6 +769,8 @@ def decode_frame_planes(data: bytes):
         raise ValueError("bad VP8 keyframe start code")
     w = (data[6] | (data[7] << 8)) & 0x3FFF
     h = (data[8] | (data[9] << 8)) & 0x3FFF
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise ValueError(f"VP8 {w}x{h} exceeds the 64MP decode guard")
     if w == 0 or h == 0:
         raise ValueError("empty VP8 frame")
     # decode-bomb guard: a corrupt header can declare up to 16383x16383;

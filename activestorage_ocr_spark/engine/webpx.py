@@ -449,6 +449,8 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
     bits = _Bits(payload[1:])
     w = bits.read(14) + 1
     h = bits.read(14) + 1
+    if w * h > 64_000_000:
+        raise ValueError(f"VP8L {w}x{h} exceeds the 64MP decode guard")
     bits.read(1)  # alpha hint
     if bits.read(3) != 0:
         raise ValueError("unsupported VP8L version")

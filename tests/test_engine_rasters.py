@@ -509,3 +509,38 @@ class TestBmp32:
         masks = struct.pack("<IIII", 0xF800, 0x07E0, 0x001F, 0)
         with pytest.raises(ValueError, match="bitfields"):
             rasters.decode_bmp(hdr + info + masks + rows)
+
+
+class TestDimensionBombGuards:
+    # adversarial-fuzz posture: forged giant dimensions fail FAST with the
+    # named 64MP guard, never attempt the allocation
+    def test_bmp_bomb(self):
+        import struct
+
+        bmp = (
+            b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, 0x7FFFFFF, 0x7FFFFFF, 1, 24)
+            + struct.pack("<I", 0) + b"\x00" * 20
+        )
+        with pytest.raises(ValueError, match="64MP"):
+            rasters.decode_bmp(bmp)
+
+    def test_gif_bomb(self):
+        import struct
+
+        gif = (
+            b"GIF89a" + struct.pack("<HH", 0xFFFF, 0xFFFF) + b"\x87\x00\x00"
+            + b"\x00" * 768
+        )
+        with pytest.raises(ValueError, match="64MP"):
+            rasters.decode_gif(gif)
+
+    def test_vp8l_bomb(self):
+        import struct
+
+        from activestorage_ocr_spark.engine import webpx
+
+        val = (16382) | (16382 << 14)
+        payload = b"\x2f" + struct.pack("<I", val) + b"\x00" * 8
+        with pytest.raises(ValueError, match="64MP"):
+            webpx.decode_vp8l(payload)
