@@ -166,3 +166,62 @@ def test_mutated_codec_pdfs_never_raise(kind, seed, nflips):
         pdf[rng.randint(0, len(pdf))] = rng.randint(0, 256)
     res = extract_document(bytes(pdf))
     assert isinstance(res, dict) and "status" in res
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 20))
+@settings(max_examples=25, deadline=None)
+def test_mutated_warc_streams_never_raise(seed, nmut):
+    """The WARC parser's resync posture holds under arbitrary mutation."""
+    import io
+
+    import numpy as np
+
+    from activestorage_ocr_spark.sources import warc
+
+    recs = [
+        {"url": f"http://f.example/{i}", "date": "2023-05-01T00:00:00Z",
+         "html": b"<html><body><p>Record body with words.</p></body></html>"}
+        for i in range(4)
+    ]
+    import tempfile
+    import os
+
+    p = tempfile.mktemp(suffix=".warc")
+    warc.write_warc(p, recs)
+    base = open(p, "rb").read()
+    os.unlink(p)
+    rng = np.random.RandomState(seed % 2**31)
+    buf = bytearray(base)
+    for _ in range(nmut):
+        op = rng.randint(3)
+        if op == 0:
+            buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        elif op == 1 and len(buf) > 60:
+            at = rng.randint(0, len(buf) - 40)
+            del buf[at : at + rng.randint(1, 32)]
+        else:
+            at = rng.randint(0, len(buf))
+            buf[at:at] = bytes(rng.randint(0, 256, rng.randint(1, 16)).astype(np.uint8))
+    rows = list(warc.parse_warc_stream(io.BufferedReader(io.BytesIO(bytes(buf))), "f"))
+    assert isinstance(rows, list)
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_charset_entity_storms_never_raise_and_stay_encodable(seed):
+    """Random charsets + entity storms: the result must be a quarantine-or-ok
+    dict whose text is UTF-8-encodable (the Arrow serialization contract)."""
+    import numpy as np
+
+    from activestorage_ocr_spark.engine.extract import extract_document
+
+    rng = np.random.RandomState(seed % 2**31)
+    cs = [b"utf-8", b"gbk", b"shift_jis", b"windows-1251", b"nonsense",
+          b"utf-16"][rng.randint(6)]
+    body = bytes(rng.randint(0, 256, rng.randint(50, 500)).astype(np.uint8))
+    ents = b"&amp;&bogus;&#x110000;&#xD800;&#99999999;&aacute" * rng.randint(0, 4)
+    html = (b'<html><head><meta charset="' + cs + b'"></head><body><p>'
+            + body + ents + b"</p></body></html>")
+    res = extract_document(html, timeout_ms=2000)
+    assert "status" in res
+    (res.get("extracted_text") or "").encode("utf-8")  # must not raise
