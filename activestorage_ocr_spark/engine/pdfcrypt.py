@@ -321,11 +321,24 @@ def _padded(pw: bytes) -> bytes:
 
 
 def derive_key(
-    o: bytes, p: int, id0: bytes, r: int, nbytes: int, password: bytes = b""
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    nbytes: int,
+    password: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the file encryption key from a (user) password."""
+    """Algorithm 2: the file encryption key from a (user) password. For
+    R >= 4 with /EncryptMetadata false, 0xFFFFFFFF is appended to the MD5
+    input (32000-1 §7.6.3.3 step f) — a common producer setting; without
+    it such documents fail empty-password auth and wrongly quarantine."""
     h = hashlib.md5(
-        _padded(password) + o[:32] + struct.pack("<i", p) + id0
+        _padded(password)
+        + o[:32]
+        + struct.pack("<i", p)
+        + id0
+        + (b"\xff\xff\xff\xff" if r >= 4 and not encrypt_metadata else b"")
     )
     key = h.digest()
     if r >= 3:
@@ -360,11 +373,17 @@ def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
 
 
 def authenticate_empty_user(
-    o: bytes, u: bytes, p: int, id0: bytes, r: int, nbytes: int
+    o: bytes,
+    u: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    nbytes: int,
+    encrypt_metadata: bool = True,
 ) -> bytes | None:
     """Empty-user-password check (Algorithm 6): returns the file key when
     the document opens without a password, else None."""
-    key = derive_key(o, p, id0, r, nbytes)
+    key = derive_key(o, p, id0, r, nbytes, encrypt_metadata=encrypt_metadata)
     want = compute_u(key, id0, r)
     got_ok = (u[:16] == want[:16]) if r >= 3 else (u[:32] == want[:32])
     return key if got_ok else None
@@ -382,6 +401,12 @@ def object_key(key: bytes, oid: int, gen: int, aes: bool) -> bytes:
 
 
 def decrypt_bytes(data: bytes, key: bytes, oid: int, gen: int, aes: bool) -> bytes:
+    if aes and len(key) == 32:
+        # AESV3 (ISO 32000-2 §7.6.3.3): the 32-byte file key is used
+        # DIRECTLY — Algorithm 1's per-object MD5 derivation applies only
+        # to the V<5 handlers. Deriving here would decrypt our own
+        # fixtures fine but fail every real-world AES-256 PDF.
+        return aes_cbc_decrypt(key, data)
     ok = object_key(key, oid, gen, aes)
     if aes:
         return aes_cbc_decrypt(ok, data)
@@ -389,6 +414,10 @@ def decrypt_bytes(data: bytes, key: bytes, oid: int, gen: int, aes: bool) -> byt
 
 
 def encrypt_bytes(data: bytes, key: bytes, oid: int, gen: int, aes: bool) -> bytes:
+    if aes and len(key) == 32:
+        # AESV3: raw file key, mirroring decrypt_bytes
+        iv = hashlib.md5(b"iv" + key + struct.pack("<I", oid)).digest()
+        return aes_cbc_encrypt(key, iv, data)
     ok = object_key(key, oid, gen, aes)
     if aes:
         # deterministic IV from the object identity: fixtures must be

@@ -407,11 +407,12 @@ def _assemble_objstm(
 
 
 _ENCRYPT_PROFILES = {
-    # name -> (V, R, key bytes, aes)
-    "rc4-40": (1, 2, 5, False),
-    "rc4": (2, 3, 16, False),
-    "aes": (4, 4, 16, True),
-    "aes256": (5, 6, 32, True),
+    # name -> (V, R, key bytes, aes, encrypt_metadata)
+    "rc4-40": (1, 2, 5, False, True),
+    "rc4": (2, 3, 16, False, True),
+    "aes": (4, 4, 16, True, True),
+    "aes-nometa": (4, 4, 16, True, False),
+    "aes256": (5, 6, 32, True, True),
 }
 
 
@@ -424,7 +425,7 @@ def _assemble(
     if encrypt is not None:
         from . import pdfcrypt as pc
 
-        v, r, nb, aes = _ENCRYPT_PROFILES[encrypt]
+        v, r, nb, aes, enc_meta = _ENCRYPT_PROFILES[encrypt]
         hashlib = __import__("hashlib")
         id0 = hashlib.md5(b"".join(d for _, d, _ in sorted(objs))).digest()
         if v == 5:
@@ -447,7 +448,10 @@ def _assemble(
         else:
             o_val = pc.compute_o(b"", user_password, r, nb)
             p_val = -44
-            key = pc.derive_key(o_val, p_val, id0, r, nb, password=user_password)
+            key = pc.derive_key(
+                o_val, p_val, id0, r, nb,
+                password=user_password, encrypt_metadata=enc_meta,
+            )
             u_val = pc.compute_u(key, id0, r)
             ue_val = oe_val = None
         enc_objs = []
@@ -478,6 +482,7 @@ def _assemble(
             + b" /R " + str(r).encode()
             + b" /Length " + str(nb * 8).encode()
             + b" /P " + str(p_val).encode()
+            + (b"" if enc_meta else b" /EncryptMetadata false")
             + b" /O <" + o_val.hex().encode() + b">"
             + b" /U <" + u_val.hex().encode() + b">" + cf + b" >>"
         )
@@ -804,7 +809,11 @@ def _decrypt_document(data: bytes, objects: dict[int, "PdfObject"]) -> None:
             and isinstance(p_val, int) and isinstance(id0, bytes)
         ):
             raise PdfError("encrypted PDF missing /O, /U, /P, or /ID")
-        key = pc.authenticate_empty_user(o_val, u_val, p_val, id0, r, nbytes)
+        enc_meta = enc_dict.get("/EncryptMetadata", True)
+        key = pc.authenticate_empty_user(
+            o_val, u_val, p_val, id0, r, nbytes,
+            encrypt_metadata=bool(enc_meta),
+        )
         if key is None:
             raise PdfError("password-protected PDF (user password required)")
     for obj in objects.values():

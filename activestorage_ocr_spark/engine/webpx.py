@@ -526,6 +526,8 @@ def decode_webp(data: bytes) -> np.ndarray:
             # canvas size: 24-bit LE width-1 / height-1 after flags+reserved
             cw = int.from_bytes(body[4:7], "little") + 1
             ch = int.from_bytes(body[7:10], "little") + 1
+            if cw * ch > 64_000_000:
+                raise ValueError(f"VP8X canvas {cw}x{ch} exceeds the 64MP decode guard")
             canvas_wh = (cw, ch)
         if tag == b"VP8L":
             return decode_vp8l(body)

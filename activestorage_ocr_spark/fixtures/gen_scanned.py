@@ -86,7 +86,9 @@ def ensure_scanned_goldens(n_docs: int, base: str = "/tmp/asos_spark_corpus") ->
     from ..engine.extract import extract_document
 
     n = scanned_counts(n_docs)
-    d = os.path.join(base, f"scanned_goldens_n{n}_v2")
+    # _v3: AESV3 payloads now use the raw 32-byte file key (no Algorithm-1
+    # per-object derivation) — payload bytes changed, so the cache key must
+    d = os.path.join(base, f"scanned_goldens_n{n}_v3")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d

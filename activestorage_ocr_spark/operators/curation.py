@@ -174,7 +174,10 @@ def run_curation_job(
             F.count("*").alias("n_rows"),
             F.sum(kept.cast("long")).alias("n_ok"),
             F.sum((~kept).cast("long")).alias("n_quarantined"),
-            F.sum(F.length(text_col)).alias("bytes_in"),
+            # octet_length, not length: MANIFEST_SCHEMA's bytes_in means
+            # BYTES (the extraction manifest counts payload bytes) — length
+            # on a string counts characters and diverges on non-ASCII text
+            F.sum(F.octet_length(text_col)).alias("bytes_in"),
             F.sum(F.when(kept, F.length(text_col)).otherwise(0)).alias("chars_out"),
         )
         .collect()

@@ -9,7 +9,7 @@ from activestorage_ocr_spark.engine import pdfcrypt as pc
 from activestorage_ocr_spark.engine import pdfx, rasters
 from activestorage_ocr_spark.engine.extract import extract_document
 
-PROFILES = ["rc4-40", "rc4", "aes", "aes256"]
+PROFILES = ["rc4-40", "rc4", "aes", "aes-nometa", "aes256"]
 
 
 class TestPrimitives:
@@ -115,6 +115,58 @@ class TestPdfIntegration:
         pdf[at : at + 17] = b"/Filter /Custom78"
         with pytest.raises(pdfx.PdfError, match="security handler"):
             pdfx.parse_objects(bytes(pdf))
+
+    def test_aesv3_uses_raw_file_key_not_object_key(self):
+        # ISO 32000-2 §7.6.3.3: V5/AESV3 streams are encrypted with the
+        # 32-byte FILE key directly — no Algorithm-1 per-object MD5
+        # derivation. Simulate an externally produced PDF stream: encrypt
+        # with the raw key and an IV chosen with NO knowledge of the
+        # object number, then decrypt under several different (oid, gen)
+        # pairs — all must succeed, proving oid/gen play no role.
+        import hashlib
+
+        fk = hashlib.sha256(b"external producer file key").digest()
+        plaintext = b"externally produced AES-256 stream body"
+        iv = hashlib.sha256(b"random producer iv").digest()[:16]
+        ct = pc.aes_cbc_encrypt(fk, iv, plaintext)
+        for oid, gen in ((1, 0), (42, 0), (9999, 3)):
+            assert pc.decrypt_bytes(ct, fk, oid, gen, aes=True) == plaintext
+        # and AES-128 still derives per-object keys (V4 semantics): the
+        # same ciphertext under a 16-byte key must NOT decrypt raw
+        k16 = fk[:16]
+        ct16 = pc.aes_cbc_encrypt(pc.object_key(k16, 7, 0, True), iv, plaintext)
+        assert pc.decrypt_bytes(ct16, k16, 7, 0, aes=True) == plaintext
+        with pytest.raises(ValueError):
+            pc.decrypt_bytes(ct16, k16, 8, 0, aes=True)  # wrong oid -> bad pad
+
+    def test_encrypt_metadata_false_key_derivation(self):
+        # 32000-1 §7.6.3.3 step f: R>=4 + /EncryptMetadata false appends
+        # 0xFFFFFFFF to the MD5 input — a different file key entirely
+        id0 = bytes.fromhex("0123456789abcdef0123456789abcdef")
+        o = pc.compute_o(b"", b"", 4, 16)
+        k_meta = pc.derive_key(o, -44, id0, 4, 16, encrypt_metadata=True)
+        k_nometa = pc.derive_key(o, -44, id0, 4, 16, encrypt_metadata=False)
+        assert k_meta != k_nometa
+        # R3 predates the flag: it must not change the key
+        assert pc.derive_key(o, -44, id0, 3, 16, encrypt_metadata=False) == \
+            pc.derive_key(o, -44, id0, 3, 16, encrypt_metadata=True)
+        # auth only succeeds when the flag matches the /U derivation
+        u_nometa = pc.compute_u(k_nometa, id0, 4)
+        assert pc.authenticate_empty_user(
+            o, u_nometa, -44, id0, 4, 16, encrypt_metadata=False
+        ) == k_nometa
+        assert pc.authenticate_empty_user(
+            o, u_nometa, -44, id0, 4, 16, encrypt_metadata=True
+        ) is None
+
+    def test_encrypt_metadata_false_pdf_decrypts_e2e(self):
+        pdf = pdfx.build_text_pdf(
+            [["Unencrypted-metadata producer body"]], encrypt="aes-nometa"
+        )
+        assert b"/EncryptMetadata false" in pdf
+        res = extract_document(pdf)
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "Unencrypted-metadata producer body"
 
     def test_mutated_encrypted_pdfs_never_raise_at_engine(self):
         rng = np.random.RandomState(0)

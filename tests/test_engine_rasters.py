@@ -544,3 +544,20 @@ class TestDimensionBombGuards:
         payload = b"\x2f" + struct.pack("<I", val) + b"\x00" * 8
         with pytest.raises(ValueError, match="64MP"):
             webpx.decode_vp8l(payload)
+
+    def test_vp8x_anmf_canvas_bomb(self):
+        # animated-WebP canvas bomb: a ~60000x60000 VP8X canvas would make
+        # ANMF compositing allocate ~10 GB — must fail at the VP8X header
+        import struct
+
+        from activestorage_ocr_spark.engine import webpx
+
+        vp8x = (
+            bytes([0x02, 0, 0, 0])  # animation flag set, reserved
+            + (60000 - 1).to_bytes(3, "little")
+            + (60000 - 1).to_bytes(3, "little")
+        )
+        chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        webp = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+        with pytest.raises(ValueError, match="64MP"):
+            webpx.decode_webp(webp)
