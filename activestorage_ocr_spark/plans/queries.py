@@ -2586,3 +2586,35 @@ def extraction_oracles(n_docs: int = 2_000) -> dict[str, str]:
             GROUP BY status_default
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# driver-verification ordering
+# ---------------------------------------------------------------------------
+# The correctness harness compares the FIRST 50 registered queries against
+# their oracles (registration-order cap). Round 4's 14 newest registrations
+# fell outside that window and never received a driver-side CORRECTNESS row,
+# so they register first here; everything else keeps its relative order (all
+# of it was driver-green in CORRECTNESS_r04 and the full 64-query sweep stays
+# covered in-repo by tests/test_oracle_parity.py).
+_DRIVER_FIRST = [
+    "sitemap_urls",
+    "link_authority",
+    "robots_filter",
+    "training_mix",
+    "extract_scanned",
+    "warc_ingest",
+    "decontaminate_ngrams",
+    "quality_repetition",
+    "text_pii_scrub",
+    "curation_sample_stratified",
+    "url_canonical_dedup",
+    "urlfilter_flags",
+    "crawl_delta",
+    "curation_domain_stats",
+]
+assert all(k in QUERIES for k in _DRIVER_FIRST)
+QUERIES = {
+    **{k: QUERIES[k] for k in _DRIVER_FIRST},
+    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_FIRST},
+}
