@@ -10,7 +10,7 @@ Python): the SQL-facing twins of the in-kernel implementations in
 """
 
 from ..operators.dedup import word_shingles  # noqa: F401
-from ..operators.similarity import cosine, dot, l2_norm, lsh_bucket  # noqa: F401
+from ..operators.similarity import cosine, dot, l2_norm, lsh_band_keys  # noqa: F401
 from ..operators.textstats import (  # noqa: F401
     bpe_ish_piece_count,
     char_frequency_score,
@@ -31,7 +31,7 @@ __all__ = [
     "cosine",
     "dot",
     "l2_norm",
-    "lsh_bucket",
+    "lsh_band_keys",
     "bpe_ish_piece_count",
     "char_frequency_score",
     "combined_confidence",

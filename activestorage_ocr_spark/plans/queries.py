@@ -728,6 +728,48 @@ docs_nd AS (
 """
 
 
+#: deterministic near-duplicate injection for the EMBEDDING corpus: the
+#: testdata vectors are i.i.d. random (max pairwise cosine ~0.51 at sf0.01),
+#: so a properly calibrated 16-bit-band LSH correctly finds zero candidates
+#: on the raw table — vectors with vec_id < 25 therefore get a jittered twin
+#: at vec_id + 1_000_000 (+1e-4 on dims where (vec_id + d) % 3 != 0), making
+#: the near-dup queries demonstrably fire while staying SQL-reproducible.
+_EMB_ND_CTE = """
+emb_nd AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+                          i -> embedding[i]::DOUBLE
+                               + 0.0001 * ((vec_id + i - 1) % 3)) AS embedding
+    FROM embeddings WHERE vec_id < 25
+)
+"""
+
+
+def _emb_with_neardups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # jitter FIRST, rename after: putting both in one select makes the
+    # lambda's outer vec_id reference resolve against the +1e6 alias
+    twins = (
+        emb.filter(F.col("vec_id") < 25)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + 0.0001 * F.pmod(F.col("vec_id") + i, F.lit(3)).cast("double"),
+            ).alias("embedding"),
+        )
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    return emb.unionByName(twins)
+
+
 def _docs_with_neardups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = (
@@ -862,8 +904,12 @@ def q_sim_topk(spark, sf_dir):
 
 
 def q_sim_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-3 for the same probes (the scale path)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Banded-LSH approximate top-3 for the same probes (the scale path:
+    4x16-bit rank-hash bands, candidates = any-band match). Runs over the
+    near-dup-injected relation — on the raw i.i.d.-random testdata a
+    calibrated 16-bit band correctly yields ZERO candidates, so the twins
+    are what make the ANN path demonstrably return neighbors."""
+    emb = _emb_with_neardups(spark, sf_dir)
     return sim.lsh_bucketed_topk(emb, F.col("vec_id") < 10, k=3)
 
 
@@ -875,18 +921,19 @@ def q_sim_ivf(spark, sf_dir):
 
 
 def q_emb_neardup_pairs(spark, sf_dir):
-    """Composed LSH-bucket -> exact-cosine near-dup pairs (threshold 0.4).
-    Candidates come from the bucket equi-join; the crossJoin verifier is
-    never the registered plan."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Composed banded-LSH -> exact-cosine near-dup pairs (threshold 0.4)
+    over the near-dup-injected embedding relation. Candidates come from the
+    4x16-bit band equi-join; the crossJoin verifier is never the registered
+    plan."""
+    emb = _emb_with_neardups(spark, sf_dir)
     cand = sim.lsh_bucket_pairs(emb)
     return sim.cosine_verify_pairs(emb, cand, 0.4)
 
 
 def q_emb_neardup_verified(spark, sf_dir):
-    """All LSH-bucket candidate pairs WITH their exact cosine (threshold -1
+    """All banded-LSH candidate pairs WITH their exact cosine (threshold -1
     — the scoring surface; q_emb_neardup_pairs is the >=0.4 decision)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_with_neardups(spark, sf_dir)
     cand = sim.lsh_bucket_pairs(emb)
     return sim.cosine_verify_pairs(emb, cand, -1.0)
 
@@ -1010,10 +1057,23 @@ _COS_SQL = (
     "* sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
 )
 
-_LSH_BUCKET_SQL = " || ".join(
-    f"CASE WHEN {{v}}[{(i * 7) % 64 + 1}] > {{v}}[{(i * 13 + 1) % 64 + 1}] THEN '1' ELSE '0' END"
-    for i in range(6)
-)
+def _lsh_band_sql(v: str, band: int) -> str:
+    """One 16-bit rank-hash band key with the band index baked in —
+    mirrors operators/similarity.lsh_band_keys element ``band``."""
+    bits = " || ".join(
+        f"CASE WHEN {v}[{(i * 7) % 64 + 1}] > {v}[{(i * 13 + 1) % 64 + 1}] THEN '1' ELSE '0' END"
+        for i in range(band * 16, (band + 1) * 16)
+    )
+    return f"'{band}:' || {bits}"
+
+
+def _lsh_buckets_cte(rel: str, id_col: str, v: str) -> str:
+    """4-arm UNION ALL producing one (id, bucket) row per band — the SQL
+    twin of the exploded `lsh_band_keys` column."""
+    return " UNION ALL ".join(
+        f"SELECT {id_col}, {_lsh_band_sql(v, b)} AS bucket FROM {rel}"
+        for b in range(4)
+    )
 
 
 def _jaccard_verified_sql(threshold: float) -> str:
@@ -1054,9 +1114,9 @@ def _cosine_verified_sql(threshold: float) -> str:
     verify (mirrors q_emb_neardup_pairs / q_emb_neardup_verified)."""
     cos = f"round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6)"
     return f"""
-        WITH wb AS (
-            SELECT vec_id, {_LSH_BUCKET_SQL.format(v='embedding')} AS bucket
-            FROM embeddings
+        WITH {_EMB_ND_CTE},
+        wb AS (
+            {_lsh_buckets_cte('emb_nd', 'vec_id', 'embedding')}
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1064,8 +1124,8 @@ def _cosine_verified_sql(threshold: float) -> str:
         )
         SELECT c.id_a, c.id_b, {cos} AS cos_sim
         FROM cand c
-        JOIN embeddings a ON a.vec_id = c.id_a
-        JOIN embeddings b ON b.vec_id = c.id_b
+        JOIN emb_nd a ON a.vec_id = c.id_a
+        JOIN emb_nd b ON b.vec_id = c.id_b
         WHERE {cos} >= {threshold}
     """
 
@@ -1224,16 +1284,21 @@ ORACLES.update(
             FROM ranked WHERE rank <= 5
         """,
         "sim_ann_lsh": f"""
-            WITH wb AS (
-                SELECT vec_id, embedding,
-                       {_LSH_BUCKET_SQL.format(v='embedding')} AS bucket
-                FROM embeddings
+            WITH {_EMB_ND_CTE},
+            wb AS (
+                {_lsh_buckets_cte('emb_nd', 'vec_id', 'embedding')}
             ),
-            sims AS (
-                SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-                       round({_COS_SQL.format(a='p.embedding', b='c.embedding')}, 6) AS cos_sim
+            cand AS (
+                SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
                 FROM wb p JOIN wb c ON p.bucket = c.bucket
                 WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+            ),
+            sims AS (
+                SELECT cd.probe_id, cd.neighbor_id,
+                       round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+                FROM cand cd
+                JOIN emb_nd a ON a.vec_id = cd.probe_id
+                JOIN emb_nd b ON b.vec_id = cd.neighbor_id
             ),
             ranked AS (
                 SELECT *, row_number() OVER (

@@ -235,6 +235,66 @@ class TestSimilarity:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_lsh_band_keys_do_not_collapse(self, spark):
+        # the r4 scale flaw one module over from SimHash: a single 6-bit
+        # bucket key capped the embedding-LSH at 64 buckets total, so the
+        # bucket self-join grew as n^2/64. With 4x16-bit banding, distinct
+        # keys per band must grow with corpus size (400 diverse vectors ->
+        # hundreds of keys per band, far beyond the old 64-key ceiling).
+        import math
+
+        rows = [
+            (i, [float(math.sin(0.7 * i * (d + 1)) + math.cos(1.3 * i + d)) for d in range(64)])
+            for i in range(400)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        keyed = vecs.select(
+            F.explode(sim.lsh_band_keys(F.col("embedding"))).alias("bucket")
+        )
+        per_band = {
+            r.band: r.n
+            for r in keyed.groupBy(F.substring("bucket", 1, 1).alias("band"))
+            .agg(F.countDistinct("bucket").alias("n"))
+            .collect()
+        }
+        assert set(per_band) == {"0", "1", "2", "3"}
+        for band, n_keys in per_band.items():
+            assert n_keys > 200, f"band {band} collapsed to {n_keys} keys"
+
+    def test_lsh_banded_recall_on_injected_neardups(self, spark):
+        # pigeonhole recall guarantee: <= 3 flipped bits across 4 bands
+        # leaves at least one band identical, so every injected near-dup
+        # within hamming 3 of its original MUST surface as a candidate.
+        # The 64-bit signature is recomputed here in pure Python — an
+        # independent twin of the Spark-side rank-hash.
+        import math
+
+        def py_sig(v):
+            return "".join(
+                "1" if v[p % len(v)] > v[q % len(v)] else "0"
+                for p, q in sim.LSH_DIM_PAIRS
+            )
+
+        rows = []
+        for i in range(30):
+            base = [math.sin(0.7 * i * (d + 1)) + math.cos(1.3 * i + d) for d in range(64)]
+            rows.append((i, [float(x) for x in base]))
+            # near-dup twin: tiny jitter on a few dimensions
+            twin = list(base)
+            for d in range(0, 64, 17):
+                twin[d] += 1e-4
+            rows.append((i + 1000, [float(x) for x in twin]))
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        sigs = {i: py_sig(v) for i, v in rows}
+        in_range = {
+            (i, i + 1000)
+            for i in range(30)
+            if sum(a != b for a, b in zip(sigs[i], sigs[i + 1000])) <= 3
+        }
+        assert len(in_range) >= 20, "calibration broke: jitter flips too many bits"
+        found = {(r.id_a, r.id_b) for r in sim.lsh_bucket_pairs(vecs).collect()}
+        assert in_range <= found
+
     def test_zero_vector_does_not_kill_job(self, spark):
         # a degenerate (all-zero) embedding must produce sim 0.0, not a
         # DIVIDE_BY_ZERO job failure (Spark 4 ANSI mode)
