@@ -1,0 +1,69 @@
+"""Subpartitioned window keys for the en-dominance skew answer
+(VERDICT r4 item 3): `pack_sequences` and `training_mix` must window over
+(lang, sub) — sub a 16-way md5 hash prefix of doc_id — never bare lang,
+which funnels ~half a real crawl through one window partition."""
+
+import pyspark.sql.functions as F
+
+from activestorage_ocr_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+
+
+class TestSubpartitionedWindows:
+    def test_pack_sequences_window_key_includes_hash_sub(self, spark):
+        df = QUERIES["pack_sequences"](spark, SF)
+        plan = _final_plan(df)
+        # every Window node must partition by BOTH lang and the sub key
+        win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+        assert win_lines, "expected a Window node in the plan"
+        for ln in win_lines:
+            assert "lang" in ln and "sub" in ln, f"window not subpartitioned: {ln}"
+
+    def test_training_mix_window_key_includes_hash_sub(self, spark):
+        df = QUERIES["training_mix"](spark, SF)
+        plan = _final_plan(df)
+        win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+        assert win_lines, "expected a Window node in the plan"
+        for ln in win_lines:
+            assert "lang" in ln and "sub" in ln, f"window not subpartitioned: {ln}"
+
+    def test_sub_key_actually_spreads(self, spark):
+        # the md5 prefix must populate all 16 subpartitions at test scale —
+        # a constant or near-constant sub column would silently restore the
+        # bare-lang funnel while still passing the plan-string check
+        for name in ("pack_sequences", "training_mix"):
+            df = QUERIES[name](spark, SF)
+            n_subs = df.select("sub").distinct().count()
+            assert n_subs == 16, f"{name}: sub key collapsed to {n_subs} values"
+
+    def test_training_mix_pro_rata_quota_fills(self, spark):
+        # each (lang, sub) slice fills independently against quota/16: the
+        # running total BEFORE any selected doc stays under the slice quota,
+        # and every slice with enough tokens has at least one selected doc
+        rows = QUERIES["training_mix"](spark, SF).collect()
+        quota = {"en": 1250, "de": 500}
+        by_slice = {}
+        for r in rows:
+            by_slice.setdefault((r.lang, r.sub), []).append(r)
+        assert len(by_slice) > 16
+        for (lang, _sub), docs in by_slice.items():
+            q = quota.get(lang, 200)
+            for r in docs:
+                assert r.selected == (r.cum_tokens_before < q)
+
+    def test_pack_bins_respect_budget_per_sub(self, spark):
+        # bin_offset is always < 2048 and bins are scoped to (lang, sub):
+        # offsets restart from the doc's own running sum inside its slice
+        rows = QUERIES["pack_sequences"](spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.bin_offset < 2048
+            assert r.bin_id >= 0
