@@ -83,6 +83,29 @@ def test_query_matches_oracle(name, spark, duck):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+@pytest.mark.parametrize("sf_dir,n_docs", [
+    ("/root/testdata/sf0.001", 500),
+    ("/root/testdata/sf0.01", 2000),
+])
+def test_extract_scanned_parity_both_scales(sf_dir, n_docs, spark):
+    """VERDICT r5 item 5: the scanned-codec oracle is rebuilt per scale
+    (`scanned_oracles(n_docs=...)`); pin the Spark run against it at BOTH
+    the in-repo scale and the driver's sf0.01 so oracle-rebuild sizing
+    can't drift between them."""
+    sdf = entry_mod.queries()["extract_scanned"](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        res = con.execute(scanned_oracles(n_docs=n_docs)["extract_scanned"])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
+
+
 def test_every_query_listed(spark):
     qs = entry_mod.queries()
     assert len(qs) >= 25
