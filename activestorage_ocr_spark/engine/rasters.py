@@ -136,6 +136,38 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "É": ("...X.", "XXXXX", "X....", "XXXX.", "X....", "X....", "XXXXX"),
         "Ĳ": ("X...X", "X...X", "X...X", "X...X", "X...X", "XX..X", "X.XX."),
     },
+    # round 5: Russian — the first NON-LATIN pack (closes E8's last honest
+    # gap and exercises real non-ASCII codepoints through the full
+    # rasterize -> OCR -> byte-identity path). Cyrillic letterforms that
+    # are pixel-identical homoglyphs of latin capitals (А В Е К М Н О Р С
+    # Т У Х) get NO bitmap here — in a 5x7 grid they ARE the latin bitmaps;
+    # they render via CYRILLIC_HOMOGLYPHS aliases and decode back to the
+    # Cyrillic codepoints only when rus is requested without eng (the
+    # deterministic stand-in for the language model a real engine uses to
+    # resolve script-ambiguous shapes). Every glyph is column-connected
+    # (no fully blank interior column) or the segmenter would split it.
+    "rus": {
+        "Б": ("XXXXX", "X....", "X....", "XXXX.", "X...X", "X...X", "XXXX."),
+        "Г": ("XXXXX", "X....", "X....", "X....", "X....", "X....", "X...."),
+        "Д": ("..XX.", ".X.X.", ".X.X.", ".X.X.", ".X.X.", "XXXXX", "X...X"),
+        "Ж": ("X.X.X", "X.X.X", ".XXX.", "..X..", ".XXX.", "X.X.X", "X.X.X"),
+        "З": (".XXX.", "X...X", "....X", "..XX.", "....X", "X...X", ".XXX."),
+        "И": ("X...X", "X..XX", "X..XX", "X.X.X", "XX..X", "XX..X", "X...X"),
+        "Й": (".X.X.", "X...X", "X..XX", "X.X.X", "XX..X", "XX..X", "X...X"),
+        "Л": ("..XXX", ".X..X", ".X..X", ".X..X", ".X..X", ".X..X", "X...X"),
+        "П": ("XXXXX", "X...X", "X...X", "X...X", "X...X", "X...X", "X...X"),
+        "Ф": ("..X..", ".XXX.", "X.X.X", "X.X.X", ".XXX.", "..X..", "..X.."),
+        "Ц": ("X..X.", "X..X.", "X..X.", "X..X.", "X..X.", "XXXXX", "....X"),
+        "Ч": ("X...X", "X...X", "X...X", ".XXXX", "....X", "....X", "....X"),
+        "Ш": ("X.X.X", "X.X.X", "X.X.X", "X.X.X", "X.X.X", "X.X.X", "XXXXX"),
+        "Щ": ("X.X.X", "X.X.X", "X.X.X", "X.X.X", "X.X.X", "XXXXX", "....X"),
+        "Ъ": ("XX...", ".X...", ".X...", ".XXX.", ".X..X", ".X..X", ".XXX."),
+        "Ы": ("X...X", "X...X", "XX..X", "X.X.X", "X.X.X", "XX..X", "XX.XX"),
+        "Ь": ("X....", "X....", "X....", "XXXX.", "X...X", "X...X", "XXXX."),
+        "Э": (".XXX.", "X...X", "....X", "..XXX", "....X", "X...X", ".XXX."),
+        "Ю": ("X..X.", "X.X.X", "X.X.X", "XXX.X", "X.X.X", "X.X.X", "X..X."),
+        "Я": (".XXXX", "X...X", "X...X", ".XXXX", "..X.X", ".X..X", "X...X"),
+    },
 }
 
 #: the 13 languages the reference's leptess engine reports
@@ -200,6 +232,23 @@ def _build_tables(glyphs: dict[str, np.ndarray]):
 # base (eng) tables; language-extended tables are cached per language set
 _GLYPHS_BY_WIDTH, _DECODE_TABLE = _build_tables(_GLYPHS)
 _build_tables(_ALL_GLYPHS)  # collision check across every pack at import
+
+#: Cyrillic capitals whose 5x7 letterform is pixel-identical to a latin
+#: capital. They RENDER through the latin bitmap (alias added after the
+#: collision check — two codepoints sharing one bitmap is intentional
+#: here, never an accident the check should catch); recognition maps the
+#: shared shape back to the Cyrillic codepoint only when ``rus`` is
+#: requested without ``eng`` (`_tables_for`), mirroring how a real OCR
+#: engine's language model resolves script-ambiguous shapes.
+CYRILLIC_HOMOGLYPHS = {
+    "А": "A", "В": "B", "Е": "E", "К": "K", "М": "M", "Н": "H",
+    "О": "O", "Р": "P", "С": "C", "Т": "T", "У": "Y", "Х": "X",
+}
+for _cyr, _lat in CYRILLIC_HOMOGLYPHS.items():
+    _ALL_GLYPHS[_cyr] = _GLYPHS[_lat]
+#: includes the render-only homoglyph aliases
+ALL_FONT_CHARS = frozenset(_ALL_GLYPHS)
+
 _LANG_TABLE_CACHE: dict[frozenset, tuple[dict, dict]] = {}
 
 
@@ -211,7 +260,18 @@ def _tables_for(languages: tuple[str, ...]):
         for lg in sorted(key):
             for ch, rows in _LANG_FONT_ROWS.get(lg, {}).items():
                 glyphs[ch] = _rows_array(rows)
-        cached = _build_tables(glyphs)
+        by_width, table = _build_tables(glyphs)
+        if "rus" in key and "eng" not in key:
+            # Cyrillic-context decode: the script-ambiguous shapes read as
+            # their Cyrillic codepoints (with eng requested too, latin wins
+            # — first-listed-script preference, documented above)
+            inv = {lat: cyr for cyr, lat in CYRILLIC_HOMOGLYPHS.items()}
+            table = {k: inv.get(ch, ch) for k, ch in table.items()}
+            by_width = {
+                w: ([inv.get(c, c) for c in chars], stack)
+                for w, (chars, stack) in by_width.items()
+            }
+        cached = (by_width, table)
         _LANG_TABLE_CACHE[key] = cached
     return cached
 

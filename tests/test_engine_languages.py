@@ -38,8 +38,17 @@ class TestOcrLanguagePacks:
         assert "Ë" not in eng and "Ĳ" not in eng  # pack not loaded -> degrades
 
     def test_all_glyphs_unique_across_packs(self):
-        # the import-time collision check covers this; pin it explicitly
-        rasters._build_tables(rasters._ALL_GLYPHS)
+        # the import-time collision check covers this; pin it explicitly.
+        # The Cyrillic homoglyph aliases are render-only and DELIBERATELY
+        # share latin bitmaps (added after the check), so exclude them.
+        real = {
+            ch: g
+            for ch, g in rasters._ALL_GLYPHS.items()
+            if ch not in rasters.CYRILLIC_HOMOGLYPHS
+        }
+        rasters._build_tables(real)
+        with pytest.raises(AssertionError, match="font collision"):
+            rasters._build_tables(rasters._ALL_GLYPHS)
 
 
 class TestExtractLanguages:
@@ -122,3 +131,66 @@ class TestRound3Packs:
         fra, _ = rasters.ocr_decode_image(img, ("fra",))
         ita_por, _ = rasters.ocr_decode_image(img, ("ita", "por"))
         assert fra == "ÇÈ" == ita_por
+
+
+class TestRussianPack:
+    # round 5: the first non-latin pack — real non-ASCII codepoints through
+    # rasterize -> OCR -> byte-identity, including the homoglyph resolution
+    # rule (script-ambiguous shapes decode as Cyrillic when rus is requested
+    # without eng)
+
+    PANGRAM = "СЪЕШЬ ЕЩЕ ЭТИХ МЯГКИХ ФРАНЦУЗСКИХ БУЛОК"
+
+    def test_pangram_round_trip_three_scales(self):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(self.PANGRAM, scale=scale)
+            rus, warn = rasters.ocr_decode_image(img, ("rus",))
+            assert rus == self.PANGRAM, f"scale {scale}: {rus!r}"
+            assert warn == []
+
+    def test_distinct_letters_round_trip(self):
+        # every non-homoglyph glyph in the pack, one word each
+        img = rasters.render_text("БГД ЖЗИ ЙЛП ФЦЧ ШЩЪ ЫЬЭ ЮЯ", scale=2)
+        rus, _ = rasters.ocr_decode_image(img, ("rus",))
+        assert rus == "БГД ЖЗИ ЙЛП ФЦЧ ШЩЪ ЫЬЭ ЮЯ"
+
+    def test_homoglyphs_decode_latin_in_eng_context(self):
+        # А В Е К М Н О Р С Т У Х share bitmaps with latin: an eng-context
+        # decode yields the latin codepoints (exact-table hit, no warning)
+        img = rasters.render_text("СТО", scale=2)
+        eng, warn = rasters.ocr_decode_image(img)
+        assert eng == "CTO"
+        assert warn == []
+        # with both scripts requested, latin wins (first-script preference)
+        both, _ = rasters.ocr_decode_image(img, ("eng", "rus"))
+        assert both == "CTO"
+
+    def test_mixed_script_document(self):
+        # rus-only context: latin-shaped input reads as Cyrillic — the
+        # documented deterministic analog of tesseract -l rus on ASCII
+        img = rasters.render_text("MOCKBA", scale=2)
+        rus, _ = rasters.ocr_decode_image(img, ("rus",))
+        assert rus == "МОСКВА"
+
+    def test_e2e_pdf_ocr_byte_identity(self):
+        gray = rasters.render_text("РУССКИЙ ЯЗЫК ЖИВ", scale=2)
+        pdf = pdfx.build_image_pdf([(gray, "DeviceGray")])
+        r = ex.extract_document(pdf, engine="pixelocr-alt", languages="rus")
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "РУССКИЙ ЯЗЫК ЖИВ"
+
+    def test_e2e_png_with_scanned_codec(self):
+        # non-ASCII through a round-4 codec path too: G4-encoded image PDF
+        gray = rasters.render_text("ЖЕЛЕЗНЫЙ ПУТЬ", scale=2)
+        pdf = pdfx.build_image_pdf([(gray, "G4")], encrypt="aes256")
+        r = ex.extract_document(pdf, engine="pixelocr-alt", languages="rus")
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "ЖЕЛЕЗНЫЙ ПУТЬ"
+
+    def test_pipeline_info_reports_rus(self):
+        info = ex.pipeline_info()
+        alt = {e["name"]: e for e in info["available_engines"]}["pixelocr-alt"]
+        assert "rus" in alt["supported_languages"]
+
+    def test_normalize_renderable_uppercases_cyrillic(self):
+        assert rasters.normalize_renderable("съешь же") == "СЪЕШЬ ЖЕ"
