@@ -1,7 +1,11 @@
 """JBIG2 (ITU-T T.88) codec for the PDF ``/JBIG2Decode`` filter — the
 other dominant encoding of real-world scanned PDFs next to CCITT G4
-(``engine/ccittx.py``). Every ARITHMETIC-mode coding path is implemented;
-only Huffman-coded variants and MMR halftone/pattern payloads quarantine.
+(``engine/ccittx.py``). Every ARITHMETIC-mode coding path is implemented,
+plus (round 5) the HUFFMAN-coded paths: Annex B standard tables
+(structurally pinned — see the Huffman section note; B.10 alone
+quarantines), custom type-53 code-table segments, SDHUFF symbol
+dictionaries with MMR/uncompressed collective bitmaps, SBHUFF text regions
+with runcoded symbol ID codes, and MMR pattern/halftone payloads.
 
 Strictly BEYOND the reference (its raster path errors on anything but raw
 Gray/RGB/CMYK sample streams, `rust/src/engines/ocrs.rs:467-582`); added
@@ -37,9 +41,11 @@ Implemented from the public spec only:
   region (36/38/39), end-of-page/stripe/file (49/50/51), and the
   /JBIG2Globals out-of-band segment stream.
 
-Scope covers generic regions and arithmetic symbol mode; the Huffman-coded
-variants, refinement coding, and halftone regions raise a narrow
-:class:`Jbig2Error` and the image quarantines per E2. The symbol-mode
+Scope covers generic regions, symbol mode (arithmetic AND Huffman),
+refinement coding, and halftone regions (arithmetic AND MMR); the few
+remaining unimplemented combinations (standard table B.10, Huffman
+refinement) raise a narrow :class:`Jbig2Error` and the image quarantines
+per E2. The symbol-mode
 ENCODER does what jbig2enc does — connected-component extraction +
 shape dedupe into a dictionary — so fixtures exercise real dictionary
 reuse (repeated glyphs compress below the generic coder).
@@ -64,7 +70,7 @@ import struct
 import numpy as np
 
 from . import budget
-from .ccittx import G4Error, decode_g4
+from .ccittx import G4Error, decode_g4, encode_g4
 
 __all__ = [
     "Jbig2Error",
@@ -75,6 +81,11 @@ __all__ = [
     "decode_jbig2_embedded",
     "encode_jbig2_embedded",
     "encode_jbig2_text_page",
+    "HuffTable",
+    "std_table",
+    "parse_table_segment",
+    "encode_table_segment",
+    "encode_jbig2_huffman_page",
 ]
 
 
@@ -533,9 +544,12 @@ def _symcodelen(n_syms: int) -> int:
 
 
 def _decode_symbol_dict(
-    payload: bytes, input_syms: list[np.ndarray] | None = None
+    payload: bytes,
+    input_syms: list[np.ndarray] | None = None,
+    custom_tables: list | None = None,
 ) -> list[np.ndarray]:
-    """Arithmetic symbol dictionary -> exported symbol bitmaps.
+    """Symbol dictionary -> exported symbol bitmaps (arithmetic here;
+    SDHUFF=1 dispatches to :func:`_decode_symbol_dict_huffman`).
 
     ``input_syms``: symbols imported from referred-to dictionaries (T.88
     §6.5.8.2.3) — the id space and export runs cover input + new."""
@@ -544,7 +558,7 @@ def _decode_symbol_dict(
         raise Jbig2Error("truncated symbol dictionary")
     flags = struct.unpack_from(">H", payload, 0)[0]
     if flags & 1:
-        raise Jbig2Error("unsupported JBIG2 segment: Huffman symbol dictionary")
+        return _decode_symbol_dict_huffman(payload, input_syms, custom_tables or [])
     refagg = bool(flags & 2)
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
@@ -893,15 +907,20 @@ def _decode_text_bitmap(
     return region
 
 
-def _decode_text_region(payload: bytes, symbols: list[np.ndarray]):
-    """Arithmetic text region -> (bitmap, x, y, comb_op)."""
+def _decode_text_region(
+    payload: bytes,
+    symbols: list[np.ndarray],
+    custom_tables: list | None = None,
+):
+    """Text region -> (bitmap, x, y, comb_op) (arithmetic here; SBHUFF=1
+    dispatches to :func:`_decode_text_region_huffman`)."""
     if len(payload) < 21:
         raise Jbig2Error("truncated text region")
     w, h, x, y, comb = struct.unpack_from(">IIIIB", payload, 0)
     flags = struct.unpack_from(">H", payload, 17)[0]
     pos = 19
     if flags & 1:
-        raise Jbig2Error("unsupported JBIG2 segment: Huffman text region")
+        return _decode_text_region_huffman(payload, symbols, custom_tables or [])
     refine = bool(flags & 2)
     log2strips = (flags >> 2) & 3
     refcorner = (flags >> 4) & 3
@@ -1080,6 +1099,7 @@ _SEG_GENERIC_INTERMEDIATE = 36
 _SEG_END_OF_PAGE = 49
 _SEG_END_OF_STRIPE = 50
 _SEG_END_OF_FILE = 51
+_SEG_TABLE = 53
 
 #: segment types of the halftone/refinement compressor layer — recognized so
 #: the error names what the stream actually contains
@@ -1208,6 +1228,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     st = _PageState()
     sym_dicts: dict[int, list[np.ndarray]] = {}
     pat_dicts: dict[int, list[np.ndarray]] = {}
+    tables: dict[int, "HuffTable"] = {}
     for blob in (globals_data, data):
         for number, seg_type, referred, payload in _parse_segment_headers(blob):
             if seg_type == _SEG_PAGE_INFO:
@@ -1221,11 +1242,14 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 st.default_pixel = (payload[16] >> 2) & 1
                 if st.h == 0xFFFFFFFF:
                     st.h = None  # striped page: grow with regions
+            elif seg_type == _SEG_TABLE:
+                tables[number] = parse_table_segment(payload)
             elif seg_type == _SEG_SYMBOL_DICT:
                 inputs: list[np.ndarray] = []
                 for r in referred:
                     inputs.extend(sym_dicts.get(r, []))
-                sym_dicts[number] = _decode_symbol_dict(payload, inputs)
+                reftabs = [tables[r] for r in referred if r in tables]
+                sym_dicts[number] = _decode_symbol_dict(payload, inputs, reftabs)
             elif seg_type == _SEG_PATTERN_DICT:
                 pat_dicts[number] = decode_pattern_dict(payload)
             elif seg_type in (
@@ -1251,7 +1275,8 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     sources = list(sym_dicts)  # lenient: the only dictionary
                 for r in sources:
                     symbols.extend(sym_dicts[r])
-                st.compose(*_decode_text_region(payload, symbols))
+                reftabs = [tables[r] for r in referred if r in tables]
+                st.compose(*_decode_text_region(payload, symbols, reftabs))
             elif seg_type in (
                 _SEG_GENERIC_IMMEDIATE,
                 _SEG_GENERIC_IMMEDIATE_LOSSLESS,
@@ -1747,11 +1772,19 @@ def decode_pattern_dict(payload: bytes) -> list[np.ndarray]:
         raise Jbig2Error("truncated pattern dictionary")
     flags, hdpw, hdph = payload[0], payload[1], payload[2]
     graymax = struct.unpack_from(">I", payload, 3)[0]
-    if flags & 1:
-        raise Jbig2Error("unsupported JBIG2 segment: MMR pattern dictionary")
+    mmr = bool(flags & 1)
     template = (flags >> 1) & 3
     if hdpw == 0 or hdph == 0 or graymax > 255:
         raise Jbig2Error("bad pattern dictionary geometry")
+    if mmr:
+        # HDMMR=1: the collective bitmap is one T.6 stream (§6.7.5)
+        try:
+            coll = decode_g4(payload[7:], columns=(graymax + 1) * hdpw, rows=hdph)
+        except G4Error as e:
+            raise Jbig2Error(f"bad MMR pattern dictionary: {e}") from e
+        return [
+            coll[:, i * hdpw : (i + 1) * hdpw].copy() for i in range(graymax + 1)
+        ]
     # collective bitmap: patterns 0..GRAYMAX side by side; A1 = (-HDPW, 0)
     at = [(-hdpw, 0)] + list(_TEMPLATE_AT_NOMINAL[template])[1:]
     if template in (1, 2, 3):
@@ -1764,7 +1797,9 @@ def decode_pattern_dict(payload: bytes) -> list[np.ndarray]:
     ]
 
 
-def encode_pattern_dict(patterns: list[np.ndarray], template: int = 0) -> bytes:
+def encode_pattern_dict(
+    patterns: list[np.ndarray], template: int = 0, mmr: bool = False
+) -> bytes:
     """Encode equal-sized bool patterns as a pattern dictionary segment."""
     if not patterns:
         raise Jbig2Error("empty pattern list")
@@ -1774,6 +1809,9 @@ def encode_pattern_dict(patterns: list[np.ndarray], template: int = 0) -> bytes:
     if hdpw > 255 or hdph > 255 or len(patterns) > 256:
         raise Jbig2Error("pattern dictionary too large")
     coll = np.concatenate([np.asarray(p, dtype=bool) for p in patterns], axis=1)
+    if mmr:
+        head = bytes([1, hdpw, hdph]) + struct.pack(">I", len(patterns) - 1)
+        return head + encode_g4(coll)
     at = [(-hdpw, 0)] + list(_TEMPLATE_AT_NOMINAL[template])[1:]
     if template in (1, 2, 3):
         at = [(-hdpw, 0)]
@@ -1797,8 +1835,7 @@ def decode_halftone_region(
         raise Jbig2Error("truncated halftone region segment")
     w, h, x, y, comb = struct.unpack_from(">IIIIB", payload, 0)
     flags = payload[17]
-    if flags & 1:
-        raise Jbig2Error("unsupported JBIG2 segment: MMR halftone region")
+    mmr = bool(flags & 1)
     template = (flags >> 1) & 3
     enableskip = bool(flags & 8)
     hcombop = (flags >> 4) & 7
@@ -1814,18 +1851,33 @@ def decode_halftone_region(
         raise Jbig2Error("bad halftone region geometry")
     graymax = len(patterns) - 1
     nplanes = max(1, graymax.bit_length())
-    # bitplanes MSB->LSB from ONE MQ stream with a shared context (§6.6.5.2)
-    coords = _context_coords(template, None)
-    nbits = len(coords)
-    cx_i = bytearray(1 << nbits)
-    cx_mps = bytearray(1 << nbits)
-    dec = MQDecoder(payload[38:])
+    if mmr:
+        # HMMR=1 (Annex C, GSMMR): all bitplanes come from ONE continuous
+        # T.6 stream — the coder state carries over between planes, which
+        # is exactly decoding one (nplanes*HGH)-row image and splitting it
+        try:
+            stack = decode_g4(payload[38:], columns=hgw, rows=nplanes * hgh)
+        except G4Error as e:
+            raise Jbig2Error(f"bad MMR halftone bitplanes: {e}") from e
+        planes = [
+            stack[j * hgh : (j + 1) * hgh].astype(np.int64) for j in range(nplanes)
+        ]
+    else:
+        # bitplanes MSB->LSB from ONE MQ stream, shared context (§6.6.5.2)
+        coords = _context_coords(template, None)
+        nbits = len(coords)
+        cx_i = bytearray(1 << nbits)
+        cx_mps = bytearray(1 << nbits)
+        dec = MQDecoder(payload[38:])
+        planes = [
+            _decode_generic_bitmap(
+                dec, cx_i, cx_mps, hgw, hgh, coords, template, False
+            ).astype(np.int64)
+            for _ in range(nplanes)
+        ]
     gray = np.zeros((hgh, hgw), dtype=np.int64)
     prev = np.zeros((hgh, hgw), dtype=np.int64)
-    for j in range(nplanes):
-        plane = _decode_generic_bitmap(
-            dec, cx_i, cx_mps, hgw, hgh, coords, template, False
-        ).astype(np.int64)
+    for j, plane in enumerate(planes):
         bit = plane ^ prev if j > 0 else plane  # gray decoding
         gray = (gray << 1) | bit
         prev = bit
@@ -1856,7 +1908,8 @@ def decode_halftone_region(
 
 
 def encode_halftone_region(
-    gray: np.ndarray, patterns: list[np.ndarray], template: int = 0
+    gray: np.ndarray, patterns: list[np.ndarray], template: int = 0,
+    mmr: bool = False,
 ) -> bytes:
     """Encode a grid of pattern indices as a halftone region body covering
     an axis-aligned grid (square patterns; HRX = cell<<8, HRY = 0)."""
@@ -1869,30 +1922,36 @@ def encode_halftone_region(
         raise Jbig2Error("gray index exceeds pattern dictionary")
     w, h = hgw * pw, hgh * ph
     nplanes = max(1, graymax.bit_length())
-    coords = _context_coords(template, None)
-    nbits = len(coords)
-    cx_i = bytearray(1 << nbits)
-    cx_mps = bytearray(1 << nbits)
-    enc = MQEncoder()
     g = np.asarray(gray, dtype=np.int64)
+    # gray-coded bitplanes, MSB first
+    plane_list = []
     prev = np.zeros_like(g)
     for j in range(nplanes - 1, -1, -1):
         bit = (g >> j) & 1
         plane = bit ^ prev if j < nplanes - 1 else bit  # gray coding
-        _encode_generic_bitmap(
-            enc, cx_i, cx_mps, plane.astype(bool), coords, template, False
-        )
+        plane_list.append(plane.astype(bool))
         prev = bit
+    if mmr:
+        body = encode_g4(np.concatenate(plane_list, axis=0))
+    else:
+        coords = _context_coords(template, None)
+        nbits = len(coords)
+        cx_i = bytearray(1 << nbits)
+        cx_mps = bytearray(1 << nbits)
+        enc = MQEncoder()
+        for plane in plane_list:
+            _encode_generic_bitmap(enc, cx_i, cx_mps, plane, coords, template, False)
+        body = enc.flush()
     head = struct.pack(">IIIIB", w, h, 0, 0, 0)
-    head += bytes([template << 1])  # OR combine, defpixel 0, no skip
+    head += bytes([(1 if mmr else 0) | (template << 1)])  # OR, defpixel 0
     head += struct.pack(">II", hgw, hgh)
     head += struct.pack(">ii", 0, 0)
     head += struct.pack(">HH", pw << 8, 0)
-    return head + enc.flush()
+    return head + body
 
 
 def encode_jbig2_halftone_mode(
-    image: np.ndarray, cell: int = 4, template: int = 0
+    image: np.ndarray, cell: int = 4, template: int = 0, mmr: bool = False
 ) -> bytes:
     """Encode a GRAYSCALE uint8 image as a JBIG2 halftone page: clustered-dot
     pattern dictionary (cell x cell, cell^2+1 ink levels) + one halftone
@@ -1924,12 +1983,755 @@ def encode_jbig2_halftone_mode(
     dark = 255.0 - blocks.reshape(hgh, hgw, -1).mean(axis=2)
     gray = np.round(dark / 255.0 * (nlev - 1)).astype(np.int64)
     page_info = struct.pack(">IIIIBH", hgw * cell, hgh * cell, 0, 0, 0, 0)
-    pd = encode_pattern_dict(patterns, template=template)
-    ht = encode_halftone_region(gray, patterns, template=template)
+    pd = encode_pattern_dict(patterns, template=template, mmr=mmr)
+    ht = encode_halftone_region(gray, patterns, template=template, mmr=mmr)
     return (
         _segment_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
         + _segment_header(1, _SEG_PATTERN_DICT, 1, len(pd)) + pd
         + _segment_header(2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1, len(ht), (1,))
         + ht
         + _segment_header(3, _SEG_END_OF_PAGE, 1, 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Huffman-coded segments (T.88 Annex B tables + §6.5.9 / §6.4.5 Huffman
+# decoding paths + §7.4.13 custom code-table segments).  Everything below is
+# MSB-first bit-packed — no arithmetic coder involved.
+#
+# Standard-table provenance: the Annex B tables are transcribed from the
+# public spec and pinned STRUCTURALLY (tests): every table's prefix code is
+# Kraft-complete and its value ranges tile contiguously between the lower
+# and upper 32-bit range lines.  Table B.10 failed that structural check
+# against this transcription (Kraft sum 121/128), so rather than ship a
+# possibly-nonconformant table, selecting B.10 raises a named error and the
+# image quarantines per E2 — custom-table segments (type 53) are fully
+# supported and are what real encoders emit for nonstandard statistics.
+# ---------------------------------------------------------------------------
+
+
+class _HBitReader:
+    """MSB-first bit reader with byte alignment (Huffman segment payloads)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit index
+
+    def bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise Jbig2Error("truncated Huffman-coded data")
+        b = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_offset(self) -> int:
+        return self.pos >> 3
+
+    def skip_bytes(self, n: int) -> None:
+        self.align()
+        self.pos += 8 * n
+
+
+class _HBitWriter:
+    """MSB-first bit writer (fixture encoders)."""
+
+    __slots__ = ("_bits",)
+
+    def __init__(self):
+        self._bits: list[int] = []
+
+    def bit(self, b: int) -> None:
+        self._bits.append(b & 1)
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._bits.append((v >> i) & 1)
+
+    def align(self) -> None:
+        while len(self._bits) % 8:
+            self._bits.append(0)
+
+    def extend_bytes(self, data: bytes) -> None:
+        self.align()
+        for byte in data:
+            self.bits(byte, 8)
+
+    def flush(self) -> bytes:
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            byte = 0
+            for b in self._bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+        return bytes(out)
+
+
+#: out-of-band sentinel returned by HuffTable.decode
+HUFF_OOB = object()
+
+
+class HuffTable:
+    """One T.88 code table: lines of (PREFLEN, RANGELEN, RANGELOW, kind)
+    with kind "n" (normal), "l" (lower range: value = RANGELOW - offset)
+    or "u" (upper range), plus an optional OOB prefix.  Codes are assigned
+    by the Annex B.3 procedure: canonical by prefix length, table order
+    within a length; PREFLEN 0 lines carry no code."""
+
+    __slots__ = ("lines", "oob_preflen", "_decode_map")
+
+    def __init__(self, lines, oob_preflen: int = 0):
+        self.lines = [tuple(ln) for ln in lines]
+        self.oob_preflen = oob_preflen
+        entries = [
+            (pl, ("v", rl, low, kind))
+            for (pl, rl, low, kind) in self.lines
+            if pl > 0
+        ]
+        if oob_preflen:
+            entries.append((oob_preflen, ("oob",)))
+        maxlen = max((pl for pl, _ in entries), default=0)
+        if maxlen > 32:
+            raise Jbig2Error("Huffman prefix length exceeds 32")
+        count = [0] * (maxlen + 1)
+        for pl, _ in entries:
+            count[pl] += 1
+        firstcode = [0] * (maxlen + 1)
+        for ln in range(1, maxlen + 1):
+            firstcode[ln] = (firstcode[ln - 1] + count[ln - 1]) << 1
+        nextcode = list(firstcode)
+        self._decode_map: dict[tuple[int, int], tuple] = {}
+        for pl, payload in entries:
+            code = nextcode[pl]
+            nextcode[pl] += 1
+            if code >> pl:
+                raise Jbig2Error("Huffman prefix lengths overfull (Kraft > 1)")
+            self._decode_map[(pl, code)] = payload
+
+    def decode(self, r: _HBitReader):
+        code = 0
+        for ln in range(1, 33):
+            code = (code << 1) | r.bit()
+            hit = self._decode_map.get((ln, code))
+            if hit is None:
+                continue
+            if hit[0] == "oob":
+                return HUFF_OOB
+            _, rl, low, kind = hit
+            off = r.bits(rl)
+            return low - off if kind == "l" else low + off
+        raise Jbig2Error("invalid Huffman prefix")
+
+    # fixture-encoder mirror -------------------------------------------------
+    def _code_of(self, payload) -> tuple[int, int]:
+        for (pl, code), p in self._decode_map.items():
+            if p == payload:
+                return pl, code
+        raise Jbig2Error("value has no code in this Huffman table")
+
+    def encode(self, w: _HBitWriter, value) -> None:
+        if value is HUFF_OOB or value is None:
+            if not self.oob_preflen:
+                raise Jbig2Error("table has no OOB code")
+            pl, code = self._code_of(("oob",))
+            w.bits(code, pl)
+            return
+        for (pl, rl, low, kind) in self.lines:
+            if pl <= 0:
+                continue
+            if kind == "n" and low <= value < low + (1 << rl):
+                cl, code = self._code_of(("v", rl, low, kind))
+                w.bits(code, cl)
+                w.bits(value - low, rl)
+                return
+            if kind == "u" and value >= low:
+                cl, code = self._code_of(("v", rl, low, kind))
+                w.bits(code, cl)
+                w.bits(value - low, rl)
+                return
+            if kind == "l" and value <= low:
+                cl, code = self._code_of(("v", rl, low, kind))
+                w.bits(code, cl)
+                w.bits(low - value, rl)
+                return
+        raise Jbig2Error(f"value {value} not representable in Huffman table")
+
+
+#: Annex B standard tables as (PREFLEN, RANGELEN, RANGELOW, kind) + OOB
+#: preflen.  B.10's transcription failed the structural completeness check
+#: (see module note) and is deliberately absent.
+_STD_TABLE_LINES: dict[int, tuple[list, int]] = {
+    1: ([(1, 4, 0, "n"), (2, 8, 16, "n"), (3, 16, 272, "n"),
+         (3, 32, 65808, "u")], 0),
+    2: ([(1, 0, 0, "n"), (2, 0, 1, "n"), (3, 0, 2, "n"), (4, 3, 3, "n"),
+         (5, 6, 11, "n"), (6, 32, 75, "u")], 6),
+    3: ([(8, 8, -256, "n"), (1, 0, 0, "n"), (2, 0, 1, "n"), (3, 0, 2, "n"),
+         (4, 3, 3, "n"), (5, 6, 11, "n"), (8, 32, -257, "l"),
+         (7, 32, 75, "u")], 6),
+    4: ([(1, 0, 1, "n"), (2, 0, 2, "n"), (3, 0, 3, "n"), (4, 3, 4, "n"),
+         (5, 6, 12, "n"), (5, 32, 76, "u")], 0),
+    5: ([(7, 8, -255, "n"), (1, 0, 1, "n"), (2, 0, 2, "n"), (3, 0, 3, "n"),
+         (4, 3, 4, "n"), (5, 6, 12, "n"), (7, 32, -256, "l"),
+         (6, 32, 76, "u")], 0),
+    6: ([(5, 10, -2048, "n"), (4, 9, -1024, "n"), (4, 8, -512, "n"),
+         (4, 7, -256, "n"), (5, 6, -128, "n"), (5, 5, -64, "n"),
+         (4, 5, -32, "n"), (2, 7, 0, "n"), (3, 7, 128, "n"),
+         (3, 8, 256, "n"), (4, 9, 512, "n"), (4, 10, 1024, "n"),
+         (6, 32, -2049, "l"), (6, 32, 2048, "u")], 0),
+    7: ([(4, 9, -1024, "n"), (3, 8, -512, "n"), (4, 7, -256, "n"),
+         (5, 6, -128, "n"), (5, 5, -64, "n"), (4, 5, -32, "n"),
+         (4, 5, 0, "n"), (5, 5, 32, "n"), (5, 6, 64, "n"), (4, 7, 128, "n"),
+         (3, 8, 256, "n"), (3, 9, 512, "n"), (3, 10, 1024, "n"),
+         (5, 32, -1025, "l"), (5, 32, 2048, "u")], 0),
+    8: ([(8, 3, -15, "n"), (9, 1, -7, "n"), (8, 1, -5, "n"), (9, 0, -3, "n"),
+         (7, 0, -2, "n"), (4, 0, -1, "n"), (2, 1, 0, "n"), (5, 0, 2, "n"),
+         (6, 0, 3, "n"), (3, 4, 4, "n"), (6, 1, 20, "n"), (4, 4, 22, "n"),
+         (4, 5, 38, "n"), (5, 6, 70, "n"), (5, 7, 134, "n"),
+         (6, 7, 262, "n"), (7, 8, 390, "n"), (6, 10, 646, "n"),
+         (9, 32, -16, "l"), (9, 32, 1670, "u")], 2),
+    9: ([(8, 4, -31, "n"), (9, 2, -15, "n"), (8, 2, -11, "n"),
+         (9, 1, -7, "n"), (7, 1, -5, "n"), (4, 1, -3, "n"), (3, 1, -1, "n"),
+         (3, 1, 1, "n"), (5, 1, 3, "n"), (6, 1, 5, "n"), (3, 5, 7, "n"),
+         (6, 2, 39, "n"), (4, 5, 43, "n"), (4, 6, 75, "n"),
+         (5, 7, 139, "n"), (5, 8, 267, "n"), (6, 8, 523, "n"),
+         (7, 9, 779, "n"), (6, 11, 1291, "n"), (9, 32, -32, "l"),
+         (9, 32, 3339, "u")], 2),
+    11: ([(1, 0, 1, "n"), (2, 1, 2, "n"), (4, 0, 4, "n"), (4, 1, 5, "n"),
+          (5, 1, 7, "n"), (5, 2, 9, "n"), (6, 2, 13, "n"), (7, 2, 17, "n"),
+          (7, 3, 21, "n"), (7, 4, 29, "n"), (7, 5, 45, "n"), (7, 6, 77, "n"),
+          (7, 32, 141, "u")], 0),
+    12: ([(1, 0, 1, "n"), (2, 0, 2, "n"), (3, 1, 3, "n"), (5, 0, 5, "n"),
+          (5, 1, 6, "n"), (6, 1, 8, "n"), (7, 0, 10, "n"), (7, 1, 11, "n"),
+          (7, 2, 13, "n"), (7, 3, 17, "n"), (7, 4, 25, "n"), (8, 5, 41, "n"),
+          (8, 32, 73, "u")], 0),
+    13: ([(1, 0, 1, "n"), (3, 0, 2, "n"), (4, 0, 3, "n"), (5, 0, 4, "n"),
+          (4, 1, 5, "n"), (3, 3, 7, "n"), (6, 1, 15, "n"), (6, 2, 17, "n"),
+          (6, 3, 21, "n"), (6, 4, 29, "n"), (6, 5, 45, "n"), (7, 6, 77, "n"),
+          (7, 32, 141, "u")], 0),
+    14: ([(3, 0, -2, "n"), (3, 0, -1, "n"), (1, 0, 0, "n"), (3, 0, 1, "n"),
+          (3, 0, 2, "n")], 0),
+    15: ([(7, 4, -24, "n"), (6, 2, -8, "n"), (5, 1, -4, "n"), (4, 0, -2, "n"),
+          (3, 0, -1, "n"), (1, 0, 0, "n"), (3, 0, 1, "n"), (4, 0, 2, "n"),
+          (5, 1, 3, "n"), (6, 2, 5, "n"), (7, 4, 9, "n"), (7, 32, -25, "l"),
+          (7, 32, 25, "u")], 0),
+}
+
+_STD_TABLE_CACHE: dict[int, HuffTable] = {}
+
+
+def std_table(n: int) -> HuffTable:
+    t = _STD_TABLE_CACHE.get(n)
+    if t is None:
+        spec = _STD_TABLE_LINES.get(n)
+        if spec is None:
+            raise Jbig2Error(
+                f"unsupported JBIG2 standard Huffman table B.{n}"
+                + (" (transcription failed structural validation)" if n == 10 else "")
+            )
+        t = HuffTable(spec[0], spec[1])
+        _STD_TABLE_CACHE[n] = t
+    return t
+
+
+def parse_table_segment(payload: bytes) -> HuffTable:
+    """Custom code-table segment (type 53, §7.4.13 / B.2.1): self-describing
+    prefix/range lengths — no transcription risk."""
+    if len(payload) < 9:
+        raise Jbig2Error("truncated Huffman table segment")
+    flags = payload[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack_from(">ii", payload, 1)
+    if hthigh <= htlow:
+        raise Jbig2Error("bad Huffman table range")
+    r = _HBitReader(payload[9:])
+    lines = []
+    cur = htlow
+    while cur < hthigh:
+        if len(lines) > 4096:
+            raise Jbig2Error("Huffman table has too many lines")
+        pl = r.bits(htps)
+        rl = r.bits(htrs)
+        if rl > 32:
+            raise Jbig2Error("Huffman range length exceeds 32")
+        lines.append((pl, rl, cur, "n"))
+        cur += 1 << rl
+    lines.append((r.bits(htps), 32, htlow - 1, "l"))
+    lines.append((r.bits(htps), 32, hthigh, "u"))
+    oob = r.bits(htps) if htoob else 0
+    return HuffTable(lines, oob)
+
+
+def encode_table_segment(
+    normal_lines: list[tuple[int, int, int]],
+    low_preflen: int,
+    high_preflen: int,
+    oob_preflen: int | None = None,
+) -> bytes:
+    """Fixture mirror of :func:`parse_table_segment`. ``normal_lines`` are
+    contiguous (preflen, rangelen, rangelow) triples."""
+    lows = [ln[2] for ln in normal_lines]
+    htlow = lows[0]
+    hthigh = normal_lines[-1][2] + (1 << normal_lines[-1][1])
+    for (pl, rl, low), nxt in zip(normal_lines, normal_lines[1:]):
+        if nxt[2] != low + (1 << rl):
+            raise Jbig2Error("custom table lines must tile contiguously")
+    htps = max(
+        [ln[0] for ln in normal_lines] + [low_preflen, high_preflen, oob_preflen or 0]
+    ).bit_length()
+    htps = max(htps, 1)
+    htrs = max(max(ln[1] for ln in normal_lines), 1).bit_length()
+    htrs = max(htrs, 1)
+    if htps > 8 or htrs > 8:
+        raise Jbig2Error("custom table field widths exceed 8 bits")
+    flags = (1 if oob_preflen else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    w = _HBitWriter()
+    for pl, rl, _low in normal_lines:
+        w.bits(pl, htps)
+        w.bits(rl, htrs)
+    w.bits(low_preflen, htps)
+    w.bits(high_preflen, htps)
+    if oob_preflen:
+        w.bits(oob_preflen, htps)
+    return bytes([flags]) + struct.pack(">ii", htlow, hthigh) + w.flush()
+
+
+def _huff_selected(
+    sel: int, std_by_sel: dict[int, int], custom_iter, what: str
+) -> HuffTable:
+    """Resolve a 2-bit (or 1-bit) table selector: a standard table number
+    from ``std_by_sel`` or the NEXT custom table from the referred list."""
+    if sel in std_by_sel:
+        return std_table(std_by_sel[sel])
+    try:
+        return next(custom_iter)
+    except StopIteration:
+        raise Jbig2Error(f"missing custom Huffman table for {what}") from None
+
+
+def _decode_symbol_dict_huffman(
+    payload: bytes,
+    input_syms: list[np.ndarray],
+    custom_tables: list[HuffTable],
+) -> list[np.ndarray]:
+    """SDHUFF=1 symbol dictionary (§6.5.9): height classes with widths via
+    code tables, bitmaps as per-class COLLECTIVE bitmaps (MMR-coded or
+    stored uncompressed), exports via Table B.1 runs."""
+    flags = struct.unpack_from(">H", payload, 0)[0]
+    if flags & 2:
+        raise Jbig2Error(
+            "unsupported JBIG2 segment: Huffman refinement symbol dictionary"
+        )
+    sel_dh = (flags >> 2) & 3
+    sel_dw = (flags >> 4) & 3
+    sel_bm = (flags >> 6) & 1
+    sel_ag = (flags >> 7) & 1
+    pos = 2  # SDHUFF: no AT pixels
+    if len(payload) < pos + 8:
+        raise Jbig2Error("truncated symbol dictionary header")
+    numex, numnew = struct.unpack_from(">II", payload, pos)
+    pos += 8
+    if numnew > 10_000 or numex > 10_000:
+        raise Jbig2Error("symbol dictionary too large")
+    cit = iter(custom_tables)
+    t_dh = _huff_selected(sel_dh, {0: 4, 1: 5}, cit, "SDHUFFDH")
+    t_dw = _huff_selected(sel_dw, {0: 2, 1: 3}, cit, "SDHUFFDW")
+    t_bm = _huff_selected(sel_bm, {0: 1}, cit, "SDHUFFBMSIZE")
+    _huff_selected(sel_ag, {0: 1}, cit, "SDHUFFAGG")  # consumed, unused (no REFAGG)
+    t_ex = std_table(1)
+    r = _HBitReader(payload[pos:])
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < numnew:
+        budget.check()
+        dh = t_dh.decode(r)
+        if dh is HUFF_OOB:
+            raise Jbig2Error("OOB delta-height in symbol dictionary")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 20:
+            raise Jbig2Error("bad height class height")
+        symwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = t_dw.decode(r)
+            if dw is HUFF_OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 20:
+                raise Jbig2Error("non-positive symbol dimensions")
+            if len(new_syms) + len(widths) >= numnew + 1:
+                raise Jbig2Error("more symbols than declared")
+            widths.append(symwidth)
+        if not widths:
+            continue
+        totw = sum(widths)
+        if totw * hcheight > _MAX_PIXELS:
+            raise Jbig2Error("JBIG2 height class too large")
+        bmsize = t_bm.decode(r)
+        if bmsize is HUFF_OOB or bmsize < 0:
+            raise Jbig2Error("bad collective bitmap size")
+        r.align()
+        off = pos + r.byte_offset()
+        if bmsize == 0:
+            # stored uncompressed, each row padded to a byte (§6.5.9)
+            rowbytes = (totw + 7) // 8
+            need = rowbytes * hcheight
+            chunk = payload[off : off + need]
+            if len(chunk) < need:
+                raise Jbig2Error("truncated uncompressed collective bitmap")
+            coll = (
+                np.unpackbits(
+                    np.frombuffer(chunk, dtype=np.uint8).reshape(hcheight, rowbytes),
+                    axis=1,
+                )[:, :totw]
+                .astype(bool)
+            )
+            r.skip_bytes(need)
+        else:
+            chunk = payload[off : off + bmsize]
+            if len(chunk) < bmsize:
+                raise Jbig2Error("truncated MMR collective bitmap")
+            try:
+                coll = decode_g4(chunk, columns=totw, rows=hcheight)
+            except G4Error as e:
+                raise Jbig2Error(f"bad MMR collective bitmap: {e}") from e
+            r.skip_bytes(bmsize)
+        x = 0
+        for wdt in widths:
+            new_syms.append(coll[:, x : x + wdt].copy())
+            x += wdt
+    # export flags (§6.5.10, Huffman: Table B.1 run lengths)
+    seq = list(input_syms) + new_syms
+    exported: list[np.ndarray] = []
+    idx = 0
+    exflag = 0
+    for _ in range(2 * len(seq) + 2):
+        if idx >= len(seq) or len(exported) >= numex:
+            break
+        run = t_ex.decode(r)
+        if run is HUFF_OOB or run < 0:
+            raise Jbig2Error("bad export run length")
+        if exflag:
+            exported.extend(seq[idx : idx + run])
+        idx += run
+        exflag ^= 1
+    if len(exported) != numex:
+        raise Jbig2Error(
+            f"symbol dictionary exported {len(exported)} of {numex} symbols"
+        )
+    return exported
+
+
+def _decode_text_region_huffman(
+    payload: bytes,
+    symbols: list[np.ndarray],
+    custom_tables: list[HuffTable],
+):
+    """SBHUFF=1 text region (§6.4.5 Huffman path + §7.4.3.1.7 runcoded
+    symbol ID code lengths) -> (bitmap, x, y, comb_op)."""
+    w, h, x, y, comb = struct.unpack_from(">IIIIB", payload, 0)
+    flags = struct.unpack_from(">H", payload, 17)[0]
+    pos = 19
+    refine = bool(flags & 2)
+    if refine:
+        raise Jbig2Error("unsupported JBIG2 text region: Huffman refinement")
+    log2strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    if (flags >> 6) & 1:
+        raise Jbig2Error("unsupported JBIG2 text region: transposed placement")
+    sbcombop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    if len(payload) < pos + 6:
+        raise Jbig2Error("truncated Huffman text region header")
+    hflags = struct.unpack_from(">H", payload, pos)[0]
+    pos += 2
+    sel_fs = hflags & 3
+    sel_ds = (hflags >> 2) & 3
+    sel_dt = (hflags >> 4) & 3
+    sel_rdw = (hflags >> 6) & 3
+    sel_rdh = (hflags >> 8) & 3
+    sel_rdx = (hflags >> 10) & 3
+    sel_rdy = (hflags >> 12) & 3
+    sel_rsize = (hflags >> 14) & 1
+    (n_instances,) = struct.unpack_from(">I", payload, pos)
+    pos += 4
+    if not symbols:
+        raise Jbig2Error("text region with no symbol dictionary")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise Jbig2Error("bad text region dimensions")
+    if n_instances > 1_000_000:
+        raise Jbig2Error("text region instance count too large")
+    cit = iter(custom_tables)
+    t_fs = _huff_selected(sel_fs, {0: 6, 1: 7}, cit, "SBHUFFFS")
+    t_ds = _huff_selected(sel_ds, {0: 8, 1: 9, 2: 10}, cit, "SBHUFFDS")
+    t_dt = _huff_selected(sel_dt, {0: 11, 1: 12, 2: 13}, cit, "SBHUFFDT")
+    # refinement tables would be consumed here (RDW/RDH/RDX/RDY/RSIZE);
+    # SBREFINE is rejected above, so only custom selectors need consuming
+    for sel, what in ((sel_rdw, "RDW"), (sel_rdh, "RDH"),
+                      (sel_rdx, "RDX"), (sel_rdy, "RDY")):
+        if sel == 3:
+            _huff_selected(sel, {}, cit, what)
+    if sel_rsize == 1:
+        _huff_selected(sel_rsize, {}, cit, "RSIZE")
+    r = _HBitReader(payload[pos:])
+    # symbol ID code lengths via the 35 runcodes (§7.4.3.1.7)
+    runlens = [r.bits(4) for _ in range(35)]
+    runtab = HuffTable([(pl, 0, i, "n") for i, pl in enumerate(runlens)], 0)
+    codelens: list[int] = []
+    prev = 0
+    while len(codelens) < len(symbols):
+        c = runtab.decode(r)
+        if c is HUFF_OOB:
+            raise Jbig2Error("OOB in symbol ID code lengths")
+        if c < 32:
+            codelens.append(c)
+            prev = c
+        elif c == 32:
+            codelens.extend([prev] * (r.bits(2) + 3))
+        elif c == 33:
+            codelens.extend([0] * (r.bits(3) + 3))
+        else:
+            codelens.extend([0] * (r.bits(7) + 11))
+    if len(codelens) != len(symbols):
+        raise Jbig2Error("symbol ID code lengths overrun the symbol count")
+    symtab = HuffTable([(pl, 0, i, "n") for i, pl in enumerate(codelens)], 0)
+    r.align()
+    strips = 1 << log2strips
+    region = np.full((h, w), bool(defpixel), dtype=bool)
+    dt = t_dt.decode(r)
+    if dt is HUFF_OOB:
+        raise Jbig2Error("OOB strip T in text region")
+    stript = -dt * strips
+    firsts = 0
+    n_done = 0
+    while n_done < n_instances:
+        budget.check()
+        dt = t_dt.decode(r)
+        if dt is HUFF_OOB:
+            raise Jbig2Error("OOB strip T in text region")
+        stript += dt * strips
+        first_in_strip = True
+        curs = 0
+        while True:
+            if first_in_strip:
+                dfs = t_fs.decode(r)
+                if dfs is HUFF_OOB:
+                    raise Jbig2Error("OOB first-S in text region")
+                firsts += dfs
+                curs = firsts
+                first_in_strip = False
+            else:
+                ids = t_ds.decode(r)
+                if ids is HUFF_OOB:
+                    break  # strip done
+                curs += ids + dsoffset
+            curt = 0 if strips == 1 else r.bits(log2strips)
+            t = stript + curt
+            sid = symtab.decode(r)
+            if sid is HUFF_OOB or sid >= len(symbols):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = symbols[sid]
+            sh, sw = sym.shape
+            if refcorner in (_REFCORNER_TR, _REFCORNER_BR):
+                curs += sw - 1
+            sx = curs - (sw - 1) if refcorner in (_REFCORNER_TR, _REFCORNER_BR) else curs
+            sy = t if refcorner in (_REFCORNER_TL, _REFCORNER_TR) else t - sh + 1
+            if sx < 0 or sy < 0 or sx + sw > w or sy + sh > h:
+                raise Jbig2Error("text region symbol placed out of bounds")
+            target = region[sy : sy + sh, sx : sx + sw]
+            if sbcombop == 0:
+                target |= sym
+            elif sbcombop == 1:
+                target &= sym
+            elif sbcombop == 2:
+                target ^= sym
+            else:
+                target[...] = ~(target ^ sym)
+            if refcorner in (_REFCORNER_TL, _REFCORNER_BL):
+                curs += sw - 1
+            n_done += 1
+            if n_done > n_instances:
+                raise Jbig2Error("more instances than declared")
+    return region, x, y, comb & 7
+
+
+def _encode_symbol_dict_huffman(symbols: list[np.ndarray]) -> bytes:
+    """Fixture mirror of :func:`_decode_symbol_dict_huffman`: standard
+    tables (DH=B.4, DW=B.3 — widths within a height class are in symbol
+    order, not ascending, so DW deltas go negative and need B.3's lower
+    range; BMSIZE=B.1, AGG=B.1), all new symbols exported;
+    height classes alternate MMR-coded and stored-uncompressed collective
+    bitmaps so both §6.5.9 storage forms are exercised."""
+    syms = [np.asarray(s, dtype=bool) for s in symbols]
+    if not syms or any(s.ndim != 2 or 0 in s.shape for s in syms):
+        raise Jbig2Error("symbol dictionary needs non-empty 2-D symbols")
+    order = sorted(range(len(syms)), key=lambda i: (syms[i].shape[0], i))
+    t_dh, t_dw, t_bm, t_ex = std_table(4), std_table(3), std_table(1), std_table(1)
+    w = _HBitWriter()
+    hcheight = 0
+    i = 0
+    n_class = 0
+    while i < len(order):
+        h = syms[order[i]].shape[0]
+        t_dh.encode(w, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        members = []
+        while i < len(order) and syms[order[i]].shape[0] == h:
+            sw = syms[order[i]].shape[1]
+            t_dw.encode(w, sw - symwidth)
+            symwidth = sw
+            members.append(syms[order[i]])
+            i += 1
+        t_dw.encode(w, None)  # OOB: height class done
+        coll = np.concatenate(members, axis=1)
+        if n_class % 2 == 0:
+            data = encode_g4(coll)
+            t_bm.encode(w, len(data))
+            w.extend_bytes(data)
+        else:
+            t_bm.encode(w, 0)  # stored uncompressed, rows byte-padded
+            packed = np.packbits(coll.astype(np.uint8), axis=1)
+            w.extend_bytes(packed.tobytes())
+        n_class += 1
+    # export all new symbols: skip 0, export all
+    t_ex.encode(w, 0)
+    t_ex.encode(w, len(syms))
+    # SDHUFF=1, DW selector 1 (B.3), all other selectors 0
+    head = struct.pack(">H", 1 | (1 << 4)) + struct.pack(">II", len(syms), len(syms))
+    return head + w.flush()
+
+
+#: custom SBHUFFDT table for the Huffman fixture encoder: the standard DT
+#: tables (B.11-B.13) start at value 1, but the encoder's first strip-T
+#: delta is 0 — a custom type-53 table covering 0.. is what a real encoder
+#: emits here.  Lines tile 0 | 1-2 | 3-10 with 32-bit lower/upper ranges;
+#: prefix lengths 1/2/3 + 4/4 are Kraft-complete.
+_FIXTURE_DT_LINES = [(1, 0, 0), (2, 1, 1), (3, 3, 3)]
+_FIXTURE_DT_LOW_PREF = 4
+_FIXTURE_DT_HIGH_PREF = 4
+
+
+def _fixture_dt_table() -> HuffTable:
+    return parse_table_segment(
+        encode_table_segment(
+            _FIXTURE_DT_LINES, _FIXTURE_DT_LOW_PREF, _FIXTURE_DT_HIGH_PREF
+        )
+    )
+
+
+def _encode_text_region_huffman(
+    symbols: list[np.ndarray],
+    instances: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+) -> bytes:
+    """Fixture mirror of :func:`_decode_text_region_huffman`: FS=B.6,
+    DS=B.8, DT=custom (selector 3 -> the referred type-53 segment),
+    REFCORNER=TL, 1-row strips, runcoded balanced symbol ID code."""
+    export_order = _sorted_symbol_order(
+        [np.asarray(s, dtype=bool) for s in symbols]
+    )
+    id_of = {orig: new for new, orig in enumerate(export_order)}
+    n_syms = len(export_order)
+    t_fs, t_ds, t_dt = std_table(6), std_table(8), _fixture_dt_table()
+    # balanced canonical symbol ID code: n_short codes one bit shorter
+    k = max(1, (n_syms - 1).bit_length()) if n_syms > 1 else 1
+    n_short = (1 << k) - n_syms
+    codelens = [k - 1 if j < n_short and k > 1 else k for j in range(n_syms)]
+    symtab = HuffTable([(pl, 0, j, "n") for j, pl in enumerate(codelens)], 0)
+    # runcode table over the lengths in use (4-bit runcode prefix lengths)
+    used = sorted(set(codelens))
+    runlens = [0] * 35
+    for rank, ln in enumerate(used):
+        runlens[ln] = rank + 1 if len(used) > 1 else 1
+    runtab = HuffTable([(pl, 0, j, "n") for j, pl in enumerate(runlens)], 0)
+    w = _HBitWriter()
+    for pl in runlens:
+        w.bits(pl, 4)
+    for ln in codelens:
+        runtab.encode(w, ln)
+    w.align()
+    by_t: dict[int, list] = {}
+    for sid, sx, sy in instances:
+        by_t.setdefault(sy, []).append((sx, sid))
+    t_dt.encode(w, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    for t in sorted(by_t):
+        t_dt.encode(w, t - stript)
+        stript = t
+        row = sorted(by_t[t])
+        t_fs.encode(w, row[0][0] - firsts)
+        firsts = row[0][0]
+        curs = firsts
+        for kk, (sx, sid) in enumerate(row):
+            if kk > 0:
+                t_ds.encode(w, sx - curs)
+                curs = sx
+            symtab.encode(w, id_of[sid])
+            curs += symbols[sid].shape[1] - 1
+        t_ds.encode(w, None)  # OOB: strip done
+    body = w.flush()
+    flags = (_REFCORNER_TL << 4) | 1  # SBHUFF=1
+    # huffman flags: FS sel 0 (B.6), DS sel 0 (B.8), DT sel 3 (custom)
+    hflags = (3 << 4)
+    head = struct.pack(">IIIIB", width, height, 0, 0, 0)
+    head += struct.pack(">H", flags) + struct.pack(">H", hflags)
+    head += struct.pack(">I", len(instances))
+    return head + body
+
+
+def encode_jbig2_huffman_page(image: np.ndarray) -> bytes:
+    """Encode a bool page the way jbig2enc's Huffman (-s with arithmetic
+    disabled) mode does: connected components deduped into an SDHUFF
+    symbol dictionary + an SBHUFF text region with a custom type-53 DT
+    table. Falls back to an MMR generic region for blank pages."""
+    img = np.asarray(image, dtype=bool)
+    if img.ndim != 2:
+        raise Jbig2Error("encode_jbig2_huffman_page expects a 2-D bool array")
+    comps = _connected_components(img)
+    if not comps:
+        return encode_jbig2_embedded(img, mmr=True)
+    symbols: list[np.ndarray] = []
+    index: dict[tuple, int] = {}
+    instances = []
+    for x, y, bmp in comps:
+        key = (bmp.shape, bmp.tobytes())
+        sid = index.get(key)
+        if sid is None:
+            sid = len(symbols)
+            index[key] = sid
+            symbols.append(bmp)
+        instances.append((sid, x, y))
+    h, w = img.shape
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    table_seg = encode_table_segment(
+        _FIXTURE_DT_LINES, _FIXTURE_DT_LOW_PREF, _FIXTURE_DT_HIGH_PREF
+    )
+    sdict = _encode_symbol_dict_huffman(symbols)
+    tregion = _encode_text_region_huffman(symbols, instances, w, h)
+    return (
+        _segment_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
+        + _segment_header(1, _SEG_TABLE, 1, len(table_seg)) + table_seg
+        + _segment_header(2, _SEG_SYMBOL_DICT, 1, len(sdict)) + sdict
+        + _segment_header(3, _SEG_TEXT_IMMEDIATE, 1, len(tregion), referred=(2, 1))
+        + tregion
+        + _segment_header(4, _SEG_END_OF_PAGE, 1, 0)
     )

@@ -172,7 +172,8 @@ def build_image_pdf(
         img_id = next_id
         next_id += 1
         h, w = arr.shape[:2]
-        if cs in ("JBIG2", "JBIG2G", "JBIG2S", "JBIG2R", "JBIG2H", "JBIG2RA"):
+        if cs in ("JBIG2", "JBIG2G", "JBIG2S", "JBIG2R", "JBIG2H",
+                  "JBIG2RA", "JBIG2HF", "JBIG2HM"):
             # JBIG2 bitonal image; "JBIG2G" splits the page info segment
             # into a /JBIG2Globals stream (the shared-segment organization
             # real PDF producers use); "JBIG2S" uses symbol mode (connected
@@ -181,11 +182,15 @@ def build_image_pdf(
             # lossless refinement region, the jbig2enc lossless shape);
             # "JBIG2H" halftone-dithers the GRAY array through a pattern
             # dictionary (cell=2 keeps glyph shapes OCR-readable);
-            # "JBIG2RA" uses SDREFAGG symbols refining a base dictionary
+            # "JBIG2RA" uses SDREFAGG symbols refining a base dictionary;
+            # "JBIG2HF" uses Huffman coding throughout (SDHUFF symbol
+            # dictionary + SBHUFF text region + a custom type-53 DT table);
+            # "JBIG2HM" is the halftone with MMR-coded bitplanes
             from .jbig2x import (
                 _SEG_PAGE_INFO,
                 encode_jbig2_embedded,
                 encode_jbig2_halftone_mode,
+                encode_jbig2_huffman_page,
                 encode_jbig2_refinement_mode,
                 encode_jbig2_symbol_mode,
                 encode_jbig2_symbol_refagg_mode,
@@ -194,6 +199,13 @@ def build_image_pdf(
             black = arr if arr.dtype == bool else arr < 128
             if cs == "JBIG2S":
                 stream = encode_jbig2_symbol_mode(black)
+            elif cs == "JBIG2HF":
+                stream = encode_jbig2_huffman_page(black)
+            elif cs == "JBIG2HM":
+                gray_in = arr if arr.dtype != bool else np.where(arr, 0, 255)
+                stream = encode_jbig2_halftone_mode(
+                    gray_in.astype(np.uint8), cell=2, mmr=True
+                )
             elif cs == "JBIG2RA":
                 stream = encode_jbig2_symbol_refagg_mode(black)
             elif cs == "JBIG2R":

@@ -23,6 +23,7 @@ import pyarrow.parquet as pq
 SCANNED_KINDS = (
     "G4", "G4A", "G3", "G32D", "G32DA",
     "JBIG2", "JBIG2G", "JBIG2S", "JBIG2R", "JBIG2H", "JBIG2RA",
+    "JBIG2HF", "JBIG2HM",
     "JPX", "JPXJ", "JPXL",
 )
 
@@ -86,9 +87,9 @@ def ensure_scanned_goldens(n_docs: int, base: str = "/tmp/asos_spark_corpus") ->
     from ..engine.extract import extract_document
 
     n = scanned_counts(n_docs)
-    # _v3: AESV3 payloads now use the raw 32-byte file key (no Algorithm-1
-    # per-object derivation) — payload bytes changed, so the cache key must
-    d = os.path.join(base, f"scanned_goldens_n{n}_v3")
+    # _v3: AESV3 raw-file-key fix; _v4: JBIG2HF/JBIG2HM kinds join the
+    # rotation — payload bytes changed, so the cache key must change too
+    d = os.path.join(base, f"scanned_goldens_n{n}_v4")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d

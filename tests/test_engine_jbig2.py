@@ -269,11 +269,12 @@ class TestSymbolMode:
         page = decode_jbig2_embedded(jbig2x.encode_jbig2_symbol_mode(blank))
         assert page.shape == blank.shape and not page.any()
 
-    def test_huffman_dictionary_is_named_gap(self):
+    def test_huffman_refinement_dictionary_is_named_gap(self):
         import struct as _s
 
-        payload = _s.pack(">H", 1) + b"\x00" * 20  # SDHUFF=1
-        with pytest.raises(Jbig2Error, match="Huffman"):
+        # SDHUFF=1 + SDREFAGG=1 is the one remaining dictionary combination
+        payload = _s.pack(">H", 3) + b"\x00" * 20
+        with pytest.raises(Jbig2Error, match="Huffman refinement"):
             jbig2x._decode_symbol_dict(payload)
 
     def test_text_region_without_dictionary_raises(self):
@@ -580,3 +581,157 @@ class TestAllocationBombGuards:
         st.w, st.h = 1 << 19, None
         with pytest.raises(Jbig2Error, match="implausible page growth"):
             st.compose(np.ones((4, 4), dtype=bool), 0, 1 << 18, 0)
+
+
+class TestHuffmanTables:
+    # Annex B standard-table transcription is pinned STRUCTURALLY: every
+    # shipped table must form a Kraft-COMPLETE prefix code and its value
+    # ranges must tile contiguously between the lower and upper range lines
+    # (these two invariants caught the B.10 transcription error — that
+    # table is deliberately absent and quarantines by name).
+
+    @pytest.mark.parametrize("n", sorted(jbig2x._STD_TABLE_LINES))
+    def test_standard_table_structure(self, n):
+        from fractions import Fraction
+
+        lines, oob = jbig2x._STD_TABLE_LINES[n]
+        pls = [ln[0] for ln in lines if ln[0] > 0] + ([oob] if oob else [])
+        assert sum(Fraction(1, 2 ** p) for p in pls) == 1, f"B.{n} incomplete"
+        norm = sorted([ln for ln in lines if ln[3] == "n"], key=lambda x: x[2])
+        for a, b in zip(norm, norm[1:]):
+            assert b[2] == a[2] + (1 << a[1]), f"B.{n} ranges not contiguous"
+        for ln in lines:
+            if ln[3] == "u":
+                assert ln[2] == norm[-1][2] + (1 << norm[-1][1])
+            if ln[3] == "l":
+                assert ln[2] == norm[0][2] - 1
+
+    def test_b10_quarantines_by_name(self):
+        with pytest.raises(Jbig2Error, match="B.10"):
+            jbig2x.std_table(10)
+
+    def test_table_b1_known_codes(self):
+        # B.1's four lines get canonical codes 0, 10, 110, 111 — decode a
+        # hand-assembled bit stream hitting every line
+        t = jbig2x.std_table(1)
+        w = jbig2x._HBitWriter()
+        for v in (5, 20, 300, 70000):
+            t.encode(w, v)
+        r = jbig2x._HBitReader(w.flush())
+        assert [t.decode(r) for _ in range(4)] == [5, 20, 300, 70000]
+
+    def test_oob_and_negative_ranges(self):
+        t = jbig2x.std_table(8)  # has OOB + lower/upper 32-bit ranges
+        w = jbig2x._HBitWriter()
+        for v in (-10, 0, 500, 2000, -100, None):
+            t.encode(w, v)
+        r = jbig2x._HBitReader(w.flush())
+        got = [t.decode(r) for _ in range(6)]
+        assert got[:5] == [-10, 0, 500, 2000, -100]
+        assert got[5] is jbig2x.HUFF_OOB
+
+    def test_custom_table_segment_roundtrip(self):
+        seg = jbig2x.encode_table_segment(
+            [(1, 0, 0), (2, 1, 1), (3, 3, 3)], 4, 4
+        )
+        t = jbig2x.parse_table_segment(seg)
+        w = jbig2x._HBitWriter()
+        for v in (0, 2, 7, 10, 11, 99, -5):
+            t.encode(w, v)
+        r = jbig2x._HBitReader(w.flush())
+        assert [t.decode(r) for _ in range(7)] == [0, 2, 7, 10, 11, 99, -5]
+
+    def test_overfull_prefix_lengths_rejected(self):
+        with pytest.raises(Jbig2Error, match="Kraft"):
+            jbig2x.HuffTable([(1, 0, 0, "n"), (1, 0, 1, "n"), (1, 0, 2, "n")])
+
+
+class TestHuffmanMode:
+    def test_page_roundtrip_exact(self):
+        img = rasters.render_text("HUFFMAN PAGE 123", scale=2) < 128
+        data = jbig2x.encode_jbig2_huffman_page(img)
+        assert np.array_equal(decode_jbig2_embedded(data), img)
+
+    def test_multiline_dictionary_reuse(self):
+        img = rasters.render_text("AAA BBB AAA\nCCC AAA BBB", scale=2) < 128
+        data = jbig2x.encode_jbig2_huffman_page(img)
+        assert np.array_equal(decode_jbig2_embedded(data), img)
+        # repeated glyphs dedupe into the dictionary: smaller than generic
+        assert len(data) < len(encode_jbig2_embedded(img))
+
+    def test_both_collective_storage_forms_exercised(self):
+        # >=2 height classes so the encoder alternates MMR-coded and
+        # stored-uncompressed collective bitmaps (both §6.5.9 forms)
+        img = rasters.render_text("oT.", scale=2) < 128  # 3 glyph heights
+        data = jbig2x.encode_jbig2_huffman_page(img)
+        assert np.array_equal(decode_jbig2_embedded(data), img)
+
+    def test_blank_page_falls_back_to_mmr_generic(self):
+        img = np.zeros((12, 40), dtype=bool)
+        data = jbig2x.encode_jbig2_huffman_page(img)
+        assert np.array_equal(decode_jbig2_embedded(data), img)
+
+    def test_huffman_text_refinement_is_named_gap(self):
+        head = struct.pack(">IIIIB", 10, 10, 0, 0, 0)
+        head += struct.pack(">H", 3)  # SBHUFF=1 + SBREFINE=1
+        head += struct.pack(">H", 0) + struct.pack(">I", 0)
+        with pytest.raises(Jbig2Error, match="Huffman refinement"):
+            jbig2x._decode_text_region(head, [np.ones((2, 2), dtype=bool)])
+
+    def test_truncated_huffman_stream_raises(self):
+        img = rasters.render_text("TRUNC", scale=2) < 128
+        data = jbig2x.encode_jbig2_huffman_page(img)
+        with pytest.raises(Jbig2Error):
+            decode_jbig2_embedded(data[: len(data) - 12])
+
+    def test_mutated_huffman_streams_never_crash(self):
+        rng = np.random.RandomState(7)
+        img = rasters.render_text("FUZZ HUF", scale=2) < 128
+        base = jbig2x.encode_jbig2_huffman_page(img)
+        for _ in range(40):
+            buf = bytearray(base)
+            for _ in range(4):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            try:
+                jbig2x.decode_jbig2_embedded(bytes(buf))
+            except (Jbig2Error, ValueError):
+                pass  # named quarantine, never a crash
+
+
+class TestMmrHalftonePattern:
+    def test_mmr_pattern_dict_roundtrip(self):
+        pats = [np.zeros((3, 3), dtype=bool) for _ in range(4)]
+        for k, p in enumerate(pats):
+            p.flat[: k * 2] = True
+        seg = jbig2x.encode_pattern_dict(pats, mmr=True)
+        got = jbig2x.decode_pattern_dict(seg)
+        assert all(np.array_equal(a, b) for a, b in zip(got, pats))
+
+    def test_mmr_halftone_matches_arithmetic(self):
+        img = rasters.render_text("HALF MMR", scale=3)
+        a = decode_jbig2_embedded(jbig2x.encode_jbig2_halftone_mode(img, cell=2))
+        m = decode_jbig2_embedded(
+            jbig2x.encode_jbig2_halftone_mode(img, cell=2, mmr=True)
+        )
+        assert np.array_equal(a, m)
+
+
+class TestHuffmanPdfIntegration:
+    def test_huffman_jbig2_pdf_extracts_end_to_end(self):
+        img = rasters.render_text("HUF E2E 99", scale=2)
+        res = extract_document(pdfx.build_image_pdf([(img, "JBIG2HF")]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "HUF E2E 99"
+
+    def test_mmr_halftone_pdf_extracts_end_to_end(self):
+        img = rasters.render_text("HM E2E 55", scale=2)
+        res = extract_document(pdfx.build_image_pdf([(img, "JBIG2HM")]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "HM E2E 55"
+
+    def test_huffman_with_encryption_and_objstm(self):
+        img = rasters.render_text("HUF AES", scale=2)
+        pdf = pdfx.build_image_pdf([(img, "JBIG2HF")], objstm=True, encrypt="aes256")
+        res = extract_document(pdf)
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "HUF AES"
