@@ -168,6 +168,61 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "Ю": ("X..X.", "X.X.X", "X.X.X", "XXX.X", "X.X.X", "X.X.X", "X..X."),
         "Я": (".XXXX", "X...X", "X...X", ".XXXX", "..X.X", ".X..X", "X...X"),
     },
+    # round 5 (second non-latin pack): Japanese — the base 46 katakana
+    # plus the long-vowel mark. 5x7 simplified letterforms, every glyph
+    # column-connected and byte-distinct from all other packs (import-time
+    # collision check). Hiragana/kanji and the dakuten/handakuten voiced
+    # forms are outside the pixel font and read as '?' — documented
+    # degradation, the same posture as unloaded accent packs.
+    "jpn": {
+        "ア": ("XXXXX","....X","...X.","..XX.",".X.X.","...X.","..X.."),
+        "イ": ("....X","...X.","..XX.",".X.X.","X..X.","...X.","...X."),
+        "ウ": ("..X..","XXXXX","X...X","....X","....X","...X.","..X.."),
+        "エ": ("XXXXX","..X..","..X..","..X..","..X..",".XXX.","XXXXX"),
+        "オ": ("...X.","XXXXX","...X.","..XX.",".X.X.","...X.","...X."),
+        "カ": ("..X..","XXXXX","..X.X","..X.X",".X..X",".X..X","X..X."),
+        "キ": ("..X..","XXXXX","..X..","..X..","XXXXX","..X..","...X."),
+        "ク": ("..XX.",".X..X","X...X","....X","....X","...X.","..X.."),
+        "ケ": (".X...","XXXXX",".X.X.",".X.X.","...X.","...X.","..X.."),
+        "コ": ("XXXXX","....X","....X","....X","....X","....X","XXXXX"),
+        "サ": (".X.X.","XXXXX",".X.X.",".X.X.","...X.","...X.","..X.."),
+        "シ": ("X..X.","....X","X...X","....X","....X","...X.","XXX.."),
+        "ス": ("XXXXX","....X","...X.","..X..",".XX..","X..X.","....X"),
+        "セ": (".X...","XXXXX",".X..X",".X.X.",".X...",".X...","..XXX"),
+        "ソ": ("X...X",".X..X","....X","....X","...X.","...X.","..X.."),
+        "タ": ("..XX.",".X..X","X...X","..X.X","...X.","...X.","..X.."),
+        "チ": ("...XX","XXX..","..X..","XXXXX","..X..","..X..",".X..."),
+        "ツ": ("X.X.X","X.X.X",".X..X","....X","...X.","..X..",".X..."),
+        "テ": ("XXXXX",".....","XXXXX","..X..","..X..","..X..",".X..."),
+        "ト": ("X....","X....","X....","XX...","X.XX.","X....","X...."),
+        "ナ": ("..X..","XXXXX","..X..","..X..","..X..",".X...","X...."),
+        "ニ": ("XXXXX",".....",".....",".....",".....",".....","XXXXX"),
+        "ヌ": ("XXXXX","....X","..X.X",".X.X.","..XX.",".X.X.","....X"),
+        "ネ": ("..X..","XXXXX","...X.","..XX.",".X.X.","X.X.X","..X.."),
+        "ノ": ("....X","....X","...X.","...X.","..X..",".X...","X...."),
+        "ハ": ("..X..",".X.X.",".X.X.","X...X","X...X","X...X","X...X"),
+        "ヒ": ("X....","X..XX","XX...","X....","X....","X....",".XXXX"),
+        "フ": ("XXXXX","....X","....X","....X","...X.","..X..",".X..."),
+        "ヘ": (".....",".X...","X.X..","...X.","....X",".....","....."),
+        "ホ": ("..X..","XXXXX","..X..","X.X.X","X.X.X","..X..","..X.."),
+        "マ": ("XXXXX","....X","...X.","..X..","..XX.","....X","....."),
+        "ミ": (".XXX.","....X",".XX..","....X",".XX..","...X.","X...."),
+        "ム": ("..X..","..X..",".X...",".X..X","X...X","XXXXX","....X"),
+        "メ": ("....X","X..X.",".X.X.","..XX.","..X..",".XX..","X...."),
+        "モ": ("XXXXX","..X..","..X..","XXXXX","..X..","..X..","...XX"),
+        "ヤ": (".X...",".X.XX","XXXX.","..X.X","..X..","..X..","...X."),
+        "ユ": (".XXX.","...X.","...X.","...X.","...X.","XXXXX","....."),
+        "ヨ": ("XXXXX","....X","....X","XXXXX","....X","....X","XXXXX"),
+        "ラ": ("XXXXX",".....","XXXXX","....X","...X.","..X..",".X..."),
+        "リ": ("X...X","X...X","X...X","X...X","....X","...X.",".XX.."),
+        "ル": (".X.X.",".X.X.",".X.X.",".X.X.",".X.XX","X.X.X","X.X.."),
+        "レ": ("X....","X....","X....","X...X","X..X.","X.X..","XX..."),
+        "ロ": ("XXXXX","X...X","X...X","X...X","X...X","X...X","XXXXX"),
+        "ワ": ("XXXXX","X...X","X...X","....X","...X.","...X.","..X.."),
+        "ヲ": ("XXXXX","....X","....X","XXXXX","...X.","..X..",".X..."),
+        "ン": ("XX..X","....X","....X","....X","...X.","..X..","XX..."),
+        "ー": (".....",".....",".....","XXXX.",".....",".....","....."),
+    },
 }
 
 #: the 13 languages the reference's leptess engine reports

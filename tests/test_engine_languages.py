@@ -194,3 +194,48 @@ class TestRussianPack:
 
     def test_normalize_renderable_uppercases_cyrillic(self):
         assert rasters.normalize_renderable("съешь же") == "СЪЕШЬ ЖЕ"
+
+
+class TestJapanesePack:
+    # round 5: second non-latin pack — the base 46 katakana + long-vowel
+    # mark. Dakuten/handakuten voiced forms and small kana are outside the
+    # pixel font and degrade to '?' (documented, same as unloaded accents).
+
+    GOJUON = (
+        "アイウエオ カキクケコ サシスセソ タチツテト ナニヌネノ\n"
+        "ハヒフヘホ マミムメモ ヤユヨ ラリルレロ ワヲン ー"
+    )
+
+    def test_full_gojuon_round_trip_three_scales(self):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(self.GOJUON, scale=scale)
+            jpn, warn = rasters.ocr_decode_image(img, ("jpn",))
+            assert jpn == self.GOJUON, f"scale {scale}"
+            assert warn == []
+
+    def test_confusable_pairs_stay_distinct(self):
+        # the classic near-identical pairs must decode exactly
+        img = rasters.render_text("シツ ソン クタ ワウ", scale=2)
+        jpn, _ = rasters.ocr_decode_image(img, ("jpn",))
+        assert jpn == "シツ ソン クタ ワウ"
+
+    def test_e2e_pdf_ocr_byte_identity(self):
+        gray = rasters.render_text("トーキヨー テキスト", scale=2)
+        pdf = pdfx.build_image_pdf([(gray, "JBIG2S")])
+        r = ex.extract_document(pdf, engine="pixelocr-alt", languages="jpn")
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "トーキヨー テキスト"
+
+    def test_unloaded_pack_degrades(self):
+        img = rasters.render_text("カナ", scale=2)
+        eng, _ = rasters.ocr_decode_image(img)
+        assert "カ" not in eng and "ナ" not in eng
+
+    def test_rus_and_jpn_coexist(self):
+        img = rasters.render_text("ЖИВ カナ", scale=2)
+        both, _ = rasters.ocr_decode_image(img, ("rus", "jpn"))
+        assert both == "ЖИВ カナ"
+
+    def test_voiced_forms_degrade_to_question_marks(self):
+        # ガ (dakuten) has no glyph: renders as '?' and reads back as '?'
+        assert rasters.normalize_renderable("ガギ") == "??"
