@@ -1926,9 +1926,10 @@ def q_crawl_delta(spark, sf_dir):
 
 
 def q_extract_scanned(spark, sf_dir):
-    """The round-4 codec stack through the DISTRIBUTED pipeline: scanned
+    """The scanned-codec stack through the DISTRIBUTED pipeline: scanned
     PDFs whose images are CCITT G3/G4, JBIG2 (generic / globals / symbol /
-    refinement / halftone / refagg), and JPEG 2000 (raw / JP2 / lossy)
+    refinement / halftone / refagg + r5 Huffman and MMR-halftone), and
+    JPEG 2000 (raw / JP2 / lossy)
     extract via the same ``extract_pages`` kernel as the crawl corpus —
     text-layer miss -> image decode -> OCR. Every 11th payload is
     truncated (per-image skip -> empty-PDF path). Oracled against
