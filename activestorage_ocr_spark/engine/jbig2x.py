@@ -1016,6 +1016,7 @@ def _encode_text_region(
     width: int,
     height: int,
     export_order: list[int] | None = None,
+    log2strips: int = 0,
 ) -> bytes:
     """Mirror of :func:`_decode_text_region`: instances are (symbol_index,
     x, y) with x/y the TOP-LEFT corner, placed onto a width x height region
@@ -1034,27 +1035,31 @@ def _encode_text_region(
     refine = any(len(inst) == 4 for inst in instances)
     enc = MQEncoder()
     cx = _TextCtxs(len(export_order), refine, 0)
-    # strips of height 1 (LOG2SBSTRIPS=0, REFCORNER=TOPLEFT): group by y
+    # strips of height 2^log2strips (REFCORNER=TOPLEFT): group by strip,
+    # each instance carrying its in-strip CURT via IAIT when strips > 1
+    strips = 1 << log2strips
     by_t: dict[int, list] = {}
     for inst in instances:
         sid, sx, sy = inst[0], inst[1], inst[2]
         bmp = inst[3] if len(inst) == 4 else None
-        by_t.setdefault(sy, []).append((sx, sid, bmp))
+        by_t.setdefault(sy // strips, []).append((sx, sid, bmp, sy % strips))
     _encode_int(enc, cx.iadt, 0)  # STRIPT starts at 0
-    stript = 0
+    strip_prev = 0
     firsts = 0
     for t in sorted(by_t):
-        _encode_int(enc, cx.iadt, t - stript)
-        stript = t
+        _encode_int(enc, cx.iadt, t - strip_prev)
+        strip_prev = t
         row = sorted(by_t[t], key=lambda e: e[0])
         dfs = row[0][0] - firsts
         _encode_int(enc, cx.iafs, dfs)
         firsts = row[0][0]
         curs = firsts
-        for k, (sx, sid, bmp) in enumerate(row):
+        for k, (sx, sid, bmp, curt) in enumerate(row):
             if k > 0:
                 _encode_int(enc, cx.iads, sx - curs)
                 curs = sx
+            if strips > 1:
+                _encode_int(enc, cx.iait, curt)
             _encode_iaid(enc, cx.iaid, symcodelen, id_of[sid])
             eff = symbols[sid]
             if refine:
@@ -1079,7 +1084,7 @@ def _encode_text_region(
             curs += eff.shape[1] - 1
         _encode_int(enc, cx.iads, None)  # OOB: strip done
     body = enc.flush()
-    flags = (_REFCORNER_TL << 4) | (2 if refine else 0)
+    flags = (_REFCORNER_TL << 4) | (log2strips << 2) | (2 if refine else 0)
     head = struct.pack(">IIIIB", width, height, 0, 0, 0)
     head += struct.pack(">H", flags)
     if refine:
@@ -2641,10 +2646,13 @@ def _encode_text_region_huffman(
     instances: list[tuple[int, int, int]],
     width: int,
     height: int,
+    log2strips: int = 0,
 ) -> bytes:
     """Fixture mirror of :func:`_decode_text_region_huffman`: FS=B.6,
     DS=B.8, DT=custom (selector 3 -> the referred type-53 segment),
-    REFCORNER=TL, 1-row strips, runcoded balanced symbol ID code."""
+    REFCORNER=TL, runcoded balanced symbol ID code. ``log2strips`` > 0
+    emits multi-row strips: DT deltas move in strip units and each
+    instance carries its CURT as ``log2strips`` raw bits (§6.4.5)."""
     export_order = _sorted_symbol_order(
         [np.asarray(s, dtype=bool) for s in symbols]
     )
@@ -2668,28 +2676,31 @@ def _encode_text_region_huffman(
     for ln in codelens:
         runtab.encode(w, ln)
     w.align()
-    by_t: dict[int, list] = {}
+    strips = 1 << log2strips
+    by_strip: dict[int, list] = {}
     for sid, sx, sy in instances:
-        by_t.setdefault(sy, []).append((sx, sid))
+        by_strip.setdefault(sy // strips, []).append((sx, sid, sy % strips))
     t_dt.encode(w, 0)  # STRIPT starts at 0
-    stript = 0
+    strip_prev = 0
     firsts = 0
-    for t in sorted(by_t):
-        t_dt.encode(w, t - stript)
-        stript = t
-        row = sorted(by_t[t])
+    for stripi in sorted(by_strip):
+        t_dt.encode(w, stripi - strip_prev)
+        strip_prev = stripi
+        row = sorted(by_strip[stripi])
         t_fs.encode(w, row[0][0] - firsts)
         firsts = row[0][0]
         curs = firsts
-        for kk, (sx, sid) in enumerate(row):
+        for kk, (sx, sid, curt) in enumerate(row):
             if kk > 0:
                 t_ds.encode(w, sx - curs)
                 curs = sx
+            if strips > 1:
+                w.bits(curt, log2strips)
             symtab.encode(w, id_of[sid])
             curs += symbols[sid].shape[1] - 1
         t_ds.encode(w, None)  # OOB: strip done
     body = w.flush()
-    flags = (_REFCORNER_TL << 4) | 1  # SBHUFF=1
+    flags = (_REFCORNER_TL << 4) | (log2strips << 2) | 1  # SBHUFF=1
     # huffman flags: FS sel 0 (B.6), DS sel 0 (B.8), DT sel 3 (custom)
     hflags = (3 << 4)
     head = struct.pack(">IIIIB", width, height, 0, 0, 0)

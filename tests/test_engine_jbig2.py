@@ -735,3 +735,54 @@ class TestHuffmanPdfIntegration:
         res = extract_document(pdf)
         assert res["status"] == "ok"
         assert res["extracted_text"] == "HUF AES"
+
+
+class TestMultiRowStrips:
+    # SBSTRIPS > 1 (§6.4.5): DT deltas move in strip units and every
+    # instance carries an in-strip CURT (IAIT arithmetic / raw bits
+    # Huffman) — previously an untested decoder branch.
+
+    def _page(self):
+        img = rasters.render_text("STRIP A1\nSTRIP B2", scale=2) < 128
+        comps = jbig2x._connected_components(img)
+        symbols, index, instances = [], {}, []
+        for x, y, bmp in comps:
+            key = (bmp.shape, bmp.tobytes())
+            sid = index.setdefault(key, len(symbols))
+            if sid == len(symbols):
+                symbols.append(bmp)
+            instances.append((sid, x, y))
+        return img, symbols, instances
+
+    @pytest.mark.parametrize("l2", [1, 2])
+    def test_arithmetic_strips_roundtrip(self, l2):
+        img, symbols, instances = self._page()
+        h, w = img.shape
+        pi = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+        sd = jbig2x._encode_symbol_dict(symbols)
+        tr = jbig2x._encode_text_region(symbols, instances, w, h, log2strips=l2)
+        blob = (
+            jbig2x._segment_header(0, jbig2x._SEG_PAGE_INFO, 1, len(pi)) + pi
+            + jbig2x._segment_header(1, jbig2x._SEG_SYMBOL_DICT, 1, len(sd)) + sd
+            + jbig2x._segment_header(
+                2, jbig2x._SEG_TEXT_IMMEDIATE, 1, len(tr), referred=(1,)) + tr
+        )
+        assert np.array_equal(decode_jbig2_embedded(blob), img)
+
+    @pytest.mark.parametrize("l2", [1, 2])
+    def test_huffman_strips_roundtrip(self, l2):
+        img, symbols, instances = self._page()
+        h, w = img.shape
+        pi = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+        ts = jbig2x.encode_table_segment(jbig2x._FIXTURE_DT_LINES, 4, 4)
+        sd = jbig2x._encode_symbol_dict_huffman(symbols)
+        tr = jbig2x._encode_text_region_huffman(
+            symbols, instances, w, h, log2strips=l2)
+        blob = (
+            jbig2x._segment_header(0, jbig2x._SEG_PAGE_INFO, 1, len(pi)) + pi
+            + jbig2x._segment_header(1, jbig2x._SEG_TABLE, 1, len(ts)) + ts
+            + jbig2x._segment_header(2, jbig2x._SEG_SYMBOL_DICT, 1, len(sd)) + sd
+            + jbig2x._segment_header(
+                3, jbig2x._SEG_TEXT_IMMEDIATE, 1, len(tr), referred=(2, 1)) + tr
+        )
+        assert np.array_equal(decode_jbig2_embedded(blob), img)
