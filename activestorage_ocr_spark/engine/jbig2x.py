@@ -1134,6 +1134,10 @@ def _parse_segment_headers(data: bytes):
         else:
             pos += 1
         ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+        # a forged count (especially long-form) must fail NAMED, never
+        # walk off the buffer (fuzz finding: IndexError escaped as a crash)
+        if count > 1 << 16 or pos + count * ref_size > n:
+            raise Jbig2Error("truncated referred-to segment list")
         referred = []
         for _ in range(count):
             if ref_size == 1:

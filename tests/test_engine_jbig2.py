@@ -786,3 +786,20 @@ class TestMultiRowStrips:
                 3, jbig2x._SEG_TEXT_IMMEDIATE, 1, len(tr), referred=(2, 1)) + tr
         )
         assert np.array_equal(decode_jbig2_embedded(blob), img)
+
+
+class TestSegmentHeaderBounds:
+    def test_forged_referred_count_raises_named(self):
+        # fuzz finding (r5): a forged long-form referred-to count walked
+        # off the buffer as IndexError instead of a named Jbig2Error
+        head = struct.pack(">IB", 0, jbig2x._SEG_PAGE_INFO)
+        head += b"\xe0" + struct.pack(">I", 0x1FFFFFFF)[1:]  # long form, huge
+        with pytest.raises(Jbig2Error, match="referred"):
+            list(jbig2x._parse_segment_headers(head + b"\x00" * 40))
+
+    def test_short_form_referred_overrun_raises_named(self):
+        head = struct.pack(">IB", 0, jbig2x._SEG_PAGE_INFO)
+        head += bytes([7 << 5])[:1]  # long form marker with tiny buffer
+        head += struct.pack(">I", 0xE0000000 | 9)[0:4]
+        with pytest.raises(Jbig2Error):  # named, never IndexError
+            list(jbig2x._parse_segment_headers(head + b"\x00" * 2))

@@ -146,14 +146,16 @@ def test_tiff_roundtrip_property(dims, seed, comp):
 
 
 @given(
-    st.sampled_from(["JPX", "JPXJ", "JPXL", "JBIG2R", "JBIG2H", "JBIG2RA"]),
+    st.sampled_from(["JPX", "JPXJ", "JPXL", "JBIG2R", "JBIG2H", "JBIG2RA",
+                     "JBIG2HF", "JBIG2HM"]),
     st.integers(0, 2**31 - 1),
     st.integers(1, 8),
 )
 @settings(max_examples=30, deadline=None)
 def test_mutated_codec_pdfs_never_raise(kind, seed, nflips):
-    """O7 for the round-4 codecs: byte-mutated JPX / JBIG2-refinement /
-    halftone / refagg PDFs must extract or quarantine, never raise."""
+    """O7 for the scanned codecs: byte-mutated JPX / JBIG2-refinement /
+    halftone / refagg / Huffman / MMR-halftone PDFs must extract or
+    quarantine, never raise."""
     import numpy as np
 
     from activestorage_ocr_spark.engine import pdfx, rasters
