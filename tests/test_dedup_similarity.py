@@ -235,6 +235,18 @@ class TestSimilarity:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_lsh_bucketed_topk_plan_has_no_product_joins(self, vectors):
+        # the banded candidate join + vector join-back must stay equi-join
+        # shaped: no cartesian, no broadcast nested loop, and the wide
+        # embedding column never rides the exploded band shuffle
+        df = sim.lsh_bucketed_topk(vectors, F.col("vec_id") < 8, k=3)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_lsh_band_keys_do_not_collapse(self, spark):
         # the r4 scale flaw one module over from SimHash: a single 6-bit
         # bucket key capped the embedding-LSH at 64 buckets total, so the
