@@ -945,7 +945,7 @@ def _decode_stream(obj: PdfObject) -> bytes:
     return data
 
 
-_TEXT_OP_RE = re.compile(rb"\(|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|'|\[|\]")
+_TEXT_OP_RE = re.compile(rb"\(|<|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|'|\[|\]")
 
 
 def extract_stream_text(content: bytes) -> str:
@@ -964,6 +964,25 @@ def extract_stream_text(content: bytes) -> str:
         if tok == b"(":
             s, pos = _parse_string(content, m.start())
             pending.append(s)
+            continue
+        if tok == b"<":
+            # hex string operand (<48656C6C6F> Tj) — common real-producer
+            # form. "<<" opens a dictionary (inline-image / marked-content
+            # property list), never a string: skip past it.
+            if content[m.start() : m.start() + 2] == b"<<":
+                pos = m.start() + 2
+                continue
+            end = content.find(b">", m.start())
+            if end == -1:
+                break
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", content[m.start() + 1 : end])
+            if len(hx) % 2:
+                hx += b"0"  # odd nibble count: pad per 32000-1 §7.3.4.3
+            try:
+                pending.append(bytes.fromhex(hx.decode("ascii")))
+            except ValueError:
+                pass
+            pos = end + 1
             continue
         pos = m.end()
         if tok in (b"Tj", b"TJ"):

@@ -286,3 +286,68 @@ class TestObjectStreams:
         )
         objs = pdfx.parse_objects(pdf)
         assert objs[1].dict["/Pages"].oid == 2  # direct object won
+
+
+class TestHexStrings:
+    # real-producer form: hex string operands (32000-1 §7.3.4.3) — round 5
+
+    def test_hex_tj(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        c = b"BT /F1 12 Tf 72 720 Td <48656C6C6F2068657820776F726C64> Tj ET"
+        assert extract_stream_text(c) == "Hello hex world"
+
+    def test_hex_in_tj_array_and_dict_skip(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        c = b"BT <</MCID 3>> BDC (lit ) Tj 0 -14 TD [<414 2> (x)] TJ ET"
+        assert extract_stream_text(c) == "lit \nABx"
+
+    def test_odd_nibble_padded_and_whitespace_ignored(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        # whitespace inside hex strings is ignored; an odd nibble count is
+        # padded with 0 per the spec
+        assert extract_stream_text(b"BT <4 86 9> Tj ET") == "Hi"
+
+    def test_e2e_hex_string_text_layer(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        # build a text PDF, then rewrite its content stream to hex form
+        text = "Hex layer body with enough characters"
+        pdf = pdfx.build_text_pdf([[text]])
+        objs = pdfx.parse_objects(pdf)
+        # find the content stream and re-encode its Tj operand as hex
+        import re as _re
+
+        for o in objs.values():
+            if o.stream is not None and b"/FlateDecode" in o.dict:
+                raw = zlib.decompress(o.stream)
+                m = _re.search(rb"\((.*)\) Tj", raw, _re.S)
+                assert m
+                hexed = raw.replace(
+                    b"(" + m.group(1) + b") Tj",
+                    b"<" + m.group(1).hex().encode() + b"> Tj",
+                )
+                stream = zlib.compress(hexed, 6)
+                body = _re.sub(
+                    rb"/Length \d+", b"/Length %d" % len(stream), o.dict
+                )
+                old = (
+                    str(o.oid).encode() + b" 0 obj\n" + o.dict
+                    + b"\nstream\n" + o.stream + b"\nendstream"
+                )
+                new = (
+                    str(o.oid).encode() + b" 0 obj\n" + body
+                    + b"\nstream\n" + stream + b"\nendstream"
+                )
+                assert old in pdf
+                pdf = pdf.replace(old, new)
+                break
+        # xref offsets are now stale — the lenient scanner must still parse
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == text
