@@ -948,6 +948,20 @@ def _decode_stream(obj: PdfObject) -> bytes:
 _TEXT_OP_RE = re.compile(rb"\(|<|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|'|\[|\]")
 
 
+def _show_text(s: bytes) -> str:
+    """Decode one show-string operand: UTF-16BE when it carries the BOM
+    (hex-string text from Unicode-aware producers), latin-1 otherwise (the
+    documented single-byte convention). A real CID font would need its
+    /ToUnicode CMap — out of scope like the reference's pdf_extract
+    delegation — but the BOM form is unambiguous and costs nothing."""
+    if s[:2] == b"\xfe\xff":
+        try:
+            return s[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return s[2:].decode("latin-1")
+    return s.decode("latin-1")
+
+
 def extract_stream_text(content: bytes) -> str:
     """Tokenize one content stream's text operators into lines."""
     lines: list[str] = []
@@ -987,7 +1001,7 @@ def extract_stream_text(content: bytes) -> str:
         pos = m.end()
         if tok in (b"Tj", b"TJ"):
             for s in pending:
-                cur.append(s.decode("latin-1"))
+                cur.append(_show_text(s))
             pending.clear()
             line_has_text = True
         elif tok in (b"Td", b"TD", b"T*") or tok == b"'":
@@ -997,7 +1011,7 @@ def extract_stream_text(content: bytes) -> str:
                 line_has_text = False
             if tok == b"'" and pending:
                 for s in pending:
-                    cur.append(s.decode("latin-1"))
+                    cur.append(_show_text(s))
                 line_has_text = True
             pending.clear()
         elif tok in (b"[", b"]", b"BT", b"ET"):

@@ -351,3 +351,12 @@ class TestHexStrings:
         r = extract_document(pdf)
         assert r["status"] == "ok"
         assert r["extracted_text"] == text
+
+    def test_utf16be_bom_show_strings(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        # Unicode-aware producers emit text strings as UTF-16BE with BOM
+        assert extract_stream_text(b"BT <FEFF00480069> Tj ET") == "Hi"
+        assert extract_stream_text(b"BT <FEFF0421042A0415> Tj ET") == "СЪЕ"
+        # no BOM -> the documented latin-1 convention, unchanged
+        assert extract_stream_text(b"BT (plain) Tj ET") == "plain"
