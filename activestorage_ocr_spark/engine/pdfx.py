@@ -945,7 +945,10 @@ def _decode_stream(obj: PdfObject) -> bytes:
     return data
 
 
-_TEXT_OP_RE = re.compile(rb"\(|<|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|'|\[|\]")
+_TEXT_OP_RE = re.compile(
+    rb"\(|<|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|\bBI\b|'|\"|\[|\]"
+)
+_INLINE_IMAGE_END_RE = re.compile(rb"\bEI(?=[\s/\[<(]|$)")
 
 
 def _show_text(s: bytes) -> str:
@@ -999,17 +1002,27 @@ def extract_stream_text(content: bytes) -> str:
             pos = end + 1
             continue
         pos = m.end()
+        if tok == b"BI":
+            # inline image: its binary payload can contain bytes that look
+            # like '(' or '<' string openers — skip to the EI terminator so
+            # image bytes never leak into the text layer
+            e = _INLINE_IMAGE_END_RE.search(content, pos)
+            if not e:
+                break
+            pos = e.end()
+            continue
         if tok in (b"Tj", b"TJ"):
             for s in pending:
                 cur.append(_show_text(s))
             pending.clear()
             line_has_text = True
-        elif tok in (b"Td", b"TD", b"T*") or tok == b"'":
+        elif tok in (b"Td", b"TD", b"T*") or tok in (b"'", b'"'):
             if line_has_text:
                 lines.append("".join(cur))
                 cur = []
                 line_has_text = False
-            if tok == b"'" and pending:
+            if tok in (b"'", b'"') and pending:
+                # ' and " both move to the next line and show their string
                 for s in pending:
                     cur.append(_show_text(s))
                 line_has_text = True

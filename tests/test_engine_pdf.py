@@ -360,3 +360,17 @@ class TestHexStrings:
         assert extract_stream_text(b"BT <FEFF0421042A0415> Tj ET") == "СЪЕ"
         # no BOM -> the documented latin-1 convention, unchanged
         assert extract_stream_text(b"BT (plain) Tj ET") == "plain"
+
+    def test_inline_image_bytes_do_not_leak_into_text(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        c = (b"BT (before) Tj ET "
+             b"BI /W 4 /H 2 /BPC 8 ID \x28\x3c\xfe\xff\x00garbage EI "
+             b"BT 0 -14 Td (after) Tj ET")
+        assert extract_stream_text(c) == "before\nafter"
+
+    def test_quote_show_operators(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        assert extract_stream_text(b'BT (first) Tj 2 1 (quoted) " ET') == "first\nquoted"
+        assert extract_stream_text(b"BT (a) Tj (b) ' ET") == "a\nb"
