@@ -1966,52 +1966,87 @@ def q_extract_scanned(spark, sf_dir):
 
 
 def q_robots_filter(spark, sf_dir):
-    """Robots.txt compliance filtering: every page joins its host's
-    disallow rules and is kept only when no rule prefixes its path — the
-    post-hoc robots honoring step of a polite crawl pipeline. Hosts and
-    paths derive deterministically from doc_id; each host carries two
-    synthetic disallow rules ('/admin' everywhere, '/p/<host_id>' on
-    hosts where host_id%3==0), so both rule shapes fire.
+    """Robots.txt compliance filtering with REAL RFC 9309 semantics (r5
+    upgrade from prefix-only): rules support ``*`` wildcards and ``$`` end
+    anchors, Allow and Disallow coexist, and the MOST SPECIFIC matching
+    rule (longest pattern; Allow wins length ties) decides each page — the
+    post-hoc robots honoring step of a polite crawl pipeline. Hosts, paths
+    and rules derive deterministically from doc_id; the synthetic rule set
+    fires every shape: plain prefix ('/admin'), short prefix ('/p/1'
+    blocks /p/1 and /p/10../p/19), a longer Allow carve-out ('/p/12'
+    un-blocks one of them), a mid-pattern wildcard ('/q/*/x') and an end
+    anchor ('/p/2$' blocks /p/2 but not /p/20../p/24). The page path
+    index is doc_id//20 so every host sees every path.
 
     100 TB posture: rules pre-aggregate to ONE array row per host (tiny —
-    real robots files are KB-sized), broadcast; the corpus-sized pages
-    side takes one BroadcastHashJoin and a map-side higher-order
-    ``exists`` prefix test — the pages table NEVER shuffles (an any-match
-    groupBy over pages would shuffle the whole corpus for a per-row
-    question)."""
+    real robots files are KB-sized) with their regex translations computed
+    rule-side, broadcast; the corpus-sized pages side takes one
+    BroadcastHashJoin and a map-side higher-order filter+aggregate
+    (longest-match fold) — the pages table NEVER shuffles."""
     docs = _t(spark, sf_dir, "documents")
     mod = lambda n: F.pmod(F.col("doc_id"), F.lit(n))  # noqa: E731
     host = F.concat(F.lit("site"), mod(20).cast("string"), F.lit(".example"))
-    path = F.concat(
-        F.when(mod(11) == 0, F.lit("/admin")).otherwise(F.lit("")),
-        F.lit("/p/"), mod(40).cast("string"),
+    k = F.pmod(F.floor(F.col("doc_id") / 20), F.lit(40))
+    path = F.when(
+        mod(7) == 3,
+        F.concat(F.lit("/q/"), mod(5).cast("string"), F.lit("/x")),
+    ).otherwise(
+        F.concat(
+            F.when(mod(11) == 0, F.lit("/admin")).otherwise(F.lit("")),
+            F.lit("/p/"), k.cast("string"),
+        )
     )
-    pages = docs.select(
-        "doc_id", host.alias("host"), path.alias("path"),
-    )
+    pages = docs.select("doc_id", host.alias("host"), path.alias("path"))
     hosts = spark.range(20).select(
         F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example"))
         .alias("host"),
         F.col("id").alias("host_id"),
     )
-    rules = hosts.select("host", F.lit("/admin").alias("disallow")).unionByName(
-        hosts.filter(F.pmod(F.col("host_id"), F.lit(3)) == 0).select(
-            "host",
-            F.concat(F.lit("/p/"), F.col("host_id").cast("string")).alias(
-                "disallow"
-            ),
-        )
+    h3 = hosts.filter(F.pmod(F.col("host_id"), F.lit(3)) == 0)
+    rules = (
+        hosts.select("host", F.lit("/admin").alias("pat"), F.lit(False).alias("allow"))
+        .unionByName(h3.select(
+            "host", F.lit("/p/1").alias("pat"), F.lit(False).alias("allow"),
+        ))
+        .unionByName(h3.select(
+            "host", F.lit("/p/12").alias("pat"), F.lit(True).alias("allow"),
+        ))
+        .unionByName(hosts.filter(F.pmod(F.col("host_id"), F.lit(4)) == 0).select(
+            "host", F.lit("/q/*/x").alias("pat"), F.lit(False).alias("allow"),
+        ))
+        .unionByName(hosts.filter(F.pmod(F.col("host_id"), F.lit(5)) == 0).select(
+            "host", F.lit("/p/2$").alias("pat"), F.lit(False).alias("allow"),
+        ))
     )
-    host_rules = rules.groupBy("host").agg(
-        F.sort_array(F.collect_list("disallow")).alias("disallows")
+    # regex translation on the rule side (patterns are [a-z0-9/], '*', '$'
+    # by construction — '*' becomes '.*', a trailing '$' anchors as-is)
+    rx = rules.select(
+        "host",
+        F.struct(
+            F.concat(F.lit("^"), F.replace(F.col("pat"), F.lit("*"), F.lit(".*"))).alias("re"),
+            F.length("pat").alias("rulelen"),
+            F.col("allow").alias("allow"),
+        ).alias("rule"),
+    )
+    host_rules = rx.groupBy("host").agg(
+        F.sort_array(F.collect_list("rule")).alias("rules")
     )
     joined = pages.join(F.broadcast(host_rules), "host", "left")
-    blocked = F.coalesce(
-        F.exists(
-            F.col("disallows"), lambda d: F.col("path").startswith(d)
-        ),
-        F.lit(False),
+    matched = F.filter(
+        F.coalesce(F.col("rules"), F.array()),
+        lambda r: F.regexp_like(F.col("path"), r["re"]),
     )
+    # RFC 9309 precedence fold: longest pattern wins; Allow wins ties
+    best = F.aggregate(
+        matched,
+        F.struct(F.lit(-1).alias("rulelen"), F.lit(True).alias("allow")),
+        lambda acc, r: F.when(
+            (r["rulelen"] > acc["rulelen"])
+            | ((r["rulelen"] == acc["rulelen"]) & r["allow"]),
+            F.struct(r["rulelen"].alias("rulelen"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    blocked = (best["rulelen"] >= 0) & ~best["allow"]
     return joined.select(
         "doc_id", "host", "path",
         blocked.alias("blocked"),
@@ -2276,8 +2311,11 @@ ORACLES.update(
             WITH pages AS (
                 SELECT doc_id,
                        'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
-                       (CASE WHEN doc_id % 11 = 0 THEN '/admin' ELSE '' END)
-                       || '/p/' || CAST(doc_id % 40 AS VARCHAR) AS path
+                       CASE WHEN doc_id % 7 = 3
+                            THEN '/q/' || CAST(doc_id % 5 AS VARCHAR) || '/x'
+                            ELSE (CASE WHEN doc_id % 11 = 0 THEN '/admin' ELSE '' END)
+                                 || '/p/' || CAST((doc_id // 20) % 40 AS VARCHAR)
+                       END AS path
                 FROM documents
             ),
             hosts AS (
@@ -2285,22 +2323,38 @@ ORACLES.update(
                 FROM unnest(generate_series(0, 19)) AS t(i)
             ),
             rules AS (
-                SELECT host, '/admin' AS disallow FROM hosts
+                SELECT host, '/admin' AS pat, FALSE AS allow FROM hosts
                 UNION ALL
-                SELECT host, '/p/' || CAST(host_id AS VARCHAR) FROM hosts
-                WHERE host_id % 3 = 0
+                SELECT host, '/p/1', FALSE FROM hosts WHERE host_id % 3 = 0
+                UNION ALL
+                SELECT host, '/p/12', TRUE FROM hosts WHERE host_id % 3 = 0
+                UNION ALL
+                SELECT host, '/q/*/x', FALSE FROM hosts WHERE host_id % 4 = 0
+                UNION ALL
+                SELECT host, '/p/2$', FALSE FROM hosts WHERE host_id % 5 = 0
+            ),
+            rx AS (
+                SELECT host, length(pat) AS rulelen, allow,
+                       '^' || replace(pat, '*', '.*') AS re
+                FROM rules
+            ),
+            matched AS (
+                SELECT p.doc_id, r.rulelen, r.allow
+                FROM pages p JOIN rx r
+                  ON r.host = p.host AND regexp_matches(p.path, r.re)
+            ),
+            best AS (
+                SELECT doc_id, rulelen, allow FROM (
+                    SELECT doc_id, rulelen, allow, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY rulelen DESC, allow DESC) AS rn
+                    FROM matched
+                ) WHERE rn = 1
             )
             SELECT p.doc_id, p.host, p.path,
-                   coalesce(
-                       max(CASE WHEN r.disallow IS NOT NULL
-                                 AND p.path LIKE r.disallow || '%'
-                            THEN TRUE ELSE FALSE END), FALSE) AS blocked,
-                   NOT coalesce(
-                       max(CASE WHEN r.disallow IS NOT NULL
-                                 AND p.path LIKE r.disallow || '%'
-                            THEN TRUE ELSE FALSE END), FALSE) AS keep
-            FROM pages p LEFT JOIN rules r USING (host)
-            GROUP BY p.doc_id, p.host, p.path
+                   coalesce(NOT b.allow, FALSE) AS blocked,
+                   NOT coalesce(NOT b.allow, FALSE) AS keep
+            FROM pages p LEFT JOIN best b USING (doc_id)
         """,
         "training_mix": rf"""
             WITH scored AS (

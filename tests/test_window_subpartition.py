@@ -67,3 +67,34 @@ class TestSubpartitionedWindows:
         for r in rows:
             assert 0 <= r.bin_offset < 2048
             assert r.bin_id >= 0
+
+
+class TestRobotsRfc9309:
+    # r5 upgrade: wildcards, $ anchors, Allow rules, longest-match
+    # precedence (most specific rule wins; Allow wins length ties)
+
+    def test_rule_shapes_fire(self, spark):
+        rows = {
+            (r.host, r.path): r.blocked
+            for r in QUERIES["robots_filter"](spark, SF).collect()
+        }
+        # short prefix blocks /p/1 AND /p/13 on a host_id%3==0 host...
+        assert rows[("site3.example", "/p/1")] is True
+        assert rows[("site3.example", "/p/13")] is True
+        # ...but the LONGER Allow '/p/12' carves that one path back in
+        assert rows[("site3.example", "/p/12")] is False
+        # $ anchor: exactly /p/2, not /p/20
+        assert rows[("site0.example", "/p/2")] is True
+        assert rows[("site0.example", "/p/20")] is False
+        # host without the anchor rule keeps /p/2
+        assert rows[("site2.example", "/p/2")] is False
+        # mid-pattern wildcard /q/*/x on host_id%4==0 hosts only
+        q4 = [b for (h, p), b in rows.items()
+              if h == "site4.example" and p.startswith("/q/")]
+        q1 = [b for (h, p), b in rows.items()
+              if h == "site1.example" and p.startswith("/q/")]
+        assert q4 and all(q4)
+        assert q1 and not any(q1)
+        # /admin still blocks everywhere
+        admin = [b for (h, p), b in rows.items() if p.startswith("/admin")]
+        assert admin and all(admin)
