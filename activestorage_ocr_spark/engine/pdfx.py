@@ -132,6 +132,87 @@ def build_text_pdf(
     return _assemble(assembled, encrypt=encrypt, user_password=user_password)
 
 
+def build_cid_text_pdf(pages: list[list[str]]) -> bytes:
+    """A PDF whose text layer uses the MODERN producer layout: a Type0
+    (CID) font with /Encoding /Identity-H, 2-byte character codes in hex
+    show strings, and a /ToUnicode CMap mapping codes back to Unicode —
+    the shape LibreOffice/Word/Chrome print output takes. Codes are
+    assigned per distinct character in document order (code 1 up), so the
+    extracted text equals the input ONLY when the CMap path works."""
+    chars: dict[str, int] = {}
+    for lines in pages:
+        for line in lines:
+            for ch in line:
+                if ch not in chars:
+                    chars[ch] = len(chars) + 1
+    # ToUnicode CMap stream (32000-1 §9.10.3 layout, bfchar blocks <=100)
+    items = sorted(chars.items(), key=lambda kv: kv[1])
+    blocks = []
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        body = b"\n".join(
+            b"<%04X> <%s>" % (code, ch.encode("utf-16-be").hex().upper().encode())
+            for ch, code in chunk
+        )
+        blocks.append(
+            str(len(chunk)).encode() + b" beginbfchar\n" + body + b"\nendbfchar"
+        )
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + b"\n".join(blocks)
+        + b"\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    cmap_z = zlib.compress(cmap, 6)
+    objs: list[tuple[int, bytes, bytes | None]] = []
+    page_refs = []
+    next_id = 3 + 2 * len(pages)
+    font_id, cmap_id = next_id, next_id + 1
+    for pi, lines in enumerate(pages):
+        page_id = 3 + 2 * pi
+        content_id = page_id + 1
+        page_refs.append(page_id)
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for li, line in enumerate(lines):
+            if li > 0:
+                ops.append(b"0 -14 TD")
+            codes = b"".join(b"%04X" % chars[ch] for ch in line)
+            ops.append(b"<" + codes + b"> Tj")
+        ops.append(b"ET")
+        stream = zlib.compress(b"\n".join(ops), 6)
+        objs.append((
+            page_id,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 " + str(font_id).encode()
+            + b" 0 R >> >> /Contents " + str(content_id).encode() + b" 0 R >>",
+            None,
+        ))
+        objs.append((
+            content_id,
+            b"<< /Length " + str(len(stream)).encode() + b" /Filter /FlateDecode >>",
+            stream,
+        ))
+    objs.append((
+        font_id,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Synth"
+        b" /Encoding /Identity-H /ToUnicode " + str(cmap_id).encode() + b" 0 R >>",
+        None,
+    ))
+    objs.append((
+        cmap_id,
+        b"<< /Length " + str(len(cmap_z)).encode() + b" /Filter /FlateDecode >>",
+        cmap_z,
+    ))
+    kids = b" ".join(str(r).encode() + b" 0 R" for r in page_refs)
+    header = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+            + str(len(pages)).encode() + b" >>", None),
+    ]
+    return _assemble(header + objs)
+
+
 def build_image_pdf(
     images: list[tuple[np.ndarray, str]],
     icc_indirect: bool = False,
@@ -946,12 +1027,12 @@ def _decode_stream(obj: PdfObject) -> bytes:
 
 
 _TEXT_OP_RE = re.compile(
-    rb"\(|<|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|\bBI\b|'|\"|\[|\]"
+    rb"\(|<|/|\bTJ\b|\bTj\b|\bTd\b|\bTD\b|\bT\*|\bBT\b|\bET\b|\bBI\b|'|\"|\[|\]"
 )
 _INLINE_IMAGE_END_RE = re.compile(rb"\bEI(?=[\s/\[<(]|$)")
 
 
-def _show_text(s: bytes) -> str:
+def _show_text_plain(s: bytes) -> str:
     """Decode one show-string operand: UTF-16BE when it carries the BOM
     (hex-string text from Unicode-aware producers), latin-1 otherwise (the
     documented single-byte convention). A real CID font would need its
@@ -965,19 +1046,157 @@ def _show_text(s: bytes) -> str:
     return s.decode("latin-1")
 
 
-def extract_stream_text(content: bytes) -> str:
-    """Tokenize one content stream's text operators into lines."""
+# ---------------------------------------------------------------------------
+# /ToUnicode CMaps (ISO 32000-1 §9.10.3) — how every modern producer maps
+# its subset-font character codes back to Unicode. Without this, CID/Type0
+# PDFs (LibreOffice/Word/Chrome print output) extract as mojibake.
+# ---------------------------------------------------------------------------
+
+_CMAP_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+_CMAP_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_CMAP_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_CMAP_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+)
+
+
+class _FontInfo:
+    __slots__ = ("code_bytes", "cmap")
+
+    def __init__(self, code_bytes: int, cmap: dict[int, str] | None):
+        self.code_bytes = code_bytes
+        self.cmap = cmap
+
+
+def _utf16_hex(hx: bytes) -> str:
+    return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def parse_tounicode_cmap(data: bytes, default_code_bytes: int = 2) -> _FontInfo:
+    """bfchar / bfrange sections -> {code: unicode string}. The code width
+    comes from the codespacerange token length (Identity-H fonts use 2)."""
+    m = _CMAP_CODESPACE_RE.search(data)
+    code_bytes = (len(m.group(1)) // 2) if m else default_code_bytes
+    cmap: dict[int, str] = {}
+    for sec in _CMAP_BFCHAR_RE.finditer(data):
+        for pm in _CMAP_PAIR_RE.finditer(sec.group(1)):
+            cmap[int(pm.group(1), 16)] = _utf16_hex(pm.group(2))
+    for sec in _CMAP_BFRANGE_RE.finditer(data):
+        for em in _CMAP_RANGE_RE.finditer(sec.group(1)):
+            lo, hi = int(em.group(1), 16), int(em.group(2), 16)
+            if hi < lo or hi - lo > 65535:
+                continue  # forged range: skip, never allocate
+            if em.group(3) is not None:
+                base = int(em.group(3), 16)
+                width = len(em.group(3))
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = _utf16_hex(
+                        format(base + k, f"0{width}x").encode("ascii")
+                    )
+            else:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", em.group(4))
+                for k, d in enumerate(dsts[: hi - lo + 1]):
+                    cmap[lo + k] = _utf16_hex(d)
+    return _FontInfo(max(1, min(code_bytes, 4)), cmap or None)
+
+
+def _collect_stream_fonts(objects: dict[int, "PdfObject"]) -> dict[int, dict[str, _FontInfo]]:
+    """Per-content-stream font tables: for every /Type /Page, resolve its
+    /Resources /Font dict and each font's /ToUnicode CMap; returns
+    {content stream oid: {resource name: _FontInfo}}. Fonts without a
+    usable CMap map to code_bytes only (decode falls back to latin-1)."""
+    cache: dict[int, _FontInfo | None] = {}
+
+    def resolve_dict(v):
+        if isinstance(v, _Ref):
+            tgt = objects.get(v.oid)
+            return tgt.dict if tgt is not None else None
+        return v if isinstance(v, dict) else None
+
+    def font_info(fref) -> _FontInfo | None:
+        oid = fref.oid if isinstance(fref, _Ref) else None
+        if oid is not None and oid in cache:
+            return cache[oid]
+        fd = resolve_dict(fref)
+        info: _FontInfo | None = None
+        if isinstance(fd, dict):
+            default_w = 2 if fd.get("/Subtype") == "/Type0" else 1
+            tu = fd.get("/ToUnicode")
+            if isinstance(tu, _Ref):
+                tobj = objects.get(tu.oid)
+                if tobj is not None and tobj.stream is not None:
+                    try:
+                        info = parse_tounicode_cmap(
+                            _decode_stream(tobj), default_code_bytes=default_w
+                        )
+                    except (PdfError, ValueError):
+                        info = None
+            if info is None:
+                info = _FontInfo(default_w, None)
+        if oid is not None:
+            cache[oid] = info
+        return info
+
+    out: dict[int, dict[str, _FontInfo]] = {}
+    for obj in objects.values():
+        if obj.dict.get("/Type") != "/Page":
+            continue
+        res = resolve_dict(obj.dict.get("/Resources"))
+        fonts = resolve_dict(res.get("/Font")) if isinstance(res, dict) else None
+        if not isinstance(fonts, dict):
+            continue
+        fmap = {}
+        for name, fref in fonts.items():
+            fi = font_info(fref)
+            if fi is not None:
+                fmap[name.lstrip("/")] = fi
+        contents = obj.dict.get("/Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        for c in refs:
+            if isinstance(c, _Ref):
+                out[c.oid] = fmap
+    return out
+
+
+_TF_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+[0-9.+-]+\s+Tf")
+
+
+def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = None) -> str:
+    """Tokenize one content stream's text operators into lines. ``fonts``
+    maps resource names (from the owning page's /Resources /Font) to their
+    CMap info; the active font (tracked via Tf) decodes show strings."""
     lines: list[str] = []
     cur: list[str] = []
     pending: list[bytes] = []  # string operands awaiting their operator
     pos = 0
     n = len(content)
     line_has_text = False
+    cur_font: _FontInfo | None = None
+
+    def _show_text(s: bytes) -> str:
+        if cur_font is not None and cur_font.cmap is not None:
+            w = cur_font.code_bytes
+            out = []
+            for i in range(0, len(s) - w + 1, w):
+                out.append(cur_font.cmap.get(int.from_bytes(s[i : i + w], "big"), "�"))
+            return "".join(out)
+        return _show_text_plain(s)
+
     while pos < n:
         m = _TEXT_OP_RE.search(content, pos)
         if not m:
             break
         tok = m.group(0)
+        if fonts and tok == b"/":
+            tf = _TF_RE.match(content, m.start())
+            if tf:
+                cur_font = fonts.get(tf.group(1).decode("latin-1"))
+                pos = tf.end()
+            else:
+                pos = m.end()
+            continue
         if tok == b"(":
             s, pos = _parse_string(content, m.start())
             pending.append(s)
@@ -1263,7 +1482,9 @@ def extract_pdf(
     objects = parse_objects(payload)
     warnings: list[str] = []
 
-    # E1: text layer first
+    # E1: text layer first — with each page's /Resources /Font CMaps so
+    # CID/Type0 producers (the modern default) decode to real Unicode
+    stream_fonts = _collect_stream_fonts(objects)
     page_texts: list[str] = []
     for oid in sorted(objects):
         obj = objects[oid]
@@ -1275,7 +1496,7 @@ def extract_pdf(
             continue
         if b"BT" not in content:
             continue
-        t = extract_stream_text(content)
+        t = extract_stream_text(content, fonts=stream_fonts.get(oid))
         if t:
             page_texts.append(t)
     text = "\n\n".join(page_texts).strip()

@@ -374,3 +374,68 @@ class TestHexStrings:
 
         assert extract_stream_text(b'BT (first) Tj 2 1 (quoted) " ET') == "first\nquoted"
         assert extract_stream_text(b"BT (a) Tj (b) ' ET") == "a\nb"
+
+
+class TestCidToUnicode:
+    # round 5: Type0/CID fonts with /ToUnicode CMaps — the modern producer
+    # layout (LibreOffice/Word/Chrome print output). Without the CMap path
+    # these PDFs extract as mojibake.
+
+    def test_cid_pdf_extracts_real_unicode(self):
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        text = "Héllo Unicode — 日本語テキスト and Русский!"
+        r = extract_document(pdfx.build_cid_text_pdf([[text, "Second line"]]))
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == text + "\nSecond line"
+
+    def test_cid_multi_page_join(self):
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        r = extract_document(
+            pdfx.build_cid_text_pdf([["Page one body text"], ["Page two body text"]])
+        )
+        assert r["extracted_text"] == "Page one body text\n\nPage two body text"
+
+    def test_bfrange_contiguous_and_array_forms(self):
+        from activestorage_ocr_spark.engine.pdfx import parse_tounicode_cmap
+
+        cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+                b"1 beginbfrange <0001> <0003> <0041> endbfrange\n"
+                b"1 beginbfrange <0010> <0011> [<00480069> <0042>] endbfrange\n"
+                b"1 beginbfchar <0020> <1F600> endbfchar")
+        # (surrogate-paired dst also works: U+1F600 as its UTF-16 pair)
+        cmap = cmap.replace(b"<1F600>", "😀".encode("utf-16-be").hex().upper().encode().join((b"<", b">")))
+        fi = parse_tounicode_cmap(cmap)
+        assert fi.code_bytes == 2
+        assert fi.cmap[1] == "A" and fi.cmap[2] == "B" and fi.cmap[3] == "C"
+        assert fi.cmap[0x10] == "Hi" and fi.cmap[0x11] == "B"
+        assert fi.cmap[0x20] == "😀"
+
+    def test_forged_giant_bfrange_skipped(self):
+        from activestorage_ocr_spark.engine.pdfx import parse_tounicode_cmap
+
+        cmap = b"1 beginbfrange <0000> <FFFFFFFF> <0041> endbfrange"
+        fi = parse_tounicode_cmap(cmap)
+        assert fi.cmap is None  # skipped, never a giant allocation
+
+    def test_font_without_cmap_falls_back(self):
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        # plain Type1 font, no /ToUnicode: latin-1 path unchanged
+        r = extract_document(pdfx.build_text_pdf([["Plain latin-1 body text"]]))
+        assert r["extracted_text"] == "Plain latin-1 body text"
+
+    def test_damaged_cmap_stream_quarantines_gracefully(self):
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        pdf = bytearray(pdfx.build_cid_text_pdf([["Damaged cmap body text"]]))
+        # corrupt the flate bytes of the cmap stream (the LAST stream)
+        at = pdf.rfind(b"stream\n")
+        pdf[at + 10 : at + 16] = b"\x00" * 6
+        r = extract_document(bytes(pdf))
+        assert isinstance(r, dict) and "status" in r  # never raises
