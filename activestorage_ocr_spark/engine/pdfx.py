@@ -1063,11 +1063,91 @@ _CMAP_RANGE_RE = re.compile(
 
 
 class _FontInfo:
-    __slots__ = ("code_bytes", "cmap")
+    __slots__ = ("code_bytes", "cmap", "latin1_fallback")
 
-    def __init__(self, code_bytes: int, cmap: dict[int, str] | None):
+    def __init__(
+        self,
+        code_bytes: int,
+        cmap: dict[int, str] | None,
+        latin1_fallback: bool = False,
+    ):
         self.code_bytes = code_bytes
         self.cmap = cmap
+        # Differences encodings override SOME byte codes; the rest keep the
+        # base (latin-1-ish) meaning. ToUnicode CMaps are authoritative.
+        self.latin1_fallback = latin1_fallback
+
+
+#: common AGL glyph names that are not algorithmically derivable — the
+#: punctuation/ligature set TeX-family producers actually emit. Everything
+#: accented resolves through Unicode NFC composition below, and uniXXXX /
+#: uXXXXXX names decode directly, so this literal list stays tiny.
+_AGL_COMMON = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/", "colon": ":",
+    "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "underscore": "_", "braceleft": "{", "bar": "|",
+    "braceright": "}", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "germandbls": "ß", "ae": "æ", "AE": "Æ",
+    "oe": "œ", "OE": "Œ", "oslash": "ø", "Oslash": "Ø",
+    "eth": "ð", "thorn": "þ", "Lslash": "Ł",
+    "lslash": "ł", "dotlessi": "ı", "degree": "°",
+    "sterling": "£", "euro": "€", "yen": "¥",
+    "cent": "¢", "section": "§", "paragraph": "¶",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "exclamdown": "¡", "questiondown": "¿",
+    "guillemotleft": "«", "guillemotright": "»",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+}
+
+_ACCENT_COMBINING = {
+    "grave": "̀", "acute": "́", "circumflex": "̂",
+    "tilde": "̃", "macron": "̄", "breve": "̆",
+    "dotaccent": "̇", "dieresis": "̈", "ring": "̊",
+    "hungarumlaut": "̋", "caron": "̌", "cedilla": "̧",
+    "ogonek": "̨",
+}
+
+
+def glyph_name_to_unicode(name: str) -> str | None:
+    """AGL-style glyph name -> text: uniXXXX[XXXX...] / uXXXX..XXXXXX
+    decode algorithmically; base-letter + accent-suffix names compose via
+    Unicode NFC (eacute -> e + U+0301 -> é); single-character names are
+    themselves; a small literal table covers common punctuation names."""
+    import unicodedata
+
+    if name in _AGL_COMMON:
+        return _AGL_COMMON[name]
+    if len(name) == 1:
+        return name
+    if name.startswith("uni") and len(name) >= 7 and (len(name) - 3) % 4 == 0:
+        try:
+            return "".join(
+                chr(int(name[i : i + 4], 16)) for i in range(3, len(name), 4)
+            )
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            cp = int(name[1:], 16)
+            return chr(cp) if cp <= 0x10FFFF else None
+        except ValueError:
+            return None
+    for acc, comb in _ACCENT_COMBINING.items():
+        if name.endswith(acc) and 1 <= len(name) - len(acc) <= 2:
+            base = name[: -len(acc)]
+            if base.isalpha():
+                composed = unicodedata.normalize("NFC", base + comb)
+                if len(composed) == 1:
+                    return composed
+    return None
 
 
 def _utf16_hex(hx: bytes) -> str:
@@ -1134,6 +1214,25 @@ def _collect_stream_fonts(objects: dict[int, "PdfObject"]) -> dict[int, dict[str
                     except (PdfError, ValueError):
                         info = None
             if info is None:
+                # simple font with an /Encoding /Differences array (the
+                # TeX-family layout): glyph names override byte codes,
+                # everything else keeps the base latin-1-ish meaning
+                enc = resolve_dict(fd.get("/Encoding"))
+                diffs = enc.get("/Differences") if isinstance(enc, dict) else None
+                if isinstance(diffs, list) and diffs:
+                    cmap: dict[int, str] = {}
+                    code = 0
+                    for item in diffs[:2048]:
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, str) and 0 <= code <= 255:
+                            u = glyph_name_to_unicode(item.lstrip("/"))
+                            if u is not None:
+                                cmap[code] = u
+                            code += 1
+                    if cmap:
+                        info = _FontInfo(1, cmap, latin1_fallback=True)
+            if info is None:
                 info = _FontInfo(default_w, None)
         if oid is not None:
             cache[oid] = info
@@ -1180,7 +1279,14 @@ def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = Non
             w = cur_font.code_bytes
             out = []
             for i in range(0, len(s) - w + 1, w):
-                out.append(cur_font.cmap.get(int.from_bytes(s[i : i + w], "big"), "�"))
+                code = int.from_bytes(s[i : i + w], "big")
+                hit = cur_font.cmap.get(code)
+                if hit is None:
+                    hit = (
+                        chr(code) if cur_font.latin1_fallback and code <= 255
+                        else "�"
+                    )
+                out.append(hit)
             return "".join(out)
         return _show_text_plain(s)
 

@@ -439,3 +439,46 @@ class TestCidToUnicode:
         pdf[at + 10 : at + 16] = b"\x00" * 6
         r = extract_document(bytes(pdf))
         assert isinstance(r, dict) and "status" in r  # never raises
+
+
+class TestDifferencesEncoding:
+    # round 5: simple fonts with /Encoding /Differences — the TeX-family
+    # producer layout; glyph names resolve algorithmically (uniXXXX,
+    # NFC base+accent composition) plus a small literal punctuation set
+
+    @pytest.mark.parametrize("name,want", [
+        ("eacute", "é"), ("Adieresis", "Ä"), ("ccedilla", "ç"),
+        ("ncaron", "ň"), ("aring", "å"), ("otilde", "õ"),
+        ("uni0416", "Ж"), ("uni00480069", "Hi"), ("u1F600", "😀"),
+        ("emdash", "—"), ("quotedblleft", "“"), ("fi", "ﬁ"),
+        ("germandbls", "ß"), ("a", "a"), ("seven", "7"),
+        ("bogusname", None), ("uniZZZZ", None),
+    ])
+    def test_glyph_name_resolution(self, name, want):
+        from activestorage_ocr_spark.engine.pdfx import glyph_name_to_unicode
+
+        assert glyph_name_to_unicode(name) == want
+
+    def test_tex_style_pdf_extracts(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        content = zlib.compress(
+            b"BT /F1 10 Tf 72 720 Td (Caf\x80 na\x81ve r\x82sum\x82 \x83 TeX) Tj ET", 6
+        )
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >>"
+                b" >> /Contents 4 0 R >>", None),
+            (4, b"<< /Length " + str(len(content)).encode()
+                + b" /Filter /FlateDecode >>", content),
+            (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /CMR10 /Encoding "
+                b"<< /Type /Encoding /Differences [ 128 /eacute /idieresis"
+                b" /eacute /emdash ] >> >>", None),
+        ]
+        r = extract_document(pdfx._assemble(objs))
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "Café naïve résumé — TeX"
