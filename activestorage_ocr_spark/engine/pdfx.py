@@ -1214,13 +1214,29 @@ def _collect_stream_fonts(objects: dict[int, "PdfObject"]) -> dict[int, dict[str
                     except (PdfError, ValueError):
                         info = None
             if info is None:
-                # simple font with an /Encoding /Differences array (the
-                # TeX-family layout): glyph names override byte codes,
-                # everything else keeps the base latin-1-ish meaning
-                enc = resolve_dict(fd.get("/Encoding"))
-                diffs = enc.get("/Differences") if isinstance(enc, dict) else None
+                # simple font with a named base encoding and/or an
+                # /Encoding /Differences array (the TeX-family layout):
+                # glyph names override byte codes, WinAnsi (cp1252) fixes
+                # the 0x80-0x9F block (curly quotes, dashes, euro) that
+                # latin-1 reads as C1 controls, and everything else keeps
+                # the base latin-1-ish meaning
+                enc_raw = fd.get("/Encoding")
+                enc = resolve_dict(enc_raw)
+                cmap: dict[int, str] = {}
+                base = enc_raw if isinstance(enc_raw, str) else None
+                diffs = None
+                if isinstance(enc, dict):
+                    b = enc.get("/BaseEncoding")
+                    base = b if isinstance(b, str) else base
+                    diffs = enc.get("/Differences")
+                if base == "/WinAnsiEncoding":
+                    # derived from Python's cp1252 codec, not transcribed
+                    for code in range(0x80, 0xA0):
+                        try:
+                            cmap[code] = bytes([code]).decode("cp1252")
+                        except UnicodeDecodeError:
+                            pass
                 if isinstance(diffs, list) and diffs:
-                    cmap: dict[int, str] = {}
                     code = 0
                     for item in diffs[:2048]:
                         if isinstance(item, (int, float)):
@@ -1230,8 +1246,8 @@ def _collect_stream_fonts(objects: dict[int, "PdfObject"]) -> dict[int, dict[str
                             if u is not None:
                                 cmap[code] = u
                             code += 1
-                    if cmap:
-                        info = _FontInfo(1, cmap, latin1_fallback=True)
+                if cmap:
+                    info = _FontInfo(1, cmap, latin1_fallback=True)
             if info is None:
                 info = _FontInfo(default_w, None)
         if oid is not None:

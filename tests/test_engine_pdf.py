@@ -482,3 +482,53 @@ class TestDifferencesEncoding:
         r = extract_document(pdfx._assemble(objs))
         assert r["status"] == "ok"
         assert r["extracted_text"] == "Café naïve résumé — TeX"
+
+    def test_winansi_encoding_smart_quotes(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        # cp1252 0x91-0x97: curly quotes and dashes that latin-1 reads as
+        # C1 control bytes
+        content = zlib.compress(
+            b"BT /F1 10 Tf 72 720 Td (\x93Smart\x94 \x91quotes\x92 \x96 and \x97 dashes \x80) Tj ET",
+            6,
+        )
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >>"
+                b" >> /Contents 4 0 R >>", None),
+            (4, b"<< /Length " + str(len(content)).encode()
+                + b" /Filter /FlateDecode >>", content),
+            (5, b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial"
+                b" /Encoding /WinAnsiEncoding >>", None),
+        ]
+        r = extract_document(pdfx._assemble(objs))
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "“Smart” ‘quotes’ – and — dashes €"
+
+    def test_winansi_base_plus_differences(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        content = zlib.compress(
+            b"BT /F1 10 Tf 72 720 Td (\x93Caf\xe9\x94 and \x80 plus \x85) Tj ET", 6
+        )
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >>"
+                b" >> /Contents 4 0 R >>", None),
+            (4, b"<< /Length " + str(len(content)).encode()
+                + b" /Filter /FlateDecode >>", content),
+            # Differences overrides 0x85 on top of the WinAnsi base
+            (5, b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial /Encoding"
+                b" << /BaseEncoding /WinAnsiEncoding /Differences [ 133 /bullet ] >> >>",
+                None),
+        ]
+        r = extract_document(pdfx._assemble(objs))
+        assert r["extracted_text"] == "“Café” and € plus •"
