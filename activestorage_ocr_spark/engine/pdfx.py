@@ -1618,7 +1618,10 @@ def extract_pdf(
             continue
         if b"BT" not in content:
             continue
-        t = extract_stream_text(content, fonts=stream_fonts.get(oid))
+        try:
+            t = extract_stream_text(content, fonts=stream_fonts.get(oid))
+        except PdfError:
+            continue  # one malformed stream skips, like the E2 image rule
         if t:
             page_texts.append(t)
     text = "\n\n".join(page_texts).strip()

@@ -532,3 +532,27 @@ class TestDifferencesEncoding:
         ]
         r = extract_document(pdfx._assemble(objs))
         assert r["extracted_text"] == "“Café” and € plus •"
+
+    def test_malformed_text_stream_skips_not_quarantines(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        # page 1 ends with an unterminated string; page 2 is fine — the
+        # bad stream skips (E2-style per-stream rule), the good one shows
+        bad = zlib.compress(b"BT (never terminated", 6)
+        good = zlib.compress(b"BT (good page body text here) Tj ET", 6)
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+            (4, b"<< /Length " + str(len(bad)).encode()
+                + b" /Filter /FlateDecode >>", bad),
+            (5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>", None),
+            (6, b"<< /Length " + str(len(good)).encode()
+                + b" /Filter /FlateDecode >>", good),
+        ]
+        r = extract_document(pdfx._assemble(objs))
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "good page body text here"
