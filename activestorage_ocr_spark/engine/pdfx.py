@@ -1236,6 +1236,11 @@ def _collect_stream_fonts(objects: dict[int, "PdfObject"]) -> dict[int, dict[str
                             cmap[code] = bytes([code]).decode("cp1252")
                         except UnicodeDecodeError:
                             pass
+                elif base == "/MacRomanEncoding":
+                    # the whole upper half differs from latin-1; derived
+                    # from Python's mac_roman codec
+                    for code in range(0x80, 0x100):
+                        cmap[code] = bytes([code]).decode("mac_roman")
                 if isinstance(diffs, list) and diffs:
                     code = 0
                     for item in diffs[:2048]:
@@ -1276,6 +1281,11 @@ def _collect_stream_fonts(objects: dict[int, "PdfObject"]) -> dict[int, dict[str
 
 
 _TF_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+[0-9.+-]+\s+Tf")
+#: numeric adjustment between TJ-array strings; <= -180 (1/1000 em, i.e.
+#: more than ~a sixth of an em of negative advance) reads as a word space
+#: — the way TeX-family and optimizing producers encode spaces without a
+#: space glyph. Threshold documented; pdfminer/pdf.js use the same idea.
+_TJ_KERN_RE = re.compile(rb"[-+]?[0-9]+(?:\.[0-9]*)?")
 
 
 def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = None) -> str:
@@ -1284,11 +1294,19 @@ def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = Non
     CMap info; the active font (tracked via Tf) decodes show strings."""
     lines: list[str] = []
     cur: list[str] = []
-    pending: list[bytes] = []  # string operands awaiting their operator
+    # string operands awaiting their operator; True entries mark a
+    # kerning-derived word space inside a TJ array
+    pending: list[bytes | bool] = []
     pos = 0
     n = len(content)
     line_has_text = False
+    in_array = False
     cur_font: _FontInfo | None = None
+
+    def _flush_pending() -> None:
+        for item in pending:
+            cur.append(" " if item is True else _show_text(item))
+        pending.clear()
 
     def _show_text(s: bytes) -> str:
         if cur_font is not None and cur_font.cmap is not None:
@@ -1320,6 +1338,10 @@ def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = Non
                 pos = m.end()
             continue
         if tok == b"(":
+            if in_array and pending and pending[-1] is not True:
+                km = _TJ_KERN_RE.search(content, pos, m.start())
+                if km and float(km.group(0)) <= -180.0:
+                    pending.append(True)
             s, pos = _parse_string(content, m.start())
             pending.append(s)
             continue
@@ -1330,6 +1352,10 @@ def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = Non
             if content[m.start() : m.start() + 2] == b"<<":
                 pos = m.start() + 2
                 continue
+            if in_array and pending and pending[-1] is not True:
+                km = _TJ_KERN_RE.search(content, pos, m.start())
+                if km and float(km.group(0)) <= -180.0:
+                    pending.append(True)
             end = content.find(b">", m.start())
             if end == -1:
                 break
@@ -1353,9 +1379,7 @@ def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = Non
             pos = e.end()
             continue
         if tok in (b"Tj", b"TJ"):
-            for s in pending:
-                cur.append(_show_text(s))
-            pending.clear()
+            _flush_pending()
             line_has_text = True
         elif tok in (b"Td", b"TD", b"T*") or tok in (b"'", b'"'):
             if line_has_text:
@@ -1364,11 +1388,14 @@ def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = Non
                 line_has_text = False
             if tok in (b"'", b'"') and pending:
                 # ' and " both move to the next line and show their string
-                for s in pending:
-                    cur.append(_show_text(s))
+                _flush_pending()
                 line_has_text = True
             pending.clear()
-        elif tok in (b"[", b"]", b"BT", b"ET"):
+        elif tok == b"[":
+            in_array = True
+        elif tok == b"]":
+            in_array = False
+        elif tok in (b"BT", b"ET"):
             continue
     if line_has_text:
         lines.append("".join(cur))

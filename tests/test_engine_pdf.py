@@ -556,3 +556,68 @@ class TestDifferencesEncoding:
         r = extract_document(pdfx._assemble(objs))
         assert r["status"] == "ok"
         assert r["extracted_text"] == "good page body text here"
+
+    def test_macroman_encoding(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        # mac_roman: 0x8E = é, 0xD0 = –, 0xA5 = •
+        content = zlib.compress(
+            b"BT /F1 10 Tf 72 720 Td (Caf\x8e \xd0 list \xa5 item) Tj ET", 6
+        )
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >>"
+                b" >> /Contents 4 0 R >>", None),
+            (4, b"<< /Length " + str(len(content)).encode()
+                + b" /Filter /FlateDecode >>", content),
+            (5, b"<< /Type /Font /Subtype /TrueType /BaseFont /Times"
+                b" /Encoding /MacRomanEncoding >>", None),
+        ]
+        r = extract_document(pdfx._assemble(objs))
+        assert r["extracted_text"] == "Café – list • item"
+
+
+class TestTjKerning:
+    def test_kerned_word_spaces(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        assert extract_stream_text(b"BT [(Hello) -300 (World)] TJ ET") == "Hello World"
+        assert extract_stream_text(b"BT [(A) -300 (B) -250 (C)] TJ ET") == "A B C"
+        assert extract_stream_text(b"BT [<41> -400 <42>] TJ ET") == "A B"
+
+    def test_small_kerns_do_not_split_words(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        assert extract_stream_text(b"BT [(kern) -50 (ed)] TJ ET") == "kerned"
+        assert extract_stream_text(b"BT [(po) -179 (st)] TJ ET") == "post"
+
+    def test_positive_and_non_array_numbers_ignored(self):
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        assert extract_stream_text(b"BT [(a) 300 (b)] TJ ET") == "ab"
+        # numbers outside arrays (Td coords) never inject spaces
+        assert extract_stream_text(b"BT (x) Tj 0 -400 Td (y) Tj ET") == "x\ny"
+        assert extract_stream_text(b"BT 0 -400 Td (x) Tj (y) Tj ET") == "xy"
+
+    def test_e2e_kerned_pdf(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        content = zlib.compress(
+            b"BT /F1 10 Tf 72 720 Td [(Kerned) -320 (spaces) -280 (work here)] TJ ET", 6
+        )
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+            (4, b"<< /Length " + str(len(content)).encode()
+                + b" /Filter /FlateDecode >>", content),
+        ]
+        r = extract_document(pdfx._assemble(objs))
+        assert r["extracted_text"] == "Kerned spaces work here"
