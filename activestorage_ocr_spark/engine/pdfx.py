@@ -1016,6 +1016,14 @@ def _apply_filter(name: str, data: bytes) -> bytes:
             raise PdfError(f"bad ASCII85Decode stream: {e}") from e
     if name == "/RunLengthDecode":
         return _run_length_decode(data)
+    if name == "/LZWDecode":
+        # default EarlyChange=1 is exactly the TIFF LZW variant
+        from .rasters import _tiff_lzw_decode
+
+        try:
+            return _tiff_lzw_decode(data)
+        except ValueError as e:
+            raise PdfError(f"bad LZWDecode stream: {e}") from e
     raise PdfError(f"unsupported stream filter: {name}")
 
 

@@ -621,3 +621,23 @@ class TestTjKerning:
         ]
         r = extract_document(pdfx._assemble(objs))
         assert r["extracted_text"] == "Kerned spaces work here"
+
+
+class TestLzwFilter:
+    def test_lzw_content_stream_extracts(self):
+        from tests.test_engine_rasters import _tiff_lzw_encode
+
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        content = _tiff_lzw_encode(b"BT /F1 10 Tf (LZW body text extracts fine) Tj ET")
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+            (4, b"<< /Length " + str(len(content)).encode()
+                + b" /Filter /LZWDecode >>", content),
+        ]
+        r = extract_document(pdfx._assemble(objs))
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "LZW body text extracts fine"
