@@ -1027,10 +1027,61 @@ def _apply_filter(name: str, data: bytes) -> bytes:
     raise PdfError(f"unsupported stream filter: {name}")
 
 
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    """/Predictor post-processing for Flate/LZW streams (32000-1 §7.4.4.4):
+    PNG predictors (>= 10, reusing the rasters PNG unfilter) and TIFF
+    horizontal differencing (2). Scanner output commonly Flate-compresses
+    image samples under predictor 12 — skipping it yields silent garbage
+    pixels, not an error."""
+    pred = parms.get("/Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("/Colors", 1)
+    bpc = parms.get("/BitsPerComponent", 8)
+    cols = parms.get("/Columns", 1)
+    if not all(isinstance(v, int) and v > 0 for v in (colors, bpc, cols)):
+        raise PdfError("bad predictor parameters")
+    bpp_bits = colors * bpc
+    rowbytes = (cols * bpp_bits + 7) // 8
+    if rowbytes <= 0 or rowbytes > 1 << 24:
+        raise PdfError("bad predictor row width")
+    if pred >= 10:
+        from .rasters import _png_unfilter
+
+        h = len(data) // (rowbytes + 1)
+        if h <= 0:
+            raise PdfError("predictor data shorter than one row")
+        try:
+            rows, _ = _png_unfilter(data, 0, cols, h, bpp_bits)
+        except ValueError as e:
+            raise PdfError(f"bad PNG-predictor data: {e}") from e
+        return rows.tobytes()
+    if pred == 2:
+        if bpc != 8:
+            raise PdfError("TIFF predictor supported for 8-bit samples only")
+        h = len(data) // rowbytes
+        if h <= 0:
+            raise PdfError("predictor data shorter than one row")
+        arr = (
+            np.frombuffer(data[: h * rowbytes], dtype=np.uint8)
+            .reshape(h, cols, colors)
+            .copy()
+        )
+        arr = np.cumsum(arr, axis=1, dtype=np.uint8)  # wraps mod 256
+        return arr.tobytes() + data[h * rowbytes :]
+    raise PdfError(f"unsupported predictor {pred}")
+
+
 def _decode_stream(obj: PdfObject) -> bytes:
     data = obj.stream or b""
-    for name in _filter_list(obj.dict):
+    filts = _filter_list(obj.dict)
+    parms = obj.dict.get("/DecodeParms", obj.dict.get("/DP"))
+    plist = parms if isinstance(parms, list) else [parms]
+    plist = plist + [None] * (len(filts) - len(plist))
+    for name, pp in zip(filts, plist):
         data = _apply_filter(name, data)
+        if isinstance(pp, dict) and name in ("/FlateDecode", "/LZWDecode"):
+            data = _apply_predictor(data, pp)
     return data
 
 

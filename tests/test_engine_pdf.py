@@ -641,3 +641,80 @@ class TestLzwFilter:
         r = extract_document(pdfx._assemble(objs))
         assert r["status"] == "ok"
         assert r["extracted_text"] == "LZW body text extracts fine"
+
+
+class TestPredictors:
+    # /Predictor on Flate image streams (scanner-producer staple): skipping
+    # it yields silently-garbage pixels, not an error
+
+    def _image_pdf(self, stream, d_extra, w, h):
+        from activestorage_ocr_spark.engine import pdfx
+
+        d = (b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+             + b" /Height " + str(h).encode()
+             + b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+             + str(len(stream)).encode() + b" /Filter /FlateDecode " + d_extra + b" >>")
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources"
+                b" << /XObject << /Im0 5 0 R >> >> >>", None),
+            (4, b"<< /Length 0 >>", b""),
+            (5, d, stream),
+        ]
+        return pdfx._assemble(objs)
+
+    def test_png_up_predictor_image(self):
+        import zlib
+
+        import numpy as np
+
+        from activestorage_ocr_spark.engine import rasters
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        img = rasters.render_text("PRED PNG 12", scale=2)
+        h, w = img.shape
+        filtered = bytearray()
+        prev = np.zeros(w, dtype=np.uint8)
+        for r in range(h):
+            filtered.append(2)  # Up filter
+            filtered += ((img[r].astype(np.int32) - prev) % 256).astype(np.uint8).tobytes()
+            prev = img[r]
+        pdf = self._image_pdf(
+            zlib.compress(bytes(filtered), 6),
+            b"/DecodeParms << /Predictor 12 /Colors 1 /BitsPerComponent 8"
+            b" /Columns " + str(w).encode() + b" >>", w, h)
+        r = extract_document(pdf)
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "PRED PNG 12"
+
+    def test_tiff_predictor_image(self):
+        import zlib
+
+        import numpy as np
+
+        from activestorage_ocr_spark.engine import rasters
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        img = rasters.render_text("PRED TIFF 2", scale=2)
+        h, w = img.shape
+        diff = np.empty_like(img)
+        diff[:, 0] = img[:, 0]
+        diff[:, 1:] = (img[:, 1:].astype(np.int32) - img[:, :-1]) % 256
+        pdf = self._image_pdf(
+            zlib.compress(diff.astype(np.uint8).tobytes(), 6),
+            b"/DecodeParms << /Predictor 2 /Colors 1 /BitsPerComponent 8"
+            b" /Columns " + str(w).encode() + b" >>", w, h)
+        r = extract_document(pdf)
+        assert r["extracted_text"] == "PRED TIFF 2"
+
+    def test_forged_predictor_params_quarantine(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        pdf = self._image_pdf(
+            zlib.compress(b"\x00" * 64, 6),
+            b"/DecodeParms << /Predictor 12 /Columns 99999999 >>", 8, 8)
+        res = extract_document(pdf)
+        assert isinstance(res, dict) and "status" in res  # no crash
