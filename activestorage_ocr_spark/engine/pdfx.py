@@ -1620,8 +1620,31 @@ def decode_image_xobject(obj: PdfObject, objects: dict[int, PdfObject]) -> np.nd
             return rgb_to_gray(img)
         return img
     bpc = d.get("/BitsPerComponent", 8)
-    if bpc != 8:
+    if bpc not in (1, 2, 4, 8):
         raise PdfError(f"unsupported BitsPerComponent: {bpc}")
+    if bpc != 8 and not (filts and filts[-1] == "/DCTDecode"):
+        # sub-byte grayscale samples (bitonal/limited-depth scans that
+        # didn't use CCITT): rows are bit-packed and byte-padded
+        cs_sub = resolve_colorspace(d.get("/ColorSpace"), objects)
+        if cs_sub != "/DeviceGray":
+            raise PdfError(
+                f"unsupported BitsPerComponent {bpc} for color space {cs_sub}"
+            )
+        raw = _decode_stream(obj)
+        rowbytes = (w * bpc + 7) // 8
+        if len(raw) < rowbytes * h:
+            raise PdfError("sub-byte DeviceGray data too short")
+        rows = np.frombuffer(raw[: rowbytes * h], dtype=np.uint8).reshape(h, rowbytes)
+        bits = np.unpackbits(rows, axis=1)[:, : w * bpc]
+        vals = np.zeros((h, w), dtype=np.uint8)
+        for b in range(bpc):
+            vals = (vals << 1) | bits[:, b::bpc]
+        scale = 255 // ((1 << bpc) - 1)
+        img = (vals * scale).astype(np.uint8)
+        dec = d.get("/Decode")
+        if isinstance(dec, list) and len(dec) >= 2 and dec[0] == 1:
+            img = 255 - img
+        return img
     if filts and filts[-1] == "/DCTDecode":
         # scanned-PDF mainline: the image stream IS a JPEG (round 3 — decode
         # via engine.jpegx; the JPEG carries its own color model, so the

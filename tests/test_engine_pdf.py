@@ -718,3 +718,73 @@ class TestPredictors:
             b"/DecodeParms << /Predictor 12 /Columns 99999999 >>", 8, 8)
         res = extract_document(pdf)
         assert isinstance(res, dict) and "status" in res  # no crash
+
+
+class TestSubByteGray:
+    # BitsPerComponent 1/2/4 DeviceGray images (bitonal scans that used
+    # Flate instead of CCITT) — rows bit-packed and byte-padded
+
+    def _image_pdf(self, stream, d_extra, w, h, bpc):
+        from activestorage_ocr_spark.engine import pdfx
+
+        d = (b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+             + b" /Height " + str(h).encode()
+             + b" /ColorSpace /DeviceGray /BitsPerComponent " + str(bpc).encode()
+             + b" /Length " + str(len(stream)).encode()
+             + b" /Filter /FlateDecode" + d_extra + b" >>")
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources"
+                b" << /XObject << /Im0 5 0 R >> >> >>", None),
+            (4, b"<< /Length 0 >>", b""),
+            (5, d, stream),
+        ]
+        return pdfx._assemble(objs)
+
+    def test_one_bit_image_and_decode_invert(self):
+        import zlib
+
+        import numpy as np
+
+        from activestorage_ocr_spark.engine import rasters
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        img = rasters.render_text("ONE BIT SCAN", scale=2)
+        h, w = img.shape
+        bits = (img >= 128).astype(np.uint8)
+        pdf = self._image_pdf(
+            zlib.compress(np.packbits(bits, axis=1).tobytes(), 6), b"", w, h, 1)
+        assert extract_document(pdf)["extracted_text"] == "ONE BIT SCAN"
+        inv = self._image_pdf(
+            zlib.compress(np.packbits(1 - bits, axis=1).tobytes(), 6),
+            b" /Decode [1 0]", w, h, 1)
+        assert extract_document(inv)["extracted_text"] == "ONE BIT SCAN"
+
+    def test_four_bit_image(self):
+        import zlib
+
+        import numpy as np
+
+        from activestorage_ocr_spark.engine import rasters
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        img = rasters.render_text("NIBBLE 4", scale=2)
+        h, w = img.shape
+        q = (img.astype(np.int32) * 15 // 255).astype(np.uint8)
+        hi, lo = q[:, 0::2], q[:, 1::2]
+        if lo.shape[1] < hi.shape[1]:
+            lo = np.concatenate([lo, np.zeros((h, 1), np.uint8)], axis=1)
+        pdf = self._image_pdf(
+            zlib.compress(((hi << 4) | lo).astype(np.uint8).tobytes(), 6),
+            b"", w, h, 4)
+        assert extract_document(pdf)["extracted_text"] == "NIBBLE 4"
+
+    def test_truncated_sub_byte_data_quarantines(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        pdf = self._image_pdf(zlib.compress(b"\x01", 6), b"", 64, 64, 1)
+        res = extract_document(pdf)
+        assert isinstance(res, dict) and "status" in res
