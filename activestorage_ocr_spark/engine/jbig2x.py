@@ -42,10 +42,11 @@ Implemented from the public spec only:
   /JBIG2Globals out-of-band segment stream.
 
 Scope covers generic regions, symbol mode (arithmetic AND Huffman),
-refinement coding, and halftone regions (arithmetic AND MMR); the few
-remaining unimplemented combinations (standard table B.10, Huffman
-refinement) raise a narrow :class:`Jbig2Error` and the image quarantines
-per E2. The symbol-mode
+refinement coding (arithmetic, AND the Huffman text-region form with
+byte-bounded per-instance GR bitmaps), and halftone regions (arithmetic
+AND MMR); the two remaining unimplemented combinations (standard table
+B.10, SDHUFF+REFAGG dictionaries) raise a narrow :class:`Jbig2Error` and
+the image quarantines per E2. The symbol-mode
 ENCODER does what jbig2enc does — connected-component extraction +
 shape dedupe into a dictionary — so fixtures exercise real dictionary
 reuse (repeated glyphs compress below the generic coder).
@@ -2455,8 +2456,7 @@ def _decode_text_region_huffman(
     flags = struct.unpack_from(">H", payload, 17)[0]
     pos = 19
     refine = bool(flags & 2)
-    if refine:
-        raise Jbig2Error("unsupported JBIG2 text region: Huffman refinement")
+    rtemplate = (flags >> 15) & 1
     log2strips = (flags >> 2) & 3
     refcorner = (flags >> 4) & 3
     if (flags >> 6) & 1:
@@ -2478,6 +2478,19 @@ def _decode_text_region_huffman(
     sel_rdx = (hflags >> 10) & 3
     sel_rdy = (hflags >> 12) & 3
     sel_rsize = (hflags >> 14) & 1
+    rat = None
+    if refine and rtemplate == 0:
+        if len(payload) < pos + 4:
+            raise Jbig2Error("truncated SBRAT pixel list")
+        rat = (
+            (struct.unpack_from("b", payload, pos)[0],
+             struct.unpack_from("b", payload, pos + 1)[0]),
+            (struct.unpack_from("b", payload, pos + 2)[0],
+             struct.unpack_from("b", payload, pos + 3)[0]),
+        )
+        pos += 4
+    if len(payload) < pos + 4:
+        raise Jbig2Error("truncated Huffman text region header")
     (n_instances,) = struct.unpack_from(">I", payload, pos)
     pos += 4
     if not symbols:
@@ -2490,14 +2503,13 @@ def _decode_text_region_huffman(
     t_fs = _huff_selected(sel_fs, {0: 6, 1: 7}, cit, "SBHUFFFS")
     t_ds = _huff_selected(sel_ds, {0: 8, 1: 9, 2: 10}, cit, "SBHUFFDS")
     t_dt = _huff_selected(sel_dt, {0: 11, 1: 12, 2: 13}, cit, "SBHUFFDT")
-    # refinement tables would be consumed here (RDW/RDH/RDX/RDY/RSIZE);
-    # SBREFINE is rejected above, so only custom selectors need consuming
-    for sel, what in ((sel_rdw, "RDW"), (sel_rdh, "RDH"),
-                      (sel_rdx, "RDX"), (sel_rdy, "RDY")):
-        if sel == 3:
-            _huff_selected(sel, {}, cit, what)
-    if sel_rsize == 1:
-        _huff_selected(sel_rsize, {}, cit, "RSIZE")
+    # refinement delta tables (consumed in selector order even when unused
+    # so the referred custom-table alignment stays correct)
+    t_rdw = _huff_selected(sel_rdw, {0: 14, 1: 15}, cit, "SBHUFFRDW")
+    t_rdh = _huff_selected(sel_rdh, {0: 14, 1: 15}, cit, "SBHUFFRDH")
+    t_rdx = _huff_selected(sel_rdx, {0: 14, 1: 15}, cit, "SBHUFFRDX")
+    t_rdy = _huff_selected(sel_rdy, {0: 14, 1: 15}, cit, "SBHUFFRDY")
+    t_rsize = _huff_selected(sel_rsize, {0: 1}, cit, "SBHUFFRSIZE")
     r = _HBitReader(payload[pos:])
     # symbol ID code lengths via the 35 runcodes (§7.4.3.1.7)
     runlens = [r.bits(4) for _ in range(35)]
@@ -2556,6 +2568,36 @@ def _decode_text_region_huffman(
             if sid is HUFF_OOB or sid >= len(symbols):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = symbols[sid]
+            if refine and r.bit():
+                # SBHUFF refinement instance (§6.4.11 Huffman form): deltas
+                # via code tables, then a BYTE-BOUNDED arithmetic GR bitmap
+                # with fresh contexts per instance
+                rdw = t_rdw.decode(r)
+                rdh = t_rdh.decode(r)
+                rdx = t_rdx.decode(r)
+                rdy = t_rdy.decode(r)
+                bmsize = t_rsize.decode(r)
+                if HUFF_OOB in (rdw, rdh, rdx, rdy, bmsize) or bmsize < 0:
+                    raise Jbig2Error("bad Huffman refinement parameters")
+                nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                if nw <= 0 or nh <= 0 or nw * nh > _MAX_PIXELS:
+                    raise Jbig2Error("bad refined instance dimensions")
+                r.align()
+                off = pos + r.byte_offset()
+                chunk = payload[off : off + bmsize] if bmsize else payload[off:]
+                if bmsize and len(chunk) < bmsize:
+                    raise Jbig2Error("truncated refinement bitmap data")
+                gdx = (rdw >> 1) + rdx
+                gdy = (rdh >> 1) + rdy
+                coding, refc = _refine_coords(rtemplate, rat)
+                nbits = len(coding) + len(refc)
+                gr_i, gr_mps = bytearray(1 << nbits), bytearray(1 << nbits)
+                dec = MQDecoder(chunk)
+                sym = _decode_refinement_bitmap(
+                    dec, gr_i, gr_mps, nw, nh, sym,
+                    coding, refc, rtemplate, False, gdx, gdy,
+                )
+                r.skip_bytes(bmsize)
             sh, sw = sym.shape
             if refcorner in (_REFCORNER_TR, _REFCORNER_BR):
                 curs += sw - 1
@@ -2647,7 +2689,7 @@ def _fixture_dt_table() -> HuffTable:
 
 def _encode_text_region_huffman(
     symbols: list[np.ndarray],
-    instances: list[tuple[int, int, int]],
+    instances: list[tuple],
     width: int,
     height: int,
     log2strips: int = 0,
@@ -2680,10 +2722,15 @@ def _encode_text_region_huffman(
     for ln in codelens:
         runtab.encode(w, ln)
     w.align()
+    refine = any(len(inst) == 4 for inst in instances)
+    t_rd = std_table(15)  # RDW/RDH/RDX/RDY (sel 1): covers all ints
+    t_rsize = std_table(1)
     strips = 1 << log2strips
     by_strip: dict[int, list] = {}
-    for sid, sx, sy in instances:
-        by_strip.setdefault(sy // strips, []).append((sx, sid, sy % strips))
+    for inst in instances:
+        sid, sx, sy = inst[0], inst[1], inst[2]
+        bmp = inst[3] if len(inst) == 4 else None
+        by_strip.setdefault(sy // strips, []).append((sx, sid, sy % strips, bmp))
     t_dt.encode(w, 0)  # STRIPT starts at 0
     strip_prev = 0
     firsts = 0
@@ -2694,21 +2741,48 @@ def _encode_text_region_huffman(
         t_fs.encode(w, row[0][0] - firsts)
         firsts = row[0][0]
         curs = firsts
-        for kk, (sx, sid, curt) in enumerate(row):
+        for kk, (sx, sid, curt, bmp) in enumerate(row):
             if kk > 0:
                 t_ds.encode(w, sx - curs)
                 curs = sx
             if strips > 1:
                 w.bits(curt, log2strips)
             symtab.encode(w, id_of[sid])
-            curs += symbols[sid].shape[1] - 1
+            eff = symbols[sid]
+            if refine:
+                if bmp is None:
+                    w.bit(0)
+                else:
+                    w.bit(1)
+                    ref = np.asarray(symbols[sid], dtype=bool)
+                    new_b = np.asarray(bmp, dtype=bool)
+                    rdw = new_b.shape[1] - ref.shape[1]
+                    rdh = new_b.shape[0] - ref.shape[0]
+                    for v in (rdw, rdh, 0, 0):
+                        t_rd.encode(w, v)
+                    coding, refc = _refine_coords(0, _REFINE_AT_NOMINAL)
+                    nbits = len(coding) + len(refc)
+                    gr_i, gr_mps = bytearray(1 << nbits), bytearray(1 << nbits)
+                    enc = MQEncoder()
+                    _encode_refinement_bitmap(
+                        enc, gr_i, gr_mps, new_b, ref,
+                        coding, refc, 0, False, (rdw >> 1), (rdh >> 1),
+                    )
+                    data = enc.flush()
+                    t_rsize.encode(w, len(data))
+                    w.extend_bytes(data)
+                    eff = new_b
+            curs += eff.shape[1] - 1
         t_ds.encode(w, None)  # OOB: strip done
     body = w.flush()
-    flags = (_REFCORNER_TL << 4) | (log2strips << 2) | 1  # SBHUFF=1
-    # huffman flags: FS sel 0 (B.6), DS sel 0 (B.8), DT sel 3 (custom)
-    hflags = (3 << 4)
+    flags = (_REFCORNER_TL << 4) | (log2strips << 2) | (2 if refine else 0) | 1
+    # huffman flags: FS sel 0 (B.6), DS sel 0 (B.8), DT sel 3 (custom);
+    # refinement deltas sel 1 (B.15), RSIZE sel 0 (B.1)
+    hflags = (3 << 4) | ((1 << 6) | (1 << 8) | (1 << 10) | (1 << 12) if refine else 0)
     head = struct.pack(">IIIIB", width, height, 0, 0, 0)
     head += struct.pack(">H", flags) + struct.pack(">H", hflags)
+    if refine:
+        head += b"".join(struct.pack("bb", dx, dy) for dx, dy in _REFINE_AT_NOMINAL)
     head += struct.pack(">I", len(instances))
     return head + body
 

@@ -671,11 +671,13 @@ class TestHuffmanMode:
         data = jbig2x.encode_jbig2_huffman_page(img)
         assert np.array_equal(decode_jbig2_embedded(data), img)
 
-    def test_huffman_text_refinement_is_named_gap(self):
+    def test_truncated_huffman_refinement_header_named(self):
+        # SBHUFF + SBREFINE is supported (r5); a truncated header must
+        # still fail with the named error, never a crash
         head = struct.pack(">IIIIB", 10, 10, 0, 0, 0)
         head += struct.pack(">H", 3)  # SBHUFF=1 + SBREFINE=1
-        head += struct.pack(">H", 0) + struct.pack(">I", 0)
-        with pytest.raises(Jbig2Error, match="Huffman refinement"):
+        head += struct.pack(">H", 0)
+        with pytest.raises(Jbig2Error, match="truncated"):
             jbig2x._decode_text_region(head, [np.ones((2, 2), dtype=bool)])
 
     def test_truncated_huffman_stream_raises(self):
@@ -803,3 +805,59 @@ class TestSegmentHeaderBounds:
         head += struct.pack(">I", 0xE0000000 | 9)[0:4]
         with pytest.raises(Jbig2Error):  # named, never IndexError
             list(jbig2x._parse_segment_headers(head + b"\x00" * 2))
+
+
+class TestHuffmanRefinement:
+    # SBHUFF + SBREFINE (§6.4.11 Huffman form): per-instance deltas via
+    # B.15/B.1 tables, then a BYTE-BOUNDED arithmetic GR bitmap with fresh
+    # contexts — closes the r5 "Huffman refinement" named gap for text
+    # regions (the SDHUFF+REFAGG dictionary combo remains quarantined)
+
+    def test_refined_instances_round_trip(self):
+        img = rasters.render_text("REFINE HUF", scale=2) < 128
+        comps = jbig2x._connected_components(img)
+        symbols, index, instances = [], {}, []
+        for x, y, bmp in comps:
+            key = (bmp.shape, bmp.tobytes())
+            sid = index.setdefault(key, len(symbols))
+            if sid == len(symbols):
+                symbols.append(bmp)
+            instances.append((sid, x, y))
+        insts = []
+        for k, (sid, x, y) in enumerate(instances):
+            bmp = symbols[sid]
+            blanks = np.argwhere(~bmp)
+            if k % 3 == 0 and len(blanks):
+                by, bx = map(int, blanks[0])
+                nb = bmp.copy()
+                nb[by, bx] = True
+                insts.append((sid, x, y, nb))
+            else:
+                insts.append((sid, x, y))
+        # one size-changing refinement (RDW=+2, RDH=+1)
+        sid0, x0, y0 = instances[1][0], instances[1][1], instances[1][2]
+        grown = np.zeros(
+            (symbols[sid0].shape[0] + 1, symbols[sid0].shape[1] + 2), dtype=bool
+        )
+        grown[: symbols[sid0].shape[0], : symbols[sid0].shape[1]] = symbols[sid0]
+        grown[-1, -1] = True
+        insts[1] = (sid0, x0, y0, grown)
+        h, w = img.shape
+        pi = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+        ts = jbig2x.encode_table_segment(jbig2x._FIXTURE_DT_LINES, 4, 4)
+        sd = jbig2x._encode_symbol_dict_huffman(symbols)
+        tr = jbig2x._encode_text_region_huffman(symbols, insts, w, h)
+        blob = (
+            jbig2x._segment_header(0, jbig2x._SEG_PAGE_INFO, 1, len(pi)) + pi
+            + jbig2x._segment_header(1, jbig2x._SEG_TABLE, 1, len(ts)) + ts
+            + jbig2x._segment_header(2, jbig2x._SEG_SYMBOL_DICT, 1, len(sd)) + sd
+            + jbig2x._segment_header(
+                3, jbig2x._SEG_TEXT_IMMEDIATE, 1, len(tr), referred=(2, 1)) + tr
+        )
+        out = decode_jbig2_embedded(blob)
+        want = np.zeros_like(img)
+        for inst in insts:
+            sid, x, y = inst[0], inst[1], inst[2]
+            bmp = inst[3] if len(inst) == 4 else symbols[sid]
+            want[y : y + bmp.shape[0], x : x + bmp.shape[1]] |= bmp
+        assert np.array_equal(out, want)
