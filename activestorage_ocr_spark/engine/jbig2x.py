@@ -44,9 +44,11 @@ Implemented from the public spec only:
 Scope covers generic regions, symbol mode (arithmetic AND Huffman),
 refinement coding (arithmetic, AND the Huffman text-region form with
 byte-bounded per-instance GR bitmaps), and halftone regions (arithmetic
-AND MMR); the two remaining unimplemented combinations (standard table
-B.10, SDHUFF+REFAGG dictionaries) raise a narrow :class:`Jbig2Error` and
-the image quarantines per E2. The symbol-mode
+AND MMR); the two remaining unimplemented corners (standard table B.10,
+Huffman AGGREGATE symbols — REFAGGNINST > 1 with SDHUFF, which needs a
+nested Huffman text region) raise a narrow :class:`Jbig2Error` and the
+image quarantines per E2; SDHUFF+REFAGG single-instance refinement
+dictionaries decode. The symbol-mode
 ENCODER does what jbig2enc does — connected-component extraction +
 shape dedupe into a dictionary — so fixtures exercise real dictionary
 reuse (repeated glyphs compress below the generic coder).
@@ -2341,15 +2343,24 @@ def _decode_symbol_dict_huffman(
     code tables, bitmaps as per-class COLLECTIVE bitmaps (MMR-coded or
     stored uncompressed), exports via Table B.1 runs."""
     flags = struct.unpack_from(">H", payload, 0)[0]
-    if flags & 2:
-        raise Jbig2Error(
-            "unsupported JBIG2 segment: Huffman refinement symbol dictionary"
-        )
+    refagg = bool(flags & 2)
     sel_dh = (flags >> 2) & 3
     sel_dw = (flags >> 4) & 3
     sel_bm = (flags >> 6) & 1
     sel_ag = (flags >> 7) & 1
-    pos = 2  # SDHUFF: no AT pixels
+    rtemplate = (flags >> 12) & 1
+    pos = 2  # SDHUFF: no generic AT pixels
+    rat = None
+    if refagg and rtemplate == 0:
+        if len(payload) < pos + 4:
+            raise Jbig2Error("truncated SDRAT pixel list")
+        rat = (
+            (struct.unpack_from("b", payload, pos)[0],
+             struct.unpack_from("b", payload, pos + 1)[0]),
+            (struct.unpack_from("b", payload, pos + 2)[0],
+             struct.unpack_from("b", payload, pos + 3)[0]),
+        )
+        pos += 4
     if len(payload) < pos + 8:
         raise Jbig2Error("truncated symbol dictionary header")
     numex, numnew = struct.unpack_from(">II", payload, pos)
@@ -2360,7 +2371,9 @@ def _decode_symbol_dict_huffman(
     t_dh = _huff_selected(sel_dh, {0: 4, 1: 5}, cit, "SDHUFFDH")
     t_dw = _huff_selected(sel_dw, {0: 2, 1: 3}, cit, "SDHUFFDW")
     t_bm = _huff_selected(sel_bm, {0: 1}, cit, "SDHUFFBMSIZE")
-    _huff_selected(sel_ag, {0: 1}, cit, "SDHUFFAGG")  # consumed, unused (no REFAGG)
+    t_ag = _huff_selected(sel_ag, {0: 1}, cit, "SDHUFFAGG")
+    t_rd = std_table(15)  # RDX/RDY in the REFAGG fast path
+    symcodelen = _symcodelen(len(input_syms) + numnew)
     t_ex = std_table(1)
     r = _HBitReader(payload[pos:])
     new_syms: list[np.ndarray] = []
@@ -2384,7 +2397,49 @@ def _decode_symbol_dict_huffman(
                 raise Jbig2Error("non-positive symbol dimensions")
             if len(new_syms) + len(widths) >= numnew + 1:
                 raise Jbig2Error("more symbols than declared")
+            if refagg:
+                # §6.5.8 with SDHUFF: each symbol decodes individually as a
+                # refinement of an earlier symbol (REFAGGNINST == 1 — the
+                # jbig2enc-style shape; aggregates of several instances
+                # would need a nested Huffman text region and quarantine)
+                if symwidth * hcheight > _MAX_PIXELS:
+                    raise Jbig2Error("JBIG2 symbol too large")
+                ninst = t_ag.decode(r)
+                if ninst is HUFF_OOB or ninst < 1:
+                    raise Jbig2Error("bad REFAGGNINST")
+                if ninst != 1:
+                    raise Jbig2Error(
+                        "unsupported JBIG2 segment: Huffman aggregate symbol"
+                    )
+                rid = r.bits(symcodelen)
+                rdx = t_rd.decode(r)
+                rdy = t_rd.decode(r)
+                bmsize = t_bm.decode(r)
+                if HUFF_OOB in (rdx, rdy, bmsize) or bmsize < 0:
+                    raise Jbig2Error("bad Huffman refinement parameters")
+                combined = list(input_syms) + new_syms
+                if not (0 <= rid < len(combined)):
+                    raise Jbig2Error(f"refinement references unknown symbol {rid}")
+                r.align()
+                off = pos + r.byte_offset()
+                chunk = payload[off : off + bmsize] if bmsize else payload[off:]
+                if bmsize and len(chunk) < bmsize:
+                    raise Jbig2Error("truncated refinement bitmap data")
+                coding, refc = _refine_coords(rtemplate, rat)
+                nbits = len(coding) + len(refc)
+                gr_i, gr_mps = bytearray(1 << nbits), bytearray(1 << nbits)
+                dec = MQDecoder(chunk)
+                new_syms.append(
+                    _decode_refinement_bitmap(
+                        dec, gr_i, gr_mps, symwidth, hcheight, combined[rid],
+                        coding, refc, rtemplate, False, rdx, rdy,
+                    )
+                )
+                r.skip_bytes(bmsize)
+                continue
             widths.append(symwidth)
+        if refagg:
+            continue  # symbols already decoded individually
         if not widths:
             continue
         totw = sum(widths)
@@ -2622,7 +2677,11 @@ def _decode_text_region_huffman(
     return region, x, y, comb & 7
 
 
-def _encode_symbol_dict_huffman(symbols: list[np.ndarray]) -> bytes:
+def _encode_symbol_dict_huffman(
+    symbols: list[np.ndarray],
+    refine_from: dict[int, int] | None = None,
+    input_syms: list[np.ndarray] | None = None,
+) -> bytes:
     """Fixture mirror of :func:`_decode_symbol_dict_huffman`: standard
     tables (DH=B.4, DW=B.3 — widths within a height class are in symbol
     order, not ascending, so DW deltas go negative and need B.3's lower
@@ -2632,8 +2691,14 @@ def _encode_symbol_dict_huffman(symbols: list[np.ndarray]) -> bytes:
     syms = [np.asarray(s, dtype=bool) for s in symbols]
     if not syms or any(s.ndim != 2 or 0 in s.shape for s in syms):
         raise Jbig2Error("symbol dictionary needs non-empty 2-D symbols")
+    input_syms = [np.asarray(s, dtype=bool) for s in (input_syms or [])]
+    refagg = refine_from is not None
+    refine_from = refine_from or {}
     order = sorted(range(len(syms)), key=lambda i: (syms[i].shape[0], i))
+    decode_pos = {orig: k for k, orig in enumerate(order)}
     t_dh, t_dw, t_bm, t_ex = std_table(4), std_table(3), std_table(1), std_table(1)
+    t_ag, t_rd = std_table(1), std_table(15)
+    symcodelen = _symcodelen(len(input_syms) + len(syms))
     w = _HBitWriter()
     hcheight = 0
     i = 0
@@ -2645,27 +2710,55 @@ def _encode_symbol_dict_huffman(symbols: list[np.ndarray]) -> bytes:
         symwidth = 0
         members = []
         while i < len(order) and syms[order[i]].shape[0] == h:
-            sw = syms[order[i]].shape[1]
+            orig = order[i]
+            sw = syms[orig].shape[1]
             t_dw.encode(w, sw - symwidth)
             symwidth = sw
-            members.append(syms[order[i]])
+            if refagg:
+                pid = refine_from[orig]
+                ref = (
+                    input_syms[pid] if pid < len(input_syms)
+                    else syms[order[pid - len(input_syms)]]
+                )
+                t_ag.encode(w, 1)  # REFAGGNINST
+                w.bits(pid, symcodelen)
+                t_rd.encode(w, 0)
+                t_rd.encode(w, 0)
+                coding, refc = _refine_coords(0, _REFINE_AT_NOMINAL)
+                nbits = len(coding) + len(refc)
+                gr_i, gr_mps = bytearray(1 << nbits), bytearray(1 << nbits)
+                enc = MQEncoder()
+                _encode_refinement_bitmap(
+                    enc, gr_i, gr_mps, syms[orig], ref,
+                    coding, refc, 0, False, 0, 0,
+                )
+                data = enc.flush()
+                t_bm.encode(w, len(data))
+                w.extend_bytes(data)
+            else:
+                members.append(syms[orig])
             i += 1
         t_dw.encode(w, None)  # OOB: height class done
-        coll = np.concatenate(members, axis=1)
-        if n_class % 2 == 0:
-            data = encode_g4(coll)
-            t_bm.encode(w, len(data))
-            w.extend_bytes(data)
-        else:
-            t_bm.encode(w, 0)  # stored uncompressed, rows byte-padded
-            packed = np.packbits(coll.astype(np.uint8), axis=1)
-            w.extend_bytes(packed.tobytes())
+        if not refagg:
+            coll = np.concatenate(members, axis=1)
+            if n_class % 2 == 0:
+                data = encode_g4(coll)
+                t_bm.encode(w, len(data))
+                w.extend_bytes(data)
+            else:
+                t_bm.encode(w, 0)  # stored uncompressed, rows byte-padded
+                packed = np.packbits(coll.astype(np.uint8), axis=1)
+                w.extend_bytes(packed.tobytes())
         n_class += 1
-    # export all new symbols: skip 0, export all
-    t_ex.encode(w, 0)
+    # export: skip the imported symbols, export all new symbols
+    t_ex.encode(w, len(input_syms))
     t_ex.encode(w, len(syms))
-    # SDHUFF=1, DW selector 1 (B.3), all other selectors 0
-    head = struct.pack(">H", 1 | (1 << 4)) + struct.pack(">II", len(syms), len(syms))
+    # SDHUFF=1, DW selector 1 (B.3), REFAGG bit when refining
+    flags = 1 | (1 << 4) | (2 if refagg else 0)
+    head = struct.pack(">H", flags)
+    if refagg:
+        head += b"".join(struct.pack("bb", dx, dy) for dx, dy in _REFINE_AT_NOMINAL)
+    head += struct.pack(">II", len(syms), len(syms))
     return head + w.flush()
 
 
@@ -2693,15 +2786,17 @@ def _encode_text_region_huffman(
     width: int,
     height: int,
     log2strips: int = 0,
+    export_order: list[int] | None = None,
 ) -> bytes:
     """Fixture mirror of :func:`_decode_text_region_huffman`: FS=B.6,
     DS=B.8, DT=custom (selector 3 -> the referred type-53 segment),
     REFCORNER=TL, runcoded balanced symbol ID code. ``log2strips`` > 0
     emits multi-row strips: DT deltas move in strip units and each
     instance carries its CURT as ``log2strips`` raw bits (§6.4.5)."""
-    export_order = _sorted_symbol_order(
-        [np.asarray(s, dtype=bool) for s in symbols]
-    )
+    if export_order is None:
+        export_order = _sorted_symbol_order(
+            [np.asarray(s, dtype=bool) for s in symbols]
+        )
     id_of = {orig: new for new, orig in enumerate(export_order)}
     n_syms = len(export_order)
     t_fs, t_ds, t_dt = std_table(6), std_table(8), _fixture_dt_table()

@@ -269,12 +269,13 @@ class TestSymbolMode:
         page = decode_jbig2_embedded(jbig2x.encode_jbig2_symbol_mode(blank))
         assert page.shape == blank.shape and not page.any()
 
-    def test_huffman_refinement_dictionary_is_named_gap(self):
+    def test_truncated_huffman_refagg_dictionary_named(self):
         import struct as _s
 
-        # SDHUFF=1 + SDREFAGG=1 is the one remaining dictionary combination
-        payload = _s.pack(">H", 3) + b"\x00" * 20
-        with pytest.raises(Jbig2Error, match="Huffman refinement"):
+        # SDHUFF=1 + SDREFAGG=1 decodes (r5); a declared symbol with a
+        # truncated body must still fail with a named error, never a crash
+        payload = _s.pack(">H", 3) + b"\x00" * 4 + _s.pack(">II", 1, 1)
+        with pytest.raises(Jbig2Error, match="truncated"):
             jbig2x._decode_symbol_dict(payload)
 
     def test_text_region_without_dictionary_raises(self):
@@ -861,3 +862,72 @@ class TestHuffmanRefinement:
             bmp = inst[3] if len(inst) == 4 else symbols[sid]
             want[y : y + bmp.shape[0], x : x + bmp.shape[1]] |= bmp
         assert np.array_equal(out, want)
+
+
+class TestHuffmanRefAggDictionary:
+    # SDHUFF + REFAGG (REFAGGNINST == 1 — the jbig2enc shape): each new
+    # symbol refines an imported one via a byte-bounded arithmetic GR
+    # bitmap; aggregates (ninst > 1) stay a named quarantine
+
+    def test_two_dictionary_refagg_roundtrip_mixed_heights(self):
+        img = rasters.render_text("oT. AAA oT.", scale=2) < 128
+        comps = jbig2x._connected_components(img)
+        symbols, index, instances = [], {}, []
+        for x, y, bmp in comps:
+            key = (bmp.shape, bmp.tobytes())
+            sid = index.setdefault(key, len(symbols))
+            if sid == len(symbols):
+                symbols.append(bmp)
+            instances.append((sid, x, y))
+        derived = []
+        for sym in symbols:
+            d = sym.copy()
+            blanks = np.argwhere(~d)
+            if len(blanks):
+                d[tuple(blanks[0])] = True
+            derived.append(d)
+        base_export = jbig2x._sorted_symbol_order(symbols)
+        input_syms = [symbols[k] for k in base_export]
+        input_id = {base_export[k]: k for k in range(len(base_export))}
+        refine_from = {i: input_id[i] for i in range(len(derived))}
+        sd1 = jbig2x._encode_symbol_dict_huffman(symbols)
+        sd2 = jbig2x._encode_symbol_dict_huffman(
+            derived, refine_from=refine_from, input_syms=input_syms)
+        all_syms = symbols + derived
+        export_order = base_export + [
+            len(symbols) + k for k in jbig2x._sorted_symbol_order(derived)]
+        insts = [(len(symbols) + sid, x, y) for sid, x, y in instances]
+        h, w = img.shape
+        pi = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+        ts = jbig2x.encode_table_segment(jbig2x._FIXTURE_DT_LINES, 4, 4)
+        tr = jbig2x._encode_text_region_huffman(
+            all_syms, insts, w, h, export_order=export_order)
+        blob = (
+            jbig2x._segment_header(0, jbig2x._SEG_PAGE_INFO, 1, len(pi)) + pi
+            + jbig2x._segment_header(1, jbig2x._SEG_TABLE, 1, len(ts)) + ts
+            + jbig2x._segment_header(2, jbig2x._SEG_SYMBOL_DICT, 1, len(sd1)) + sd1
+            + jbig2x._segment_header(
+                3, jbig2x._SEG_SYMBOL_DICT, 1, len(sd2), referred=(2,)) + sd2
+            + jbig2x._segment_header(
+                4, jbig2x._SEG_TEXT_IMMEDIATE, 1, len(tr), referred=(2, 3, 1)) + tr
+        )
+        out = decode_jbig2_embedded(blob)
+        want = np.zeros_like(img)
+        for sid, x, y in instances:
+            d = derived[sid]
+            want[y : y + d.shape[0], x : x + d.shape[1]] |= d
+        assert np.array_equal(out, want)
+
+    def test_huffman_aggregate_symbol_is_named_gap(self):
+        # forge REFAGGNINST = 2 in an SDHUFF+REFAGG dictionary
+        w = jbig2x._HBitWriter()
+        jbig2x.std_table(4).encode(w, 5)   # DH
+        jbig2x.std_table(3).encode(w, 3)   # DW
+        jbig2x.std_table(1).encode(w, 2)   # REFAGGNINST = 2
+        flags = 1 | 2 | (1 << 4)
+        head = struct.pack(">H", flags)
+        head += b"".join(
+            struct.pack("bb", dx, dy) for dx, dy in jbig2x._REFINE_AT_NOMINAL)
+        head += struct.pack(">II", 1, 1)
+        with pytest.raises(Jbig2Error, match="aggregate"):
+            jbig2x._decode_symbol_dict(head + w.flush(), [np.ones((2, 2), bool)])
