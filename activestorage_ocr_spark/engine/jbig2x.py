@@ -44,11 +44,10 @@ Implemented from the public spec only:
 Scope covers generic regions, symbol mode (arithmetic AND Huffman),
 refinement coding (arithmetic, AND the Huffman text-region form with
 byte-bounded per-instance GR bitmaps), and halftone regions (arithmetic
-AND MMR); the two remaining unimplemented corners (standard table B.10,
-Huffman AGGREGATE symbols — REFAGGNINST > 1 with SDHUFF, which needs a
-nested Huffman text region) raise a narrow :class:`Jbig2Error` and the
-image quarantines per E2; SDHUFF+REFAGG single-instance refinement
-dictionaries decode. The symbol-mode
+AND MMR); the single remaining corner (standard table B.10, whose
+transcription failed the structural completeness check) raises a narrow
+:class:`Jbig2Error` and the image quarantines per E2 — every coding
+path in T.88, arithmetic and Huffman, otherwise decodes. The symbol-mode
 ENCODER does what jbig2enc does — connected-component extraction +
 shape dedupe into a dictionary — so fixtures exercise real dictionary
 reuse (repeated glyphs compress below the generic coder).
@@ -2405,12 +2404,20 @@ def _decode_symbol_dict_huffman(
                 if symwidth * hcheight > _MAX_PIXELS:
                     raise Jbig2Error("JBIG2 symbol too large")
                 ninst = t_ag.decode(r)
-                if ninst is HUFF_OOB or ninst < 1:
+                if ninst is HUFF_OOB or ninst < 1 or ninst > 10_000:
                     raise Jbig2Error("bad REFAGGNINST")
                 if ninst != 1:
-                    raise Jbig2Error(
-                        "unsupported JBIG2 segment: Huffman aggregate symbol"
+                    # aggregate symbol: nested inline Huffman text region
+                    combined = list(input_syms) + new_syms
+                    if not combined:
+                        raise Jbig2Error("aggregate symbol with no symbols")
+                    new_syms.append(
+                        _decode_huffman_aggregate(
+                            r, payload, pos, combined, symcodelen,
+                            symwidth, hcheight, ninst, rtemplate, rat,
+                        )
                     )
+                    continue
                 rid = r.bits(symcodelen)
                 rdx = t_rd.decode(r)
                 rdy = t_rd.decode(r)
@@ -2677,6 +2684,94 @@ def _decode_text_region_huffman(
     return region, x, y, comb & 7
 
 
+def _decode_huffman_aggregate(
+    r: _HBitReader,
+    payload: bytes,
+    pos: int,
+    symbols: list[np.ndarray],
+    symcodelen: int,
+    w: int,
+    h: int,
+    ninst: int,
+    rtemplate: int,
+    rat,
+) -> np.ndarray:
+    """Aggregate symbol bitmap in a Huffman dictionary (§6.5.8.2.1): a
+    nested 1-strip TL text region decoded INLINE from the dictionary's bit
+    reader with the spec-fixed tables (FS=B.6, DS=B.8, DT=B.11, deltas
+    B.15, RSIZE=B.1) and symbol IDs as raw SBSYMCODELEN bits; per-instance
+    refinement bitmaps are byte-bounded arithmetic GR."""
+    t_fs, t_ds, t_dt = std_table(6), std_table(8), std_table(11)
+    t_rd, t_rsize = std_table(15), std_table(1)
+    region = np.zeros((h, w), dtype=bool)
+    dt = t_dt.decode(r)
+    if dt is HUFF_OOB:
+        raise Jbig2Error("OOB strip T in aggregate symbol")
+    stript = -dt
+    firsts = 0
+    n_done = 0
+    while n_done < ninst:
+        budget.check()
+        dt = t_dt.decode(r)
+        if dt is HUFF_OOB:
+            raise Jbig2Error("OOB strip T in aggregate symbol")
+        stript += dt
+        first_in_strip = True
+        curs = 0
+        while True:
+            if first_in_strip:
+                dfs = t_fs.decode(r)
+                if dfs is HUFF_OOB:
+                    raise Jbig2Error("OOB first-S in aggregate symbol")
+                firsts += dfs
+                curs = firsts
+                first_in_strip = False
+            else:
+                ids = t_ds.decode(r)
+                if ids is HUFF_OOB:
+                    break  # strip done
+                curs += ids
+            t = stript
+            sid = r.bits(symcodelen)
+            if sid >= len(symbols):
+                raise Jbig2Error(f"aggregate symbol id {sid} out of range")
+            sym = symbols[sid]
+            if r.bit():  # RI
+                rdw = t_rd.decode(r)
+                rdh = t_rd.decode(r)
+                rdx = t_rd.decode(r)
+                rdy = t_rd.decode(r)
+                bmsize = t_rsize.decode(r)
+                if HUFF_OOB in (rdw, rdh, rdx, rdy, bmsize) or bmsize < 0:
+                    raise Jbig2Error("bad aggregate refinement parameters")
+                nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                if nw <= 0 or nh <= 0 or nw * nh > _MAX_PIXELS:
+                    raise Jbig2Error("bad refined aggregate dimensions")
+                r.align()
+                off = pos + r.byte_offset()
+                chunk = payload[off : off + bmsize] if bmsize else payload[off:]
+                if bmsize and len(chunk) < bmsize:
+                    raise Jbig2Error("truncated aggregate refinement data")
+                coding, refc = _refine_coords(rtemplate, rat)
+                nbits = len(coding) + len(refc)
+                gr_i, gr_mps = bytearray(1 << nbits), bytearray(1 << nbits)
+                sym = _decode_refinement_bitmap(
+                    MQDecoder(chunk), gr_i, gr_mps, nw, nh, sym,
+                    coding, refc, rtemplate, False,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                )
+                r.skip_bytes(bmsize)
+            sh, sw = sym.shape
+            if curs < 0 or t < 0 or curs + sw > w or t + sh > h:
+                raise Jbig2Error("aggregate instance placed out of bounds")
+            region[t : t + sh, curs : curs + sw] |= sym
+            curs += sw - 1
+            n_done += 1
+            if n_done > ninst:
+                raise Jbig2Error("more aggregate instances than declared")
+    return region
+
+
 def _encode_symbol_dict_huffman(
     symbols: list[np.ndarray],
     refine_from: dict[int, int] | None = None,
@@ -2715,26 +2810,54 @@ def _encode_symbol_dict_huffman(
             t_dw.encode(w, sw - symwidth)
             symwidth = sw
             if refagg:
-                pid = refine_from[orig]
-                ref = (
+                spec = refine_from[orig]
+                get_ref = lambda pid: (  # noqa: E731
                     input_syms[pid] if pid < len(input_syms)
                     else syms[order[pid - len(input_syms)]]
                 )
-                t_ag.encode(w, 1)  # REFAGGNINST
-                w.bits(pid, symcodelen)
-                t_rd.encode(w, 0)
-                t_rd.encode(w, 0)
-                coding, refc = _refine_coords(0, _REFINE_AT_NOMINAL)
-                nbits = len(coding) + len(refc)
-                gr_i, gr_mps = bytearray(1 << nbits), bytearray(1 << nbits)
-                enc = MQEncoder()
-                _encode_refinement_bitmap(
-                    enc, gr_i, gr_mps, syms[orig], ref,
-                    coding, refc, 0, False, 0, 0,
-                )
-                data = enc.flush()
-                t_bm.encode(w, len(data))
-                w.extend_bytes(data)
+                if isinstance(spec, int):
+                    t_ag.encode(w, 1)  # REFAGGNINST
+                    w.bits(spec, symcodelen)
+                    t_rd.encode(w, 0)
+                    t_rd.encode(w, 0)
+                    coding, refc = _refine_coords(0, _REFINE_AT_NOMINAL)
+                    nbits = len(coding) + len(refc)
+                    gr_i, gr_mps = bytearray(1 << nbits), bytearray(1 << nbits)
+                    enc = MQEncoder()
+                    _encode_refinement_bitmap(
+                        enc, gr_i, gr_mps, syms[orig], get_ref(spec),
+                        coding, refc, 0, False, 0, 0,
+                    )
+                    data = enc.flush()
+                    t_bm.encode(w, len(data))
+                    w.extend_bytes(data)
+                else:
+                    # aggregate: placements [(pid, x, y)] as the nested
+                    # inline text region (§6.5.8.2.1 fixed tables, 1-row
+                    # strips, TL corner, unrefined instances)
+                    t_ag.encode(w, len(spec))
+                    t_fs_a, t_ds_a, t_dt_a = std_table(6), std_table(8), std_table(11)
+                    by_t: dict[int, list] = {}
+                    for pid, px, py in spec:
+                        by_t.setdefault(py, []).append((px, pid))
+                    t_dt_a.encode(w, 1)  # STRIPT starts at -1 (B.11 has no 0)
+                    stript = -1
+                    firsts = 0
+                    for t in sorted(by_t):
+                        t_dt_a.encode(w, t - stript)
+                        stript = t
+                        row = sorted(by_t[t])
+                        t_fs_a.encode(w, row[0][0] - firsts)
+                        firsts = row[0][0]
+                        curs = firsts
+                        for kk, (px, pid) in enumerate(row):
+                            if kk > 0:
+                                t_ds_a.encode(w, px - curs)
+                                curs = px
+                            w.bits(pid, symcodelen)
+                            w.bit(0)  # RI: unrefined instance
+                            curs += get_ref(pid).shape[1] - 1
+                        t_ds_a.encode(w, None)  # OOB: strip done
             else:
                 members.append(syms[orig])
             i += 1

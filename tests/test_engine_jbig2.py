@@ -918,16 +918,41 @@ class TestHuffmanRefAggDictionary:
             want[y : y + d.shape[0], x : x + d.shape[1]] |= d
         assert np.array_equal(out, want)
 
-    def test_huffman_aggregate_symbol_is_named_gap(self):
-        # forge REFAGGNINST = 2 in an SDHUFF+REFAGG dictionary
-        w = jbig2x._HBitWriter()
-        jbig2x.std_table(4).encode(w, 5)   # DH
-        jbig2x.std_table(3).encode(w, 3)   # DW
-        jbig2x.std_table(1).encode(w, 2)   # REFAGGNINST = 2
-        flags = 1 | 2 | (1 << 4)
-        head = struct.pack(">H", flags)
-        head += b"".join(
-            struct.pack("bb", dx, dy) for dx, dy in jbig2x._REFINE_AT_NOMINAL)
-        head += struct.pack(">II", 1, 1)
-        with pytest.raises(Jbig2Error, match="aggregate"):
-            jbig2x._decode_symbol_dict(head + w.flush(), [np.ones((2, 2), bool)])
+    def test_huffman_aggregate_symbol_roundtrip(self):
+        # REFAGGNINST > 1: the aggregate decodes as a nested inline
+        # Huffman text region with the spec-fixed tables (§6.5.8.2.1)
+        a = np.zeros((4, 4), bool)
+        a[0] = True
+        a[:, 0] = True
+        b = np.zeros((4, 4), bool)
+        b[-1] = True
+        b[:, -1] = True
+        symbols = [a, b]
+        base_export = jbig2x._sorted_symbol_order(symbols)
+        input_syms = [symbols[k] for k in base_export]
+        agg_places = [(0, 0, 0), (1, 4, 1), (0, 8, 2)]
+        agg = np.zeros((6, 12), bool)
+        for pid, x, y in agg_places:
+            agg[y : y + 4, x : x + 4] |= input_syms[pid]
+        sd1 = jbig2x._encode_symbol_dict_huffman(symbols)
+        sd2 = jbig2x._encode_symbol_dict_huffman(
+            [agg], refine_from={0: agg_places}, input_syms=input_syms)
+        all_syms = input_syms + [agg]
+        h, w = 10, 16
+        pi = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+        ts = jbig2x.encode_table_segment(jbig2x._FIXTURE_DT_LINES, 4, 4)
+        tr = jbig2x._encode_text_region_huffman(
+            all_syms, [(2, 2, 2)], w, h, export_order=[0, 1, 2])
+        blob = (
+            jbig2x._segment_header(0, jbig2x._SEG_PAGE_INFO, 1, len(pi)) + pi
+            + jbig2x._segment_header(1, jbig2x._SEG_TABLE, 1, len(ts)) + ts
+            + jbig2x._segment_header(2, jbig2x._SEG_SYMBOL_DICT, 1, len(sd1)) + sd1
+            + jbig2x._segment_header(
+                3, jbig2x._SEG_SYMBOL_DICT, 1, len(sd2), referred=(2,)) + sd2
+            + jbig2x._segment_header(
+                4, jbig2x._SEG_TEXT_IMMEDIATE, 1, len(tr), referred=(2, 3, 1)) + tr
+        )
+        out = decode_jbig2_embedded(blob)
+        want = np.zeros((h, w), bool)
+        want[2:8, 2:14] = agg
+        assert np.array_equal(out, want)
