@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from activestorage_ocr_spark.fixtures.gen_media import media_oracles
     from activestorage_ocr_spark.fixtures.gen_scanned import scanned_oracles
+    from activestorage_ocr_spark.fixtures.gen_textlayer import textlayer_oracles
     from activestorage_ocr_spark.fixtures.gen_warc import warc_oracles
     from activestorage_ocr_spark.plans.queries import ORACLES, extraction_oracles
 
@@ -55,4 +56,5 @@ def oracle_sql() -> dict[str, str]:
     # WARC-ingestion golden-parquet oracle (same pattern)
     out.update(warc_oracles())
     out.update(scanned_oracles())
+    out.update(textlayer_oracles())
     return out

@@ -2730,6 +2730,45 @@ def extraction_oracles(n_docs: int = 2_000) -> dict[str, str]:
     }
 
 
+def q_extract_textlayer(spark, sf_dir):
+    """The round-5 text-layer fidelity stack through the DISTRIBUTED
+    pipeline: PDFs rotating over real-producer layouts — literal, hex and
+    TJ-kerned strings, CID/Type0 with /ToUnicode, /Differences (TeX),
+    WinAnsi/MacRoman bases, /LZWDecode streams, AES-encrypted — extract
+    via the same ``extract_pages`` kernel as the crawl corpus. Oracled
+    against single-node golden parquet (fixtures/gen_textlayer.py).
+
+    100 TB posture: identical to extract_flagship (same Arrow kernel);
+    skew routing off because the table is tiny by construction."""
+    import datetime as _dt
+
+    from ..fixtures.gen_textlayer import (
+        TEXTLAYER_KINDS, synthetic_textlayer_rows, textlayer_counts,
+    )
+    from ..operators.extraction import extract_pages
+
+    n = textlayer_counts(_corpus_docs_for(sf_dir))
+    rows = synthetic_textlayer_rows(n)
+    ts = _dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [(u, ts, p, "eng") for u, p in rows],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    ex = extract_pages(pages, skew_handling="off")
+    kinds = spark.createDataFrame(
+        [(u, TEXTLAYER_KINDS[i % len(TEXTLAYER_KINDS)])
+         for i, (u, _) in enumerate(rows)],
+        "url string, kind string",
+    )
+    return ex.join(F.broadcast(kinds), "url").select(
+        "url", "kind", "status", "extracted_text",
+        F.size("warnings").alias("n_warnings"),
+    )
+
+
+QUERIES.update({"extract_textlayer": q_extract_textlayer})
+
+
 # ---------------------------------------------------------------------------
 # driver-verification ordering
 # ---------------------------------------------------------------------------

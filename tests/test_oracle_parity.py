@@ -50,6 +50,7 @@ from activestorage_ocr_spark.plans.queries import ORACLES, extraction_oracles
 # this test's scale (sf0.001 -> 500 docs) instead of the driver's 2000
 from activestorage_ocr_spark.fixtures.gen_media import media_oracles
 from activestorage_ocr_spark.fixtures.gen_scanned import scanned_oracles
+from activestorage_ocr_spark.fixtures.gen_textlayer import textlayer_oracles
 from activestorage_ocr_spark.fixtures.gen_warc import warc_oracles
 
 _TEST_ORACLES = dict(ORACLES)
@@ -57,6 +58,7 @@ _TEST_ORACLES.update(extraction_oracles(n_docs=500))
 _TEST_ORACLES.update(media_oracles(n_docs=500))
 _TEST_ORACLES.update(warc_oracles(n_docs=500))
 _TEST_ORACLES.update(scanned_oracles(n_docs=500))
+_TEST_ORACLES.update(textlayer_oracles(n_docs=500))
 
 ORACLED = sorted(_TEST_ORACLES.keys())
 
