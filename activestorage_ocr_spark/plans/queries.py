@@ -2770,31 +2770,55 @@ QUERIES.update({"extract_textlayer": q_extract_textlayer})
 
 
 # ---------------------------------------------------------------------------
-# driver-verification ordering
+# driver-verification ordering (standing rotation)
 # ---------------------------------------------------------------------------
 # The correctness harness compares the FIRST 50 registered queries against
-# their oracles (registration-order cap). Round 4's 14 newest registrations
-# fell outside that window and never received a driver-side CORRECTNESS row,
-# so they register first here; everything else keeps its relative order (all
-# of it was driver-green in CORRECTNESS_r04 and the full 64-query sweep stays
-# covered in-repo by tests/test_oracle_parity.py).
-_DRIVER_FIRST = [
-    "sitemap_urls",
-    "link_authority",
-    "robots_filter",
-    "training_mix",
-    "extract_scanned",
-    "warc_ingest",
-    "decontaminate_ngrams",
-    "quality_repetition",
-    "text_pii_scrub",
-    "curation_sample_stratified",
-    "url_canonical_dedup",
-    "urlfilter_flags",
-    "crawl_delta",
-    "curation_domain_stats",
-]
-assert all(k in QUERIES for k in _DRIVER_FIRST)
+# their oracles (registration-order cap).  With more than 50 registered
+# queries, a static order would leave the tail unverified forever, so the
+# rotation is computed from the newest CORRECTNESS_r*.json in the repo root:
+# every query WITHOUT a clean row in that file (never checked, checked with
+# an error, or checked with any mismatch) registers first, in registration
+# order; everything that was green last round keeps its relative order after
+# them.  Net effect: no query goes two consecutive driver rounds unverified,
+# and newly added queries are front-loaded automatically.  The full sweep
+# stays covered in-repo every round by tests/test_oracle_parity.py.
+
+
+def _driver_rotation(queries: dict) -> list:
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    rounds = []
+    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return list(queries)
+    _, latest = max(rounds)
+    try:
+        with open(latest) as fh:
+            checked = _json.load(fh)
+    except (OSError, ValueError):
+        return list(queries)
+
+    def _green(row) -> bool:
+        return (
+            isinstance(row, dict)
+            and row.get("err") is None
+            and row.get("rows_match") is not False
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False
+        )
+
+    return [k for k in queries if not _green(checked.get(k))]
+
+
+_DRIVER_FIRST = _driver_rotation(QUERIES)
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_FIRST},
     **{k: v for k, v in QUERIES.items() if k not in _DRIVER_FIRST},
