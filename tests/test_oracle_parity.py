@@ -108,6 +108,29 @@ def test_extract_scanned_parity_both_scales(sf_dir, n_docs, spark):
     assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
 
 
+@pytest.mark.parametrize("sf_dir,n_docs", [
+    ("/root/testdata/sf0.001", 500),
+    ("/root/testdata/sf0.01", 2000),
+])
+def test_extract_textlayer_parity_both_scales(sf_dir, n_docs, spark):
+    """VERDICT r5 item 2: same two-scale treatment for the text-layer
+    fidelity query — `textlayer_oracles(n_docs=...)` is rebuilt at the
+    in-repo scale AND the driver's sf0.01 so oracle-rebuild sizing can't
+    drift between them."""
+    sdf = entry_mod.queries()["extract_textlayer"](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        res = con.execute(textlayer_oracles(n_docs=n_docs)["extract_textlayer"])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
+
+
 def test_every_query_listed(spark):
     qs = entry_mod.queries()
     assert len(qs) >= 25
