@@ -2321,12 +2321,19 @@ def encode_table_segment(
 
 
 def _huff_selected(
-    sel: int, std_by_sel: dict[int, int], custom_iter, what: str
+    sel: int, std_by_sel: dict[int, int], custom_iter, what: str,
+    custom_sel: int = 3,
 ) -> HuffTable:
     """Resolve a 2-bit (or 1-bit) table selector: a standard table number
-    from ``std_by_sel`` or the NEXT custom table from the referred list."""
+    from ``std_by_sel``, or — ONLY for the spec's explicit custom sentinel
+    (3 for 2-bit selectors, 1 for 1-bit ones) — the NEXT custom table from
+    the referred list.  Reserved selector values raise instead of silently
+    consuming a custom table, which would misalign every later selector's
+    custom-table assignment on a corrupt stream."""
     if sel in std_by_sel:
         return std_table(std_by_sel[sel])
+    if sel != custom_sel:
+        raise Jbig2Error(f"reserved {what} table selector {sel}")
     try:
         return next(custom_iter)
     except StopIteration:
@@ -2369,8 +2376,8 @@ def _decode_symbol_dict_huffman(
     cit = iter(custom_tables)
     t_dh = _huff_selected(sel_dh, {0: 4, 1: 5}, cit, "SDHUFFDH")
     t_dw = _huff_selected(sel_dw, {0: 2, 1: 3}, cit, "SDHUFFDW")
-    t_bm = _huff_selected(sel_bm, {0: 1}, cit, "SDHUFFBMSIZE")
-    t_ag = _huff_selected(sel_ag, {0: 1}, cit, "SDHUFFAGG")
+    t_bm = _huff_selected(sel_bm, {0: 1}, cit, "SDHUFFBMSIZE", custom_sel=1)
+    t_ag = _huff_selected(sel_ag, {0: 1}, cit, "SDHUFFAGG", custom_sel=1)
     t_rd = std_table(15)  # RDX/RDY in the REFAGG fast path
     symcodelen = _symcodelen(len(input_syms) + numnew)
     t_ex = std_table(1)
@@ -2571,7 +2578,7 @@ def _decode_text_region_huffman(
     t_rdh = _huff_selected(sel_rdh, {0: 14, 1: 15}, cit, "SBHUFFRDH")
     t_rdx = _huff_selected(sel_rdx, {0: 14, 1: 15}, cit, "SBHUFFRDX")
     t_rdy = _huff_selected(sel_rdy, {0: 14, 1: 15}, cit, "SBHUFFRDY")
-    t_rsize = _huff_selected(sel_rsize, {0: 1}, cit, "SBHUFFRSIZE")
+    t_rsize = _huff_selected(sel_rsize, {0: 1}, cit, "SBHUFFRSIZE", custom_sel=1)
     r = _HBitReader(payload[pos:])
     # symbol ID code lengths via the 35 runcodes (§7.4.3.1.7)
     runlens = [r.bits(4) for _ in range(35)]

@@ -1027,12 +1027,15 @@ def _apply_filter(name: str, data: bytes) -> bytes:
     raise PdfError(f"unsupported stream filter: {name}")
 
 
-def _apply_predictor(data: bytes, parms: dict) -> bytes:
+def _apply_predictor(data: bytes, parms: dict, height: int | None = None) -> bytes:
     """/Predictor post-processing for Flate/LZW streams (32000-1 §7.4.4.4):
     PNG predictors (>= 10, reusing the rasters PNG unfilter) and TIFF
     horizontal differencing (2). Scanner output commonly Flate-compresses
     image samples under predictor 12 — skipping it yields silent garbage
-    pixels, not an error."""
+    pixels, not an error.  ``height`` is the owning image's declared
+    /Height when known: data that is not a whole number of predictor rows,
+    or fewer rows than declared, is malformed and raises (→ per-image
+    skip) instead of silently truncating the final row."""
     pred = parms.get("/Predictor", 1)
     if not isinstance(pred, int) or pred <= 1:
         return data
@@ -1048,27 +1051,37 @@ def _apply_predictor(data: bytes, parms: dict) -> bytes:
     if pred >= 10:
         from .rasters import _png_unfilter
 
+        if len(data) % (rowbytes + 1):
+            raise PdfError("PNG-predictor data is not a whole number of rows")
         h = len(data) // (rowbytes + 1)
         if h <= 0:
             raise PdfError("predictor data shorter than one row")
+        if isinstance(height, int) and 0 < height != h:
+            if h < height:
+                raise PdfError("PNG-predictor data shorter than declared /Height")
+            h = height  # trailing padding rows beyond the declared image
         try:
-            rows, _ = _png_unfilter(data, 0, cols, h, bpp_bits)
+            rows, _ = _png_unfilter(data[: h * (rowbytes + 1)], 0, cols, h, bpp_bits)
         except ValueError as e:
             raise PdfError(f"bad PNG-predictor data: {e}") from e
         return rows.tobytes()
     if pred == 2:
         if bpc != 8:
             raise PdfError("TIFF predictor supported for 8-bit samples only")
+        if len(data) % rowbytes:
+            raise PdfError("TIFF-predictor data is not a whole number of rows")
         h = len(data) // rowbytes
         if h <= 0:
             raise PdfError("predictor data shorter than one row")
+        if isinstance(height, int) and 0 < height and h < height:
+            raise PdfError("TIFF-predictor data shorter than declared /Height")
         arr = (
-            np.frombuffer(data[: h * rowbytes], dtype=np.uint8)
+            np.frombuffer(data, dtype=np.uint8)
             .reshape(h, cols, colors)
             .copy()
         )
         arr = np.cumsum(arr, axis=1, dtype=np.uint8)  # wraps mod 256
-        return arr.tobytes() + data[h * rowbytes :]
+        return arr.tobytes()
     raise PdfError(f"unsupported predictor {pred}")
 
 
@@ -1078,10 +1091,12 @@ def _decode_stream(obj: PdfObject) -> bytes:
     parms = obj.dict.get("/DecodeParms", obj.dict.get("/DP"))
     plist = parms if isinstance(parms, list) else [parms]
     plist = plist + [None] * (len(filts) - len(plist))
+    decl_h = obj.dict.get("/Height")
+    height = decl_h if isinstance(decl_h, int) and obj.dict.get("/Subtype") == "/Image" else None
     for name, pp in zip(filts, plist):
         data = _apply_filter(name, data)
         if isinstance(pp, dict) and name in ("/FlateDecode", "/LZWDecode"):
-            data = _apply_predictor(data, pp)
+            data = _apply_predictor(data, pp, height=height)
     return data
 
 
@@ -1347,6 +1362,17 @@ _TF_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+[0-9.+-]+\s+Tf")
 _TJ_KERN_RE = re.compile(rb"[-+]?[0-9]+(?:\.[0-9]*)?")
 
 
+def _tj_gap_is_space(content: bytes, start: int, end: int) -> bool:
+    """True when the numeric adjustments between two TJ-array strings sum
+    to <= -180/1000 em.  Producers may split one logical gap into several
+    tokens ((A) -100 -100 (B)), so the CUMULATIVE advance decides — a
+    single-token inspection misses split adjustments."""
+    total = 0.0
+    for km in _TJ_KERN_RE.finditer(content, start, end):
+        total += float(km.group(0))
+    return total <= -180.0
+
+
 def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = None) -> str:
     """Tokenize one content stream's text operators into lines. ``fonts``
     maps resource names (from the owning page's /Resources /Font) to their
@@ -1398,8 +1424,7 @@ def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = Non
             continue
         if tok == b"(":
             if in_array and pending and pending[-1] is not True:
-                km = _TJ_KERN_RE.search(content, pos, m.start())
-                if km and float(km.group(0)) <= -180.0:
+                if _tj_gap_is_space(content, pos, m.start()):
                     pending.append(True)
             s, pos = _parse_string(content, m.start())
             pending.append(s)
@@ -1412,8 +1437,7 @@ def extract_stream_text(content: bytes, fonts: dict[str, _FontInfo] | None = Non
                 pos = m.start() + 2
                 continue
             if in_array and pending and pending[-1] is not True:
-                km = _TJ_KERN_RE.search(content, pos, m.start())
-                if km and float(km.group(0)) <= -180.0:
+                if _tj_gap_is_space(content, pos, m.start()):
                     pending.append(True)
             end = content.find(b">", m.start())
             if end == -1:

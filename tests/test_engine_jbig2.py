@@ -646,6 +646,32 @@ class TestHuffmanTables:
         with pytest.raises(Jbig2Error, match="Kraft"):
             jbig2x.HuffTable([(1, 0, 0, "n"), (1, 0, 1, "n"), (1, 0, 2, "n")])
 
+    def test_reserved_selector_values_raise(self):
+        # ADVICE r5: reserved selector value 2 (valid: 0/1/3 for the 2-bit
+        # selectors, 0/1 for the 1-bit ones) must FAIL by name instead of
+        # silently consuming a custom table and misaligning every later
+        # selector's custom-table assignment.
+        cit = iter([jbig2x.std_table(1)])
+        with pytest.raises(Jbig2Error, match="reserved SDHUFFDH"):
+            jbig2x._huff_selected(2, {0: 4, 1: 5}, cit, "SDHUFFDH")
+        # the custom table was NOT consumed
+        assert next(cit) is jbig2x.std_table(1)
+        with pytest.raises(Jbig2Error, match="reserved SBHUFFRSIZE"):
+            jbig2x._huff_selected(2, {0: 1}, iter([]), "SBHUFFRSIZE",
+                                  custom_sel=1)
+        # the explicit custom sentinel still resolves
+        t = jbig2x.std_table(2)
+        assert jbig2x._huff_selected(3, {0: 4, 1: 5}, iter([t]), "SDHUFFDH") is t
+
+    def test_symbol_dict_reserved_dh_selector_named(self):
+        import struct
+
+        # SDHUFF symbol dictionary whose flags select SDHUFFDH=2 (reserved):
+        # flags bits 2-3 carry the selector
+        payload = struct.pack(">H", 2 << 2) + struct.pack(">II", 0, 0)
+        with pytest.raises(Jbig2Error, match="reserved SDHUFFDH"):
+            jbig2x._decode_symbol_dict_huffman(payload, [], [])
+
 
 class TestHuffmanMode:
     def test_page_roundtrip_exact(self):

@@ -595,6 +595,18 @@ class TestTjKerning:
         assert extract_stream_text(b"BT [(kern) -50 (ed)] TJ ET") == "kerned"
         assert extract_stream_text(b"BT [(po) -179 (st)] TJ ET") == "post"
 
+    def test_split_adjustments_sum_to_word_space(self):
+        # ADVICE r5: producers may split one logical gap into several
+        # numeric tokens — the CUMULATIVE advance decides, not the first
+        from activestorage_ocr_spark.engine.pdfx import extract_stream_text
+
+        assert extract_stream_text(b"BT [(A) -100 -100 (B)] TJ ET") == "A B"
+        assert extract_stream_text(b"BT [(A) -100 -50 (B)] TJ ET") == "AB"
+        # net advance decides for mixed signs too
+        assert extract_stream_text(b"BT [(A) 200 -400 (B)] TJ ET") == "A B"
+        assert extract_stream_text(b"BT [(A) -300 250 (B)] TJ ET") == "AB"
+        assert extract_stream_text(b"BT [<41> -90 -95 <42>] TJ ET") == "A B"
+
     def test_positive_and_non_array_numbers_ignored(self):
         from activestorage_ocr_spark.engine.pdfx import extract_stream_text
 
@@ -707,6 +719,66 @@ class TestPredictors:
             b" /Columns " + str(w).encode() + b" >>", w, h)
         r = extract_document(pdf)
         assert r["extracted_text"] == "PRED TIFF 2"
+
+    def test_predictor_trailing_bytes_raise_not_truncate(self):
+        # ADVICE r5: data that is not a whole number of (tag + row) units
+        # previously dropped the remainder silently; it must raise instead
+        import pytest
+
+        from activestorage_ocr_spark.engine.pdfx import PdfError, _apply_predictor
+
+        parms = {"/Predictor": 12, "/Colors": 1, "/BitsPerComponent": 8,
+                 "/Columns": 4}
+        good = bytes([0, 1, 2, 3, 4] * 3)  # 3 rows of (filter tag + 4 px)
+        assert len(_apply_predictor(good, parms, height=3)) == 12
+        with pytest.raises(PdfError, match="whole number of rows"):
+            _apply_predictor(good + b"\x00\x01", parms)
+        with pytest.raises(PdfError, match="shorter than declared"):
+            _apply_predictor(good, parms, height=5)
+        # extra whole rows beyond the declared height decode to height rows
+        assert len(_apply_predictor(good + bytes([0, 9, 9, 9, 9]), parms,
+                                    height=3)) == 12
+        tparms = {"/Predictor": 2, "/Colors": 1, "/BitsPerComponent": 8,
+                  "/Columns": 4}
+        with pytest.raises(PdfError, match="whole number of rows"):
+            _apply_predictor(b"\x01" * 10, tparms)
+        with pytest.raises(PdfError, match="shorter than declared"):
+            _apply_predictor(b"\x01" * 8, tparms, height=4)
+
+    def test_predictor_image_with_trailing_garbage_skips_per_image(self):
+        import zlib
+
+        from activestorage_ocr_spark.engine import pdfx, rasters
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        # two-image scan: a clean raster plus a PNG-predictor stream with 3
+        # trailing garbage bytes — the torn image must be SKIPPED with a
+        # warning (E2 rule) instead of decoding a truncated last row, while
+        # the good image still extracts
+        img = rasters.render_text("GOOD ROW", scale=2)
+        h, w = img.shape
+        good = zlib.compress(img.tobytes(), 6)
+        torn = zlib.compress(bytes([0] + [128] * 8) * 8 + b"\xde\xad\xbe", 6)
+        objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources"
+                b" << /XObject << /Im0 5 0 R /Im1 6 0 R >> >> >>", None),
+            (4, b"<< /Length 0 >>", b""),
+            (5, b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+                + str(len(good)).encode() + b" /Filter /FlateDecode >>", good),
+            (6, b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+                + str(len(torn)).encode() + b" /Filter /FlateDecode"
+                b" /DecodeParms << /Predictor 12 /Colors 1"
+                b" /BitsPerComponent 8 /Columns 8 >> >>", torn),
+        ]
+        r = extract_document(pdfx._assemble(objs))
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "GOOD ROW"
+        assert any("whole number of rows" in warn for warn in r["warnings"])
 
     def test_forged_predictor_params_quarantine(self):
         import zlib
