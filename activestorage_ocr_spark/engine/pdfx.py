@@ -353,6 +353,24 @@ def build_image_pdf(
             objs.append((img_id, d, stream))
             img_entries.append(img_id)
             continue
+        if cs == "DCTA":
+            # arithmetic-coded JPEG (T.81 Annex F, SOF9): the last labeled
+            # raster gap — gray array encoded via the jpegx fixture mirror
+            from .jpegx import encode_jpeg_arith
+
+            stream = encode_jpeg_arith(arr.astype(np.uint8), qval=1)
+            if corrupt_data:
+                stream = stream[: max(1, len(stream) // 4)]
+            d = (
+                b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+                + str(len(stream)).encode()
+                + b" /Filter /DCTDecode >>"
+            )
+            objs.append((img_id, d, stream))
+            img_entries.append(img_id)
+            continue
         if cs in ("JPX", "JPXJ", "JPXL"):
             # JPEG 2000 image: "JPX" = raw lossless 5/3 codestream, "JPXJ" =
             # the same inside a JP2 box container, "JPXL" = lossy 9/7.

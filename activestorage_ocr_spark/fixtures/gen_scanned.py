@@ -18,13 +18,15 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-#: fixture kinds in rotation — every round-4 codec path plus the DCT
-#: baseline for contrast; names are `pdfx.build_image_pdf` colorspace codes
+#: fixture kinds in rotation — every codec path (CCITT, JBIG2, JPX,
+#: arithmetic JPEG) plus the DCT baseline for contrast; names are
+#: `pdfx.build_image_pdf` colorspace codes
 SCANNED_KINDS = (
     "G4", "G4A", "G3", "G32D", "G32DA",
     "JBIG2", "JBIG2G", "JBIG2S", "JBIG2R", "JBIG2H", "JBIG2RA",
     "JBIG2HF", "JBIG2HM",
     "JPX", "JPXJ", "JPXL",
+    "DCTA",
 )
 
 
@@ -88,8 +90,9 @@ def ensure_scanned_goldens(n_docs: int, base: str = "/tmp/asos_spark_corpus") ->
 
     n = scanned_counts(n_docs)
     # _v3: AESV3 raw-file-key fix; _v4: JBIG2HF/JBIG2HM kinds join the
-    # rotation — payload bytes changed, so the cache key must change too
-    d = os.path.join(base, f"scanned_goldens_n{n}_v4")
+    # rotation; _v5: DCTA (arithmetic-coded JPEG) joins — payload bytes
+    # changed, so the cache key must change too
+    d = os.path.join(base, f"scanned_goldens_n{n}_v5")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d

@@ -495,6 +495,160 @@ class TestProgressive:
         assert res["extracted_text"] == "PROG 5"
 
 
+class TestArithmetic:
+    """Arithmetic-coded JPEG (T.81 Annex F, SOF9/SOF10).
+
+    Fixtures in tests/data/arithjpeg are TRUE-PRODUCER artifacts: encoded
+    by the system libjpeg's arithmetic coder (the canonical public
+    implementation of the spec), with goldens from the same library —
+    its entropy-decoded DCT coefficients (integer-exact pin, isolating
+    entropy decoding from IDCT rounding) and its decoded pixels
+    (tolerance pin). Covers sequential + progressive, grayscale + 4:2:0
+    YCbCr, restart intervals, and real DAC conditioning segments."""
+
+    DIR = __file__.rsplit("/", 1)[0] + "/data/arithjpeg"
+    NAMES = [
+        "text_seq_gray_q97", "text_seq_gray_q75", "noise_seq_gray_odd",
+        "text_seq_gray_rst2", "text_prog_gray", "noise_prog_gray_rst3",
+        "color_seq_420", "color_prog_420",
+    ]
+
+    def _jpg(self, name):
+        with open(f"{self.DIR}/{name}.jpg", "rb") as fh:
+            return fh.read()
+
+    def _golden(self):
+        return np.load(f"{self.DIR}/libjpeg_golden.npz")
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_coefficients_exact_vs_libjpeg(self, name):
+        g = self._golden()
+        comps = jpegx.decode_jpeg_coefficients(self._jpg(name))
+        for ci, (hb, wb, coef) in enumerate(comps):
+            wbr, hbr = g[f"{name}__dim{ci}"]
+            ref = g[f"{name}__c{ci}"].reshape(hbr, wbr, 64)
+            mine = coef.reshape(hb, wb, 64)[:hbr, :wbr]
+            assert np.array_equal(mine, ref), f"{name} comp{ci}"
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_pixels_close_to_libjpeg(self, name):
+        g = self._golden()
+        mine = decode_jpeg(self._jpg(name))
+        ref = g[f"{name}__px"]
+        assert mine.shape == ref.shape
+        tol = 3 if mine.ndim == 3 else 1  # IDCT rounding; +upsample/CC for color
+        assert np.abs(mine.astype(int) - ref.astype(int)).max() <= tol
+
+    def test_frame_and_conditioning_markers(self):
+        seq = self._jpg("text_seq_gray_q97")
+        prog = self._jpg("text_prog_gray")
+        rst = self._jpg("text_seq_gray_rst2")
+        assert b"\xff\xc9" in seq and b"\xff\xcc" in seq  # SOF9 + DAC
+        assert b"\xff\xca" in prog                        # SOF10
+        assert b"\xff\xd0" in rst or b"\xff\xd1" in rst   # restarts
+
+    def test_extracts_end_to_end(self):
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        for name in ("text_seq_gray_q97", "text_seq_gray_q75",
+                     "text_prog_gray", "text_seq_gray_rst2"):
+            res = extract_document(self._jpg(name))
+            assert res["status"] == "ok", name
+            assert res["extracted_text"] == "ARITH JPEG 99", name
+
+    def test_arith_jpeg_inside_pdf_extracts(self):
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        jpg = self._jpg("text_seq_gray_q97")
+        img = decode_jpeg(jpg)
+        h, w = img.shape
+        pdf = pdfx.build_image_pdf([(jpg, "DCT", w, h)])
+        res = extract_document(pdf)
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "ARITH JPEG 99"
+
+    def test_dac_segment_parsing(self):
+        # splice an explicit DEFAULT-valued DAC before SOS: semantically a
+        # no-op, must decode identically; malformed DAC raises
+        jpg = self._jpg("text_seq_gray_q97")
+        base = decode_jpeg(jpg)
+        sos = jpg.index(b"\xff\xda")
+        dac = b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x11, 0x05])
+        assert np.array_equal(decode_jpeg(jpg[:sos] + dac + jpg[sos:]), base)
+        bad = b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x20, 0x05])
+        with pytest.raises(ValueError, match="DAC"):
+            decode_jpeg(jpg[:sos] + bad + jpg[sos:])
+
+    def test_lossless_arithmetic_still_rejected(self):
+        jpg = bytearray(self._jpg("text_seq_gray_q97"))
+        jpg[jpg.index(b"\xff\xc9") + 1] = 0xCB
+        with pytest.raises(ValueError, match="lossless"):
+            decode_jpeg(bytes(jpg))
+
+    def test_truncated_arith_keeps_prefix(self):
+        jpg = self._jpg("noise_seq_gray_odd")
+        got = decode_jpeg(jpg[: int(len(jpg) * 0.7)])
+        assert got.shape == (37, 61)  # partial decode, no crash
+
+    def test_encoder_mirror_roundtrip(self):
+        # fixture-encoder mirror (sequential SOF9 gray): with qval=1 the
+        # only loss is FDCT/IDCT rounding, like the Huffman test encoder
+        img = _text_image()
+        for restart in (0, 3):
+            jpg = jpegx.encode_jpeg_arith(img, qval=1, restart=restart)
+            assert b"\xff\xc9" in jpg
+            got = decode_jpeg(jpg)
+            assert got.shape == img.shape
+            assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+        rng = np.random.default_rng(3)
+        noise = rng.integers(0, 256, (41, 59), dtype=np.uint8)
+        got = decode_jpeg(jpegx.encode_jpeg_arith(noise, qval=1, restart=2))
+        assert np.abs(got.astype(int) - noise.astype(int)).max() <= 2
+
+    def test_encoder_mirror_coefficient_exact(self):
+        # entropy layer is lossless: the decoder must reproduce the exact
+        # quantized coefficients the encoder committed to the stream
+        img = _text_image()
+        jpg = jpegx.encode_jpeg_arith(img, qval=2)
+        (hb, wb, coef), = jpegx.decode_jpeg_coefficients(jpg)
+        h, w = img.shape
+        pad = np.full((hb * 8, wb * 8), 128, dtype=np.float64)
+        pad[:h, :w] = img
+        blocks = pad.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        want = np.round(
+            np.einsum("ux,nxy,vy->nuv", _C, blocks, _C, optimize=True) / 2.0
+        ).astype(np.int32).reshape(-1, 64)
+        assert np.array_equal(coef, want)
+
+    def test_dcta_pdf_kind_extracts(self):
+        from activestorage_ocr_spark.engine import pdfx
+        from activestorage_ocr_spark.engine.extract import extract_document
+
+        img = rasters.render_text("DCTA 31", scale=2)
+        res = extract_document(pdfx.build_image_pdf([(img, "DCTA")]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "DCTA 31"
+        # corrupt stream quarantines per-image, never crashes
+        res = extract_document(
+            pdfx.build_image_pdf([(img, "DCTA")], corrupt_data=True))
+        assert res["status"] != "PROCESSING_ERROR" or res["warnings"]
+
+    def test_mutated_streams_never_crash(self):
+        # deterministic byte-corruption storm: every outcome must be a
+        # clean decode or ValueError — never an internal error
+        jpg = self._jpg("text_seq_gray_rst2")
+        rng = np.random.default_rng(11)
+        for _ in range(120):
+            buf = bytearray(jpg)
+            for _ in range(int(rng.integers(1, 4))):
+                buf[int(rng.integers(2, len(buf)))] = int(rng.integers(0, 256))
+            try:
+                decode_jpeg(bytes(buf))
+            except ValueError:
+                pass
+
+
 class TestErrors:
 
     def test_not_a_jpeg(self):
