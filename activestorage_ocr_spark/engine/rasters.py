@@ -223,7 +223,130 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "ン": ("XX..X","....X","....X","....X","...X.","..X..","XX..."),
         "ー": (".....",".....",".....","XXXX.",".....",".....","....."),
     },
+    # round 6: Korean — the third non-latin pack, and the first that
+    # exercises ALGORITHMIC composition: hangul syllables (U+AC00..U+D7A3)
+    # decompose arithmetically into a linear jamo sequence for rendering
+    # (a 5x7 cell cannot stack a syllable block, so jamo write in a row —
+    # documented stand-in), and recognition RE-COMPOSES jamo runs into
+    # syllables when ``kor`` is requested, restoring byte-identity.  The
+    # glyph set is the 19 lead consonants (doubled forms are atomic glyphs
+    # — expanding ㄲ to ㄱㄱ would make 악까 / 앆가 decompose identically,
+    # an ambiguity) plus the 10 basic vowels; compound vowels and complex
+    # tails expand to basic sequences, which recompose unambiguously
+    # because every syllable carries an explicit lead (ㅇ included).
+    # Letterforms avoid pixel-identity with latin (ㅜ vs T, ㄴ vs L, ㅡ vs
+    # '-', ㅁ/ㅇ vs 5-wide box/O) by width or stroke tweaks; the
+    # import-time collision check pins it.
+    "kor": {
+        "ㄱ": ("XXXXX","....X","....X","....X","....X","....X","....X"),
+        "ㄲ": ("XXXXX",".X..X",".X..X",".X..X",".X..X",".X..X",".X..X"),
+        "ㄴ": ("XX...","XX...","XX...","XX...","XX...","XX...","XXXXX"),
+        "ㄷ": ("XXXXX","X....","X....","X....","X....","X....","XXXXX"),
+        "ㄸ": ("XXXXX","X..X.","X..X.","X..X.","X..X.","X..X.","XXXXX"),
+        "ㄹ": ("XXXXX","....X","....X","XXXXX","X....","X....","XXXXX"),
+        "ㅁ": ("XXXXX","XX..X","XX..X","XX..X","XX..X","XX..X","XXXXX"),
+        "ㅂ": ("X...X","X...X","X...X","XXXXX","X...X","X...X","XXXXX"),
+        "ㅃ": ("X.X.X","X.X.X","X.X.X","XXXXX","X.X.X","X.X.X","XXXXX"),
+        "ㅅ": ("..X..","..X..",".X.X.",".X.X.","X...X","X...X","X...X"),
+        "ㅆ": (".X.X.",".X.X.",".X.X.",".X.X.","X.X.X","X.X.X","X.X.X"),
+        "ㅇ": ("..X..",".X.X.","X...X","X...X","X...X",".X.X.","..X.."),
+        "ㅈ": ("XXXXX","..X..","..X..",".X.X.",".X.X.","X...X","X...X"),
+        "ㅉ": ("XXXXX",".X.X.",".X.X.","X.X.X","X.X.X","X.X.X","X.X.X"),
+        "ㅊ": ("..X..","XXXXX","..X..","..X..",".X.X.","X...X","X...X"),
+        "ㅋ": ("XXXXX","....X","....X","XXXXX","....X","....X","....X"),
+        "ㅌ": ("XXXXX","X....","X....","XXXXX","X....","X....","XXXXX"),
+        "ㅍ": ("XXXXX",".X.X.",".X.X.",".X.X.",".X.X.",".X.X.","XXXXX"),
+        "ㅎ": ("..X..","XXXXX","..X..",".XXX.","X...X","X...X",".XXX."),
+        "ㅏ": ("X....","X....","X....","XXXXX","X....","X....","X...."),
+        "ㅑ": ("X....","XXXXX","X....","XXXXX","X....","X....","X...."),
+        "ㅓ": ("....X","....X","....X","XXXXX","....X","....X","....X"),
+        "ㅕ": ("....X","XXXXX","....X","XXXXX","....X","....X","....X"),
+        "ㅗ": ("..X..","..X..","..X..","..X..","..X..","..X..","XXXXX"),
+        "ㅛ": (".X.X.",".X.X.",".X.X.",".X.X.",".X.X.",".X.X.","XXXXX"),
+        "ㅜ": ("XXXXX","..XX.","..XX.","..XX.","..XX.","..XX.","..XX."),
+        "ㅠ": ("XXXXX",".X.X.",".X.X.",".X.X.",".X.X.",".X.X.",".X.X."),
+        "ㅡ": (".....",".....",".....",".....","XXXXX",".....","....."),
+        "ㅣ": (".XXX.","..X..","..X..","..X..","..X..","..X..",".XXX."),
+    },
 }
+
+
+# ---------------------------------------------------------------------------
+# hangul syllable (de)composition — the public Unicode arithmetic mapping
+# (syllable = 0xAC00 + (lead*21 + vowel)*28 + tail), with compound vowels
+# and complex tails expanded to the basic glyph set above
+# ---------------------------------------------------------------------------
+_H_LEADS = "ㄱㄲㄴㄷㄸㄹㅁㅂㅃㅅㅆㅇㅈㅉㅊㅋㅌㅍㅎ"
+_H_VOWELS = (
+    "ㅏ", "ㅏㅣ", "ㅑ", "ㅑㅣ", "ㅓ", "ㅓㅣ", "ㅕ", "ㅕㅣ", "ㅗ", "ㅗㅏ",
+    "ㅗㅏㅣ", "ㅗㅣ", "ㅛ", "ㅜ", "ㅜㅓ", "ㅜㅓㅣ", "ㅜㅣ", "ㅠ", "ㅡ",
+    "ㅡㅣ", "ㅣ",
+)
+_H_TAILS = (
+    "", "ㄱ", "ㄲ", "ㄱㅅ", "ㄴ", "ㄴㅈ", "ㄴㅎ", "ㄷ", "ㄹ", "ㄹㄱ",
+    "ㄹㅁ", "ㄹㅂ", "ㄹㅅ", "ㄹㅌ", "ㄹㅍ", "ㄹㅎ", "ㅁ", "ㅂ", "ㅂㅅ",
+    "ㅅ", "ㅆ", "ㅇ", "ㅈ", "ㅊ", "ㅋ", "ㅌ", "ㅍ", "ㅎ",
+)
+_H_LEAD_IDX = {c: i for i, c in enumerate(_H_LEADS)}
+_H_VOWEL_IDX = {v: i for i, v in enumerate(_H_VOWELS)}
+_H_TAIL_IDX = {t: i for i, t in enumerate(_H_TAILS)}
+_H_V_CHARS = frozenset("ㅏㅑㅓㅕㅗㅛㅜㅠㅡㅣ")
+_H_CONS = frozenset(_H_LEADS)
+
+
+def decompose_hangul(text: str) -> str:
+    """Precomposed syllables -> linear basic-jamo sequence (other chars
+    pass through)."""
+    out = []
+    for ch in text:
+        o = ord(ch)
+        if 0xAC00 <= o <= 0xD7A3:
+            s = o - 0xAC00
+            out.append(_H_LEADS[s // 588])
+            out.append(_H_VOWELS[(s % 588) // 28])
+            out.append(_H_TAILS[s % 28])
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def compose_hangul(text: str) -> str:
+    """Inverse of `decompose_hangul` on decomposed syllable text: greedy
+    lead + longest-vowel + longest-legal-tail, where a consonant followed
+    by a vowel always stays the NEXT syllable's lead.  Jamo that cannot
+    form a syllable (bare vowels, orphan consonants) pass through
+    unchanged, so the function is safe on arbitrary OCR output."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch not in _H_LEAD_IDX or i + 1 >= n or text[i + 1] not in _H_V_CHARS:
+            out.append(ch)
+            i += 1
+            continue
+        lead = _H_LEAD_IDX[ch]
+        i += 1
+        vidx = 0
+        for k in (3, 2, 1):
+            seq = text[i : i + k]
+            if len(seq) == k and seq in _H_VOWEL_IDX:
+                vidx = _H_VOWEL_IDX[seq]
+                i += k
+                break
+        tidx = 0
+        for k in (2, 1):
+            seq = text[i : i + k]
+            if (
+                len(seq) == k
+                and all(c in _H_CONS for c in seq)
+                and seq in _H_TAIL_IDX
+                and not (i + k < n and text[i + k] in _H_V_CHARS)
+            ):
+                tidx = _H_TAIL_IDX[seq]
+                i += k
+                break
+        out.append(chr(0xAC00 + (lead * 21 + vidx) * 28 + tidx))
+    return "".join(out)
 
 #: the 13 languages the reference's leptess engine reports
 #: (`rust/src/engines/leptess.rs:227-245`)
@@ -336,7 +459,7 @@ def normalize_renderable(text: str) -> str:
     chars -> '?'). The corpus generator emits renderable text already; this is
     a guard for ad-hoc use."""
     out = []
-    for raw in text:
+    for raw in decompose_hangul(text):
         # ß survives as itself (str.upper would expand it to 'SS')
         ch = raw if raw == "ß" else raw.upper()
         if ch in ALL_FONT_CHARS or ch in (" ", "\n"):
@@ -443,7 +566,12 @@ def ocr_decode_image(
                 ch = "?"
             words[-1].append(ch)
         lines_out.append(" ".join("".join(w) for w in words if w))
-    return "\n".join(lines_out), warnings
+    text = "\n".join(lines_out)
+    if "kor" in languages:
+        # jamo only decode out of the kor pack; recompose them into the
+        # syllables the renderer decomposed (byte-identity round trip)
+        text = compose_hangul(text)
+    return text, warnings
 
 
 def _grid_means(glyph: np.ndarray, gh: int, gw: int) -> np.ndarray:

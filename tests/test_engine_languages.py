@@ -239,3 +239,68 @@ class TestJapanesePack:
     def test_voiced_forms_degrade_to_question_marks(self):
         # ガ (dakuten) has no glyph: renders as '?' and reads back as '?'
         assert rasters.normalize_renderable("ガギ") == "??"
+
+
+class TestKoreanPack:
+    # round 6: third non-latin pack and the first with ALGORITHMIC
+    # composition — hangul syllables decompose to a linear jamo sequence
+    # for rendering (a 5x7 cell cannot stack a syllable block) and
+    # recognition recomposes jamo into syllables when kor is requested,
+    # restoring byte identity. Doubled jamo (ㄲㄸㅃㅆㅉ) are atomic glyphs:
+    # expanding them would make 악까 / 앆가 decompose identically.
+
+    SENTENCE = "한국어 텍스트 추출 검사 2024"
+
+    def test_sentence_round_trip_three_scales(self):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(self.SENTENCE, scale=scale)
+            kor, warn = rasters.ocr_decode_image(img, ("kor",))
+            assert kor == self.SENTENCE, f"scale {scale}: {kor!r}"
+            assert warn == []
+
+    def test_all_syllables_decompose_compose_identity(self):
+        # the full precomposed block, algorithmically: U+AC00..U+D7A3
+        text = "".join(chr(c) for c in range(0xAC00, 0xD7A4))
+        assert rasters.compose_hangul(rasters.decompose_hangul(text)) == text
+
+    def test_lead_tail_ambiguity_resolved(self):
+        # the cases that forced atomic doubled-jamo glyphs: tail+lead vs
+        # doubled lead, complex tails vs next-syllable leads
+        for t in ("악까", "앆가", "갉", "갈기", "값이", "갔다", "안아", "아나"):
+            img = rasters.render_text(t, scale=2)
+            kor, _ = rasters.ocr_decode_image(img, ("kor",))
+            assert kor == t, t
+
+    def test_compound_vowels_and_complex_tails(self):
+        t = "왜 의자 궤도 쥐 와 몫 앓는 밟다 읊다"
+        img = rasters.render_text(t, scale=2)
+        kor, _ = rasters.ocr_decode_image(img, ("kor",))
+        assert kor == t
+
+    def test_compose_safe_on_arbitrary_jamo(self):
+        # bare vowels / orphan consonants pass through unchanged
+        assert rasters.compose_hangul("ㅏㅏ") == "ㅏㅏ"
+        assert rasters.compose_hangul("ㄱ") == "ㄱ"
+        assert rasters.compose_hangul("ABㄱㅏC") == "AB가C"
+
+    def test_e2e_pdf_ocr_byte_identity(self):
+        gray = rasters.render_text("서울 특별시 지도", scale=2)
+        pdf = pdfx.build_image_pdf([(gray, "DCTA")])  # through the r6 codec
+        r = ex.extract_document(pdf, engine="pixelocr-alt", languages="kor")
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "서울 특별시 지도"
+
+    def test_unloaded_pack_degrades(self):
+        img = rasters.render_text("한글", scale=2)
+        eng, _ = rasters.ocr_decode_image(img)
+        assert "한" not in eng and "글" not in eng and "ㅎ" not in eng
+
+    def test_mixed_with_latin_and_other_packs(self):
+        img = rasters.render_text("SCAN 서울 カナ 7", scale=2)
+        got, _ = rasters.ocr_decode_image(img, ("eng", "kor", "jpn"))
+        assert got == "SCAN 서울 カナ 7"
+
+    def test_pipeline_info_reports_kor(self):
+        info = ex.pipeline_info()
+        alt = {e["name"]: e for e in info["available_engines"]}["pixelocr-alt"]
+        assert "kor" in alt["supported_languages"]
