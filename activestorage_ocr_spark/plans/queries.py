@@ -2769,6 +2769,26 @@ def q_extract_textlayer(spark, sf_dir):
 QUERIES.update({"extract_textlayer": q_extract_textlayer})
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """Deterministic BPE tokenizer accounting (round 6): token counts from
+    a trained, committed merge table applied as a chain of JVM-side
+    ``replace`` expressions — tokenizer-faithful budgets instead of the
+    whitespace heuristic (`operators/bpe.py` documents the semantics and
+    the merge-table provenance).
+
+    100 TB posture: map-only, `Exchange x 0` — scales with the scan."""
+    from ..operators.bpe import bpe_tokens_table
+
+    return bpe_tokens_table(spark, sf_dir)
+
+
+QUERIES.update({"text_bpe_tokens": q_text_bpe_tokens})
+
+from ..operators.bpe import bpe_oracle_sql as _bpe_oracle_sql  # noqa: E402
+
+ORACLES["text_bpe_tokens"] = _bpe_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver-verification ordering (standing rotation)
 # ---------------------------------------------------------------------------
