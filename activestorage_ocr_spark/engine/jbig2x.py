@@ -2,8 +2,8 @@
 other dominant encoding of real-world scanned PDFs next to CCITT G4
 (``engine/ccittx.py``). Every ARITHMETIC-mode coding path is implemented,
 plus (round 5) the HUFFMAN-coded paths: Annex B standard tables
-(structurally pinned — see the Huffman section note; B.10 alone
-quarantines), custom type-53 code-table segments, SDHUFF symbol
+(all 15, structurally pinned — see the Huffman section note; B.10 landed
+round 6), custom type-53 code-table segments, SDHUFF symbol
 dictionaries with MMR/uncompressed collective bitmaps, SBHUFF text regions
 with runcoded symbol ID codes, and MMR pattern/halftone payloads.
 
@@ -44,10 +44,10 @@ Implemented from the public spec only:
 Scope covers generic regions, symbol mode (arithmetic AND Huffman),
 refinement coding (arithmetic, AND the Huffman text-region form with
 byte-bounded per-instance GR bitmaps), and halftone regions (arithmetic
-AND MMR); the single remaining corner (standard table B.10, whose
-transcription failed the structural completeness check) raises a narrow
-:class:`Jbig2Error` and the image quarantines per E2 — every coding
-path in T.88, arithmetic and Huffman, otherwise decodes. The symbol-mode
+AND MMR) — every coding path in T.88, arithmetic and Huffman, decodes,
+including all 15 Annex B standard tables (B.10, the one spec table that
+is a valid but Kraft-incomplete prefix code, landed round 6 with its own
+structural pin). The symbol-mode
 ENCODER does what jbig2enc does — connected-component extraction +
 shape dedupe into a dictionary — so fixtures exercise real dictionary
 reuse (repeated glyphs compress below the generic coder).
@@ -2011,13 +2011,15 @@ def encode_jbig2_halftone_mode(
 # MSB-first bit-packed — no arithmetic coder involved.
 #
 # Standard-table provenance: the Annex B tables are transcribed from the
-# public spec and pinned STRUCTURALLY (tests): every table's prefix code is
-# Kraft-complete and its value ranges tile contiguously between the lower
-# and upper 32-bit range lines.  Table B.10 failed that structural check
-# against this transcription (Kraft sum 121/128), so rather than ship a
-# possibly-nonconformant table, selecting B.10 raises a named error and the
-# image quarantines per E2 — custom-table segments (type 53) are fully
-# supported and are what real encoders emit for nonstandard statistics.
+# public spec and pinned STRUCTURALLY (tests): every table's value ranges
+# tile contiguously between the lower and upper 32-bit range lines, the
+# canonical B.3 code assignment fits the prefix space, and the code is
+# Kraft-complete — except B.10, which the spec itself publishes as a valid
+# but INCOMPLETE prefix code (three length-2 codes + a canonical tail to
+# length 13; Kraft sum exactly 7553/8192, pinned).  An earlier
+# transcription attempt that failed contiguity was rejected by these same
+# checks; the current B.10 tiles -22-and-lower / -21..8261 / 8262-and-up
+# exactly.  Custom-table segments (type 53) are also fully supported.
 # ---------------------------------------------------------------------------
 
 
@@ -2181,8 +2183,13 @@ class HuffTable:
 
 
 #: Annex B standard tables as (PREFLEN, RANGELEN, RANGELOW, kind) + OOB
-#: preflen.  B.10's transcription failed the structural completeness check
-#: (see module note) and is deliberately absent.
+#: preflen.  Every table is pinned structurally (tests): the value ranges
+#: tile contiguously between the lower/upper 32-bit lines, the canonical
+#: B.3 code assignment fits, and the prefix code is Kraft-COMPLETE — with
+#: one spec-faithful exception: B.10 as published is a valid but
+#: INCOMPLETE prefix code (Kraft sum 7553/8192 — its three length-2 codes
+#: plus the long canonical tail leave the 13-bit suffix space 7553..8191
+#: unused), so its pin asserts that exact fraction instead of 1.
 _STD_TABLE_LINES: dict[int, tuple[list, int]] = {
     1: ([(1, 4, 0, "n"), (2, 8, 16, "n"), (3, 16, 272, "n"),
          (3, 32, 65808, "u")], 0),
@@ -2219,6 +2226,13 @@ _STD_TABLE_LINES: dict[int, tuple[list, int]] = {
          (5, 7, 139, "n"), (5, 8, 267, "n"), (6, 8, 523, "n"),
          (7, 9, 779, "n"), (6, 11, 1291, "n"), (9, 32, -32, "l"),
          (9, 32, 3339, "u")], 2),
+    10: ([(7, 4, -21, "n"), (8, 0, -5, "n"), (7, 0, -4, "n"),
+          (5, 0, -3, "n"), (2, 2, -2, "n"), (5, 0, 2, "n"), (6, 0, 3, "n"),
+          (7, 0, 4, "n"), (8, 0, 5, "n"), (2, 6, 6, "n"), (5, 5, 70, "n"),
+          (6, 5, 102, "n"), (7, 6, 134, "n"), (8, 7, 198, "n"),
+          (9, 8, 326, "n"), (10, 9, 582, "n"), (11, 10, 1094, "n"),
+          (12, 11, 2118, "n"), (13, 12, 4166, "n"), (13, 32, -22, "l"),
+          (13, 32, 8262, "u")], 2),
     11: ([(1, 0, 1, "n"), (2, 1, 2, "n"), (4, 0, 4, "n"), (4, 1, 5, "n"),
           (5, 1, 7, "n"), (5, 2, 9, "n"), (6, 2, 13, "n"), (7, 2, 17, "n"),
           (7, 3, 21, "n"), (7, 4, 29, "n"), (7, 5, 45, "n"), (7, 6, 77, "n"),
@@ -2247,10 +2261,7 @@ def std_table(n: int) -> HuffTable:
     if t is None:
         spec = _STD_TABLE_LINES.get(n)
         if spec is None:
-            raise Jbig2Error(
-                f"unsupported JBIG2 standard Huffman table B.{n}"
-                + (" (transcription failed structural validation)" if n == 10 else "")
-            )
+            raise Jbig2Error(f"unsupported JBIG2 standard Huffman table B.{n}")
         t = HuffTable(spec[0], spec[1])
         _STD_TABLE_CACHE[n] = t
     return t
@@ -2917,19 +2928,23 @@ def _encode_text_region_huffman(
     height: int,
     log2strips: int = 0,
     export_order: list[int] | None = None,
+    ds_sel: int = 0,
 ) -> bytes:
     """Fixture mirror of :func:`_decode_text_region_huffman`: FS=B.6,
-    DS=B.8, DT=custom (selector 3 -> the referred type-53 segment),
-    REFCORNER=TL, runcoded balanced symbol ID code. ``log2strips`` > 0
-    emits multi-row strips: DT deltas move in strip units and each
-    instance carries its CURT as ``log2strips`` raw bits (§6.4.5)."""
+    DS=B.8/B.9/B.10 by ``ds_sel`` (0/1/2), DT=custom (selector 3 -> the
+    referred type-53 segment), REFCORNER=TL, runcoded balanced symbol ID
+    code. ``log2strips`` > 0 emits multi-row strips: DT deltas move in
+    strip units and each instance carries its CURT as ``log2strips`` raw
+    bits (§6.4.5)."""
     if export_order is None:
         export_order = _sorted_symbol_order(
             [np.asarray(s, dtype=bool) for s in symbols]
         )
     id_of = {orig: new for new, orig in enumerate(export_order)}
     n_syms = len(export_order)
-    t_fs, t_ds, t_dt = std_table(6), std_table(8), _fixture_dt_table()
+    if ds_sel not in (0, 1, 2):
+        raise Jbig2Error("ds_sel must be 0 (B.8), 1 (B.9) or 2 (B.10)")
+    t_fs, t_ds, t_dt = std_table(6), std_table(8 + ds_sel), _fixture_dt_table()
     # balanced canonical symbol ID code: n_short codes one bit shorter
     k = max(1, (n_syms - 1).bit_length()) if n_syms > 1 else 1
     n_short = (1 << k) - n_syms
@@ -3001,9 +3016,10 @@ def _encode_text_region_huffman(
         t_ds.encode(w, None)  # OOB: strip done
     body = w.flush()
     flags = (_REFCORNER_TL << 4) | (log2strips << 2) | (2 if refine else 0) | 1
-    # huffman flags: FS sel 0 (B.6), DS sel 0 (B.8), DT sel 3 (custom);
-    # refinement deltas sel 1 (B.15), RSIZE sel 0 (B.1)
-    hflags = (3 << 4) | ((1 << 6) | (1 << 8) | (1 << 10) | (1 << 12) if refine else 0)
+    # huffman flags: FS sel 0 (B.6), DS sel per ds_sel (B.8/B.9/B.10),
+    # DT sel 3 (custom); refinement deltas sel 1 (B.15), RSIZE sel 0 (B.1)
+    hflags = (ds_sel << 2) | (3 << 4)
+    hflags |= (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12) if refine else 0
     head = struct.pack(">IIIIB", width, height, 0, 0, 0)
     head += struct.pack(">H", flags) + struct.pack(">H", hflags)
     if refine:
@@ -3012,11 +3028,13 @@ def _encode_text_region_huffman(
     return head + body
 
 
-def encode_jbig2_huffman_page(image: np.ndarray) -> bytes:
+def encode_jbig2_huffman_page(image: np.ndarray, ds_sel: int = 0) -> bytes:
     """Encode a bool page the way jbig2enc's Huffman (-s with arithmetic
     disabled) mode does: connected components deduped into an SDHUFF
     symbol dictionary + an SBHUFF text region with a custom type-53 DT
-    table. Falls back to an MMR generic region for blank pages."""
+    table. Falls back to an MMR generic region for blank pages.
+    ``ds_sel`` picks the standard SBHUFFDS table (0/1/2 -> B.8/B.9/B.10)
+    so fixtures can exercise every legal selector, including B.10."""
     img = np.asarray(image, dtype=bool)
     if img.ndim != 2:
         raise Jbig2Error("encode_jbig2_huffman_page expects a 2-D bool array")
@@ -3040,7 +3058,8 @@ def encode_jbig2_huffman_page(image: np.ndarray) -> bytes:
         _FIXTURE_DT_LINES, _FIXTURE_DT_LOW_PREF, _FIXTURE_DT_HIGH_PREF
     )
     sdict = _encode_symbol_dict_huffman(symbols)
-    tregion = _encode_text_region_huffman(symbols, instances, w, h)
+    tregion = _encode_text_region_huffman(symbols, instances, w, h,
+                                          ds_sel=ds_sel)
     return (
         _segment_header(0, _SEG_PAGE_INFO, 1, len(page_info)) + page_info
         + _segment_header(1, _SEG_TABLE, 1, len(table_seg)) + table_seg

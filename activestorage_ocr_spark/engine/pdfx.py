@@ -254,7 +254,7 @@ def build_image_pdf(
         next_id += 1
         h, w = arr.shape[:2]
         if cs in ("JBIG2", "JBIG2G", "JBIG2S", "JBIG2R", "JBIG2H",
-                  "JBIG2RA", "JBIG2HF", "JBIG2HM"):
+                  "JBIG2RA", "JBIG2HF", "JBIG2HF9", "JBIG2HF10", "JBIG2HM"):
             # JBIG2 bitonal image; "JBIG2G" splits the page info segment
             # into a /JBIG2Globals stream (the shared-segment organization
             # real PDF producers use); "JBIG2S" uses symbol mode (connected
@@ -266,6 +266,8 @@ def build_image_pdf(
             # "JBIG2RA" uses SDREFAGG symbols refining a base dictionary;
             # "JBIG2HF" uses Huffman coding throughout (SDHUFF symbol
             # dictionary + SBHUFF text region + a custom type-53 DT table);
+            # "JBIG2HF9"/"JBIG2HF10" select standard DS tables B.9/B.10
+            # (SBHUFFDS=1/2) instead of the default B.8;
             # "JBIG2HM" is the halftone with MMR-coded bitplanes
             from .jbig2x import (
                 _SEG_PAGE_INFO,
@@ -280,8 +282,9 @@ def build_image_pdf(
             black = arr if arr.dtype == bool else arr < 128
             if cs == "JBIG2S":
                 stream = encode_jbig2_symbol_mode(black)
-            elif cs == "JBIG2HF":
-                stream = encode_jbig2_huffman_page(black)
+            elif cs in ("JBIG2HF", "JBIG2HF9", "JBIG2HF10"):
+                ds_sel = {"JBIG2HF": 0, "JBIG2HF9": 1, "JBIG2HF10": 2}[cs]
+                stream = encode_jbig2_huffman_page(black, ds_sel=ds_sel)
             elif cs == "JBIG2HM":
                 gray_in = arr if arr.dtype != bool else np.where(arr, 0, 255)
                 stream = encode_jbig2_halftone_mode(

@@ -586,10 +586,14 @@ class TestAllocationBombGuards:
 
 class TestHuffmanTables:
     # Annex B standard-table transcription is pinned STRUCTURALLY: every
-    # shipped table must form a Kraft-COMPLETE prefix code and its value
-    # ranges must tile contiguously between the lower and upper range lines
-    # (these two invariants caught the B.10 transcription error — that
-    # table is deliberately absent and quarantines by name).
+    # table's value ranges must tile contiguously between the lower and
+    # upper range lines and its prefix code must be Kraft-COMPLETE — with
+    # the one spec-faithful exception of B.10, which T.88 publishes as a
+    # valid but INCOMPLETE prefix code (three length-2 codes + a canonical
+    # tail to length 13).  Its pin asserts the exact Kraft fraction
+    # 7553/8192 instead of 1, so a transcription drift still fails loudly.
+    # (An earlier B.10 attempt failed the contiguity check and was
+    # rejected; the current lines tile -22-lower / -21..8261 / 8262-up.)
 
     @pytest.mark.parametrize("n", sorted(jbig2x._STD_TABLE_LINES))
     def test_standard_table_structure(self, n):
@@ -597,7 +601,11 @@ class TestHuffmanTables:
 
         lines, oob = jbig2x._STD_TABLE_LINES[n]
         pls = [ln[0] for ln in lines if ln[0] > 0] + ([oob] if oob else [])
-        assert sum(Fraction(1, 2 ** p) for p in pls) == 1, f"B.{n} incomplete"
+        kraft = sum(Fraction(1, 2 ** p) for p in pls)
+        if n == 10:
+            assert kraft == Fraction(7553, 8192), "B.10 Kraft pin drifted"
+        else:
+            assert kraft == 1, f"B.{n} incomplete"
         norm = sorted([ln for ln in lines if ln[3] == "n"], key=lambda x: x[2])
         for a, b in zip(norm, norm[1:]):
             assert b[2] == a[2] + (1 << a[1]), f"B.{n} ranges not contiguous"
@@ -606,10 +614,36 @@ class TestHuffmanTables:
                 assert ln[2] == norm[-1][2] + (1 << norm[-1][1])
             if ln[3] == "l":
                 assert ln[2] == norm[0][2] - 1
+        # the canonical B.3 assignment must fit the prefix space (the
+        # HuffTable constructor raises on overflow)
+        jbig2x.HuffTable(lines, oob)
 
-    def test_b10_quarantines_by_name(self):
-        with pytest.raises(Jbig2Error, match="B.10"):
-            jbig2x.std_table(10)
+    def test_b10_known_codes_and_roundtrip(self):
+        # canonical assignment gives the three length-2 lines, in table
+        # order, codes 00 (-2..1), 01 (6..69), 10 (OOB); 11 prefixes the
+        # longer codes.  Round-trip one value from EVERY line incl. the
+        # 32-bit lower/upper escapes and OOB.
+        t = jbig2x.std_table(10)
+        assert t._code_of(("v", 2, -2, "n")) == (2, 0b00)
+        assert t._code_of(("v", 6, 6, "n")) == (2, 0b01)
+        assert t._code_of(("oob",)) == (2, 0b10)
+        vals = [-21, -6, -5, -4, -3, -2, 1, 2, 3, 4, 5, 6, 69, 70, 101,
+                102, 133, 134, 197, 198, 325, 326, 581, 582, 1093, 1094,
+                2117, 2118, 4165, 4166, 8261, 8262, 10 ** 6, -22, -10 ** 6,
+                None]
+        w = jbig2x._HBitWriter()
+        for v in vals:
+            t.encode(w, v)
+        r = jbig2x._HBitReader(w.flush())
+        got = [t.decode(r) for _ in vals]
+        assert got == [v if v is not None else jbig2x.HUFF_OOB for v in vals]
+
+    def test_b10_unused_prefix_space_invalid(self):
+        # B.10's incompleteness means all-ones bit patterns hit the unused
+        # 13-bit suffix space and must fail by name, not mis-decode
+        t = jbig2x.std_table(10)
+        with pytest.raises(Jbig2Error, match="invalid Huffman prefix"):
+            t.decode(jbig2x._HBitReader(b"\xff" * 5))
 
     def test_table_b1_known_codes(self):
         # B.1's four lines get canonical codes 0, 10, 110, 111 — decode a
@@ -751,6 +785,21 @@ class TestHuffmanPdfIntegration:
         res = extract_document(pdfx.build_image_pdf([(img, "JBIG2HF")]))
         assert res["status"] == "ok"
         assert res["extracted_text"] == "HUF E2E 99"
+
+    @pytest.mark.parametrize("kind", ["JBIG2HF9", "JBIG2HF10"])
+    def test_standard_ds_table_selectors_end_to_end(self, kind):
+        # SBHUFFDS=1 (B.9) and SBHUFFDS=2 (B.10) are legal selectors; B.10
+        # quarantined until round 6.  Multi-word text forces DS deltas
+        # through the selected table (word gaps are large positive IDS).
+        img = rasters.render_text("DS TBL E2E 42", scale=2)
+        res = extract_document(pdfx.build_image_pdf([(img, kind)]))
+        assert res["status"] == "ok"
+        assert res["extracted_text"] == "DS TBL E2E 42"
+
+    def test_b10_page_roundtrip_exact(self):
+        img = rasters.render_text("B TEN ROUNDTRIP", scale=2) < 128
+        data = jbig2x.encode_jbig2_huffman_page(img, ds_sel=2)
+        assert np.array_equal(decode_jbig2_embedded(data), img)
 
     def test_mmr_halftone_pdf_extracts_end_to_end(self):
         img = rasters.render_text("HM E2E 55", scale=2)
