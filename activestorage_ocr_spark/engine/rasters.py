@@ -268,6 +268,51 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "ㅡ": (".....",".....",".....",".....","XXXXX",".....","....."),
         "ㅣ": (".XXX.","..X..","..X..","..X..","..X..","..X..",".XXX."),
     },
+    # round 6: Arabic — the fourth non-latin pack, and the first
+    # RIGHT-TO-LEFT script: logical-order text renders with every maximal
+    # Arabic run mirrored into visual order (`mirror_rtl_runs`, applied in
+    # `render_text`), and recognition — which always scans columns
+    # left-to-right — re-mirrors those runs back to logical order when
+    # ``ara`` is requested, restoring byte identity through the full
+    # rasterize -> OCR round trip. The mirror is an involution, so one
+    # function serves both directions. Scope: the 28 base isolated
+    # letterforms + hamza; cursive joining (initial/medial/final
+    # contextual forms) cannot exist in a fixed 5x7 cell and is out of
+    # scope (documented stand-in, same posture as jamo-in-a-row for kor);
+    # i'jam dot placement is adjusted where the cell forces it. Every
+    # glyph keeps a contiguous ink-row span (no interior blank row — a
+    # lone glyph must stay ONE line band) and no blank interior column.
+    "ara": {
+        "ا": ("....X","....X","....X","....X","....X","....X","XXXXX"),
+        "ب": ("X...X","X...X","X...X","X...X","XXXXX","..X..","..X.."),
+        "ت": (".X.X.","X...X","X...X","X...X","X...X","X...X","XXXXX"),
+        "ث": ("..X..",".X.X.","X...X","X...X","X...X","X...X","XXXXX"),
+        "ج": ("XXXXX","....X","...X.","..X.X",".X...","X....",".XXXX"),
+        "ح": ("XXXXX","....X","...X.","..X..",".X...","X....",".XXXX"),
+        "خ": ("XXXXX","....X","X..X.","..X..",".X...","X....",".XXXX"),
+        "د": ("....X","....X","....X","...X.","..X..",".X...","XXXXX"),
+        "ذ": ("..X.X","....X","....X","...X.","..X..",".X...","XXXXX"),
+        "ر": ("....X","....X","....X","....X","...X.","..X..","XX..."),
+        "ز": ("..X.X","....X","....X","....X","...X.","..X..","XX..."),
+        "س": ("X.X.X","X.X.X","X.X.X","X.X.X","X.X.X","X...X","XXXXX"),
+        "ش": ("..X..","X.X.X","X.X.X","X.X.X","X.X.X","X...X","XXXXX"),
+        "ص": ("XXXX.","X..X.","X..X.","XXXX.","X....","X....","XXXXX"),
+        "ض": ("..X..","XXXX.","X..X.","XXXX.","X....","X....","XXXXX"),
+        "ط": ("X....","X....","X....","X.XXX","X.X.X","X.XXX","XXXXX"),
+        "ظ": ("X..X.","X....","X....","X.XXX","X.X.X","X.XXX","XXXXX"),
+        "ع": (".XXX.","X....","X....",".XX..","X....","X...X",".XXXX"),
+        "غ": ("..X..",".XXX.","X....",".XX..","X....","X...X",".XXXX"),
+        "ف": ("..X..",".X.X.",".XXX.","X....","X....","X....","XXXXX"),
+        "ق": (".X.X.",".XXX.",".X.X.",".XXX.","X...X","X...X",".XXXX"),
+        "ك": ("X...X","X..X.","X.X..","XX...","X.X..","X....","XXXXX"),
+        "ل": ("....X","....X","....X","....X","X...X","X...X",".XXXX"),
+        "م": ("..XXX","..X.X","..XXX","..X..","..X..","..X..","XXX.."),
+        "ن": ("..X..","X...X","X...X","X...X","X...X","X...X",".XXX."),
+        "ه": (".XXX.","X...X","X.X.X","X.X.X","X.X.X","X...X",".XXX."),
+        "و": ("..XX.","..X.X","..XX.","....X","...X.","..X..","XX..."),
+        "ي": ("X...X","X...X",".XXXX","....X","X...X",".XXX.",".X.X."),
+        "ء": ("..XX.",".X...",".XXX.","...X.","..XX.",".....","....."),
+    },
 }
 
 
@@ -347,6 +392,48 @@ def compose_hangul(text: str) -> str:
                 break
         out.append(chr(0xAC00 + (lead * 21 + vidx) * 28 + tidx))
     return "".join(out)
+
+# ---------------------------------------------------------------------------
+# RTL handling for the ara pack — a minimal, involutory bidi stand-in.
+# Full UAX#9 is out of scope for a pixel font; the rule here: within each
+# line, every MAXIMAL run of Arabic letters (including interior spaces
+# whose nearest non-space neighbors on both sides are Arabic) is mirrored
+# into visual order. Digits and latin embedments terminate runs and keep
+# their logical positions. Mirroring a run yields a run with identical
+# membership and identical surrounding context, so applying the same
+# function to the mirrored text restores the original — the renderer and
+# the recognizer share one function for the two directions.
+# ---------------------------------------------------------------------------
+_ARA_CHARS = frozenset(_LANG_FONT_ROWS["ara"])
+
+
+def mirror_rtl_runs(line: str) -> str:
+    """Mirror maximal Arabic runs (logical <-> visual order); involution."""
+    out = list(line)
+    n = len(line)
+    i = 0
+    while i < n:
+        if line[i] not in _ARA_CHARS:
+            i += 1
+            continue
+        k = i
+        while k + 1 < n:
+            if line[k + 1] in _ARA_CHARS:
+                k += 1
+            elif line[k + 1] == " ":
+                m = k + 1
+                while m < n and line[m] == " ":
+                    m += 1
+                if m < n and line[m] in _ARA_CHARS:
+                    k = m
+                else:
+                    break
+            else:
+                break
+        out[i : k + 1] = line[i : k + 1][::-1]
+        i = k + 1
+    return "".join(out)
+
 
 #: the 13 languages the reference's leptess engine reports
 #: (`rust/src/engines/leptess.rs:227-245`)
@@ -476,7 +563,8 @@ def render_text(text: str, scale: int = 2, margin: int = 4) -> np.ndarray:
     space = one blank cell, 3*scale blank rows between lines, ``margin``
     pixels of paper on every side.
     """
-    lines = normalize_renderable(text).split("\n")
+    # RTL: Arabic runs rasterize in visual order (identity for other text)
+    lines = [mirror_rtl_runs(ln) for ln in normalize_renderable(text).split("\n")]
     cell_w = (GLYPH_W + CHAR_SPACING) * scale
     line_h = GLYPH_H * scale
     width = max((len(ln) * cell_w - CHAR_SPACING * scale) for ln in lines) if lines else 0
@@ -566,6 +654,10 @@ def ocr_decode_image(
                 ch = "?"
             words[-1].append(ch)
         lines_out.append(" ".join("".join(w) for w in words if w))
+    if "ara" in languages:
+        # columns scan left-to-right (visual order); mirror Arabic runs
+        # back into logical order (the renderer applied the same involution)
+        lines_out = [mirror_rtl_runs(ln) for ln in lines_out]
     text = "\n".join(lines_out)
     if "kor" in languages:
         # jamo only decode out of the kor pack; recompose them into the

@@ -304,3 +304,76 @@ class TestKoreanPack:
         info = ex.pipeline_info()
         alt = {e["name"]: e for e in info["available_engines"]}["pixelocr-alt"]
         assert "kor" in alt["supported_languages"]
+
+
+class TestArabicPack:
+    # round 6: fourth non-latin pack and the first RIGHT-TO-LEFT script.
+    # Logical-order text renders with maximal Arabic runs mirrored into
+    # visual order; recognition (always a left-to-right column scan)
+    # re-mirrors them back when ara is requested — the mirror is an
+    # involution, so one function serves both directions and byte
+    # identity survives the full rasterize -> OCR round trip. Cursive
+    # contextual forms are out of 5x7 scope (isolated forms only,
+    # documented), same posture as jamo-in-a-row for kor.
+
+    ALPHABET = "ابتثجحخ دذرزسشص ضطظعغفق كلمنهوي ء"
+
+    def test_alphabet_round_trip_three_scales(self):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(self.ALPHABET, scale=scale)
+            ara, warn = rasters.ocr_decode_image(img, ("ara",))
+            assert ara == self.ALPHABET, f"scale {scale}: {ara!r}"
+            assert warn == []
+
+    def test_rendered_raster_is_visual_order(self):
+        # the raster itself must hold the REVERSED (visual) sequence: the
+        # same pixels decoded WITHOUT the bidi re-mirror (via a latin-only
+        # table the glyphs can't match) differ from a logical-order layout
+        a = rasters.render_text("اب", scale=2)
+        b = rasters.render_text("با", scale=2)
+        assert a.shape == b.shape and not np.array_equal(a, b)
+        got_a, _ = rasters.ocr_decode_image(a, ("ara",))
+        got_b, _ = rasters.ocr_decode_image(b, ("ara",))
+        assert got_a == "اب" and got_b == "با"
+
+    def test_mirror_is_involution(self):
+        for s in ("ابت", "اب X", "X اب", "ا X ب", "اب 12 تث", "HELLO",
+                  "اب  تث", "ابت جحخ دذر"):
+            assert rasters.mirror_rtl_runs(rasters.mirror_rtl_runs(s)) == s
+
+    def test_digits_and_latin_keep_logical_positions(self):
+        # simplified bidi: digits/latin terminate runs and stay in place
+        t = "اب 12 تث AB"
+        img = rasters.render_text(t, scale=2)
+        got, _ = rasters.ocr_decode_image(img, ("eng", "ara"))
+        assert got == t
+
+    def test_ijam_dot_siblings_stay_distinct(self):
+        # the dotted/undotted sibling sets must decode exactly
+        t = "ج ح خ د ذ ر ز س ش ص ض ط ظ ع غ ت ث"
+        img = rasters.render_text(t, scale=2)
+        got, _ = rasters.ocr_decode_image(img, ("ara",))
+        assert got == t
+
+    def test_e2e_pdf_ocr_byte_identity(self):
+        # through the round-6 JBIG2 B.10 Huffman path for good measure
+        gray = rasters.render_text("اختبار النص العربي", scale=2)
+        pdf = pdfx.build_image_pdf([(gray, "JBIG2HF10")])
+        r = ex.extract_document(pdf, engine="pixelocr-alt", languages="ara")
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "اختبار النص العربي"
+
+    def test_unloaded_pack_degrades(self):
+        img = rasters.render_text("ابت", scale=2)
+        eng, _ = rasters.ocr_decode_image(img)
+        assert not set(eng) & set("ابت")
+
+    def test_coexists_with_other_packs(self):
+        img = rasters.render_text("SCAN اب 서울 カナ 7", scale=2)
+        got, _ = rasters.ocr_decode_image(img, ("eng", "ara", "kor", "jpn"))
+        assert got == "SCAN اب 서울 カナ 7"
+
+    def test_pipeline_info_reports_ara(self):
+        info = ex.pipeline_info()
+        alt = {e["name"]: e for e in info["available_engines"]}["pixelocr-alt"]
+        assert "ara" in alt["supported_languages"]
