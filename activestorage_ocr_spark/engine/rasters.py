@@ -313,7 +313,84 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "ي": ("X...X","X...X",".XXXX","....X","X...X",".XXX.",".X.X."),
         "ء": ("..XX.",".X...",".XXX.","...X.","..XX.",".....","....."),
     },
+    # round 6: Chinese — the last two pack-less languages get real packs,
+    # completing 13/13. Hanzi are open-class (thousands of characters);
+    # like a partial tessdata these packs carry a CORE set — the ten
+    # numerals plus the highest-frequency characters — and everything
+    # outside it degrades to '?' exactly like unloaded accents (the same
+    # documented posture as jpn's missing kanji). Letterforms are 25-pixel
+    # schematic skeletons of the real strokes: visually disconnected
+    # components are bridged (a fully blank interior column/row would
+    # split the glyph across the segmenter's column runs / line bands),
+    # and shapes that would collide with latin (工 = I) are omitted or
+    # tweaked. chi_sim and chi_tra share every character whose form is
+    # identical in both scripts (populated programmatically below, like
+    # the fra/spa shared accents); the chi_tra literal carries only the
+    # traditional-distinct forms.
+    "chi_sim": {
+        "一": (".....",".....","..X..","XXXXX",".....",".....","....."),
+        "二": (".....",".XXX.","...X.","..X..",".X...","XXXXX","....."),
+        "三": ("XXXXX","X....","XXXXX","....X","....X","XXXXX","....."),
+        "四": ("XXXXX","X.X.X","X.X.X","X.XXX","X...X","XXXXX","....."),
+        "五": ("XXXXX","..X..",".XXX.",".X.X.",".X.X.","XXXXX","....."),
+        "六": ("..X..","XXXXX",".X.X.",".X.X.","X...X","X...X","....."),
+        "七": ("..X..","..X..","XXXXX","..X..","..X.X","..XXX","....."),
+        "八": (".....","..X..",".X.X.",".X.X.","X...X","X...X","....."),
+        "九": (".X...",".X...","XXXX.",".X.X.",".X.X.","X..X.","...XX"),
+        "十": ("..X..","..X..","XXXXX","..X..","..X..","..X..","....."),
+        "人": ("..X..","..X..",".X.X.",".X.X.","X...X","X...X","X...."),
+        "大": ("..X..","XXXXX","..X..",".X.X.",".X.X.","X...X","X...X"),
+        "中": ("..X..","XXXXX","X.X.X","X.X.X","XXXXX","..X..","..X.."),
+        "国": ("XXXXX","X...X","XX.XX","X.X.X","XX.XX","X...X","XXXXX"),
+        "我": ("X.X..","XXXXX","X.X.X",".XXX.","X.X.X","XXXXX","..X.X"),
+        "你": ("X.XX.","XX.X.","X.XXX","X.X.X","X..X.","X..X.","X.XX."),
+        "他": ("X..X.","XX.X.","X.XXX","X.X.X","X.XXX","X..X.","X..XX"),
+        "们": ("X.X.X","XX.XX","X.XXX","X.X.X","X.X.X","X.X.X","X.X.X"),
+        "是": ("XXXXX","X...X","XXXXX","..X..","XXXXX",".X.X.","X...X"),
+        "不": ("XXXXX","..X..",".XX.X","X.X..","..X..","..X..","..X.."),
+        "了": ("XXXXX","....X","...X.","..X..","..X..","..X..",".XX.."),
+        "的": (".XXX.","X...X","XXXXX","X.X.X","X.XXX","X...X",".XXX."),
+        "在": ("XXXXX",".X...","XXXX.",".X..X",".XXX.",".X...",".XXXX"),
+        "有": ("XXXXX","..X..",".XXXX",".X..X",".XXXX",".X..X",".X.XX"),
+        "上": ("..X..","..X..","..XXX","..X..","..X..","..X..","XXXXX"),
+        "下": ("XXXXX","..X..","..XX.","..X.X","..X..","..X..","..X.."),
+        "日": ("XXXX.","X..X.","X..X.","XXXX.","X..X.","X..X.","XXXX."),
+        "月": (".XXXX",".X..X",".XXXX",".X..X",".XXXX",".X..X","X...X"),
+        "山": ("..X..","..X..","X.X.X","X.X.X","X.X.X","X...X","XXXXX"),
+        "水": ("..X..","X.X.X","XXXXX","..X..",".XXX.","X.X.X","..X.."),
+        "火": ("..X..","X.X.X",".XXX.","..X..",".X.X.","X...X","X...X"),
+        "木": ("..X..","XXXXX",".XXX.","X.X.X","..X..","..X..","..X.."),
+        "土": ("..X..","..X..",".XXX.","..X..","..X..","..X..","XXXXX"),
+        "口": (".....","XXXXX","X...X","X...X","X...X","XXXXX","....."),
+        "门": ("X.XXX","X...X","XX..X","X...X","X...X","X...X","X...X"),
+        "天": ("XXXXX","..X..","XXXXX","..X..",".X.X.","X...X","X...X"),
+        "年": (".X...","XXXXX","X.X..","XXXXX","..X..","XXXXX","..X.."),
+        "王": ("XXXXX","..X..","..X..",".XXX.","..X..","..X..","XXXXX"),
+        "生": (".X...","XXXXX","..X..",".XXX.","..X..","..X..","XXXXX"),
+        "学": (".X.X.","XXXXX","X...X","XXXXX","..X..","XXXXX","..X.."),
+    },
+    "chi_tra": {
+        "國": ("XXXXX","X.X.X","XX.XX","X.XXX","XX.XX","X.X.X","XXXXX"),
+        "們": ("X.XXX","XXX.X","X.XXX","X.X.X","X.X.X","X.X.X","X.X.X"),
+        "門": ("XX.XX","XX.XX","XXXXX","X...X","X...X","X...X","X...X"),
+        "學": ("X.X.X",".XXX.","X.X.X","XXXXX","...X.","XXXXX","..X.."),
+        "愛": (".XXX.","XXXXX",".X.X.","XXXXX",".X...",".XXX.","X...X"),
+        "馬": ("XXXX.","X.X..","XXXX.","X.X..","XXXXX","....X",".X.XX"),
+        "鳥": (".XX..","XXXX.","X.XX.","XXXX.","X.XXX","....X",".XXXX"),
+        "車": ("..X..","XXXXX","X.X.X","XXXXX","X.X.X","XXXXX","..X.."),
+        "見": ("XXXX.","X..X.","XXXX.","X..X.","XXXX.",".X.X.","X..XX"),
+        "長": ("X.XXX","X.X..","XXXXX","X.X..","XX.XX","X.XX.","X..XX"),
+    },
 }
+
+#: characters whose form is identical in simplified and traditional script
+#: share one bitmap across both packs (the simplified-specific forms 国们
+#: 门学 stay chi_sim-only; their traditional counterparts live in the
+#: chi_tra literal above)
+_LANG_FONT_ROWS["chi_tra"].update({
+    ch: rows for ch, rows in _LANG_FONT_ROWS["chi_sim"].items()
+    if ch not in ("国", "们", "门", "学")
+})
 
 
 # ---------------------------------------------------------------------------

@@ -377,3 +377,81 @@ class TestArabicPack:
         info = ex.pipeline_info()
         alt = {e["name"]: e for e in info["available_engines"]}["pixelocr-alt"]
         assert "ara" in alt["supported_languages"]
+
+
+class TestChinesePacks:
+    # round 6: the last two pack-less languages get real packs — 13/13.
+    # Hanzi are open-class, so like a partial tessdata these carry a CORE
+    # set (numerals + highest-frequency characters); everything outside it
+    # degrades to '?' exactly like jpn's missing kanji. chi_sim and
+    # chi_tra share every script-identical character; the four
+    # simplified-specific forms (国们门学) and their traditional
+    # counterparts (國們門學, plus tra-only 愛馬鳥車見長) are per-pack.
+
+    SIM = "一二三四五六七八九十 人大中国我你他们是不 了的在有上下日月山水 火木土口门天年王生学"
+    TRA = "一二三四五六七八九十 人大中國我你他們是不 了的在有上下日月山水 火木土口門天年王生學 愛馬鳥車見長"
+
+    def test_simplified_round_trip_three_scales(self):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(self.SIM, scale=scale)
+            got, warn = rasters.ocr_decode_image(img, ("chi_sim",))
+            assert got == self.SIM, f"scale {scale}: {got!r}"
+            assert warn == []
+
+    def test_traditional_round_trip_three_scales(self):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(self.TRA, scale=scale)
+            got, warn = rasters.ocr_decode_image(img, ("chi_tra",))
+            assert got == self.TRA, f"scale {scale}: {got!r}"
+            assert warn == []
+
+    def test_script_specific_forms_resolve_to_loaded_script(self):
+        # 国 is simplified-only, 國 traditional-only.  Under a single
+        # script's pack the foreign variant fuzzy-resolves to the nearest
+        # in-pack box glyph — the same degrade rule as unloaded accents
+        # (Ö -> U), i.e. the deterministic analog of OCR "reading" a
+        # traditional document as simplified.  With BOTH packs loaded the
+        # exact bitmaps win and each variant decodes as itself.
+        img = rasters.render_text("国 國", scale=2)
+        sim, _ = rasters.ocr_decode_image(img, ("chi_sim",))
+        tra, _ = rasters.ocr_decode_image(img, ("chi_tra",))
+        both, _ = rasters.ocr_decode_image(img, ("chi_sim", "chi_tra"))
+        assert sim == "国 国" and tra == "國 國" and both == "国 國"
+
+    def test_shared_characters_agree_across_scripts(self):
+        # script-identical characters decode under EITHER pack
+        t = "中 人 大 十"
+        img = rasters.render_text(t, scale=2)
+        for langs in (("chi_sim",), ("chi_tra",), ("chi_sim", "chi_tra")):
+            got, _ = rasters.ocr_decode_image(img, langs)
+            assert got == t, langs
+
+    def test_out_of_core_hanzi_degrade(self):
+        # 文 is outside the core set: renders and reads as '?'
+        assert rasters.normalize_renderable("文") == "?"
+
+    def test_e2e_pdf_ocr_byte_identity(self):
+        gray = rasters.render_text("中国 人口 十三 大国", scale=2)
+        pdf = pdfx.build_image_pdf([(gray, "JBIG2S")])
+        r = ex.extract_document(pdf, engine="pixelocr-alt", languages="chi_sim")
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "中国 人口 十三 大国"
+
+    def test_unloaded_pack_degrades(self):
+        img = rasters.render_text("中国", scale=2)
+        eng, _ = rasters.ocr_decode_image(img)
+        assert not set(eng) & set("中国")
+
+    def test_all_five_nonlatin_packs_coexist(self):
+        t = "SCAN اب 서울 カナ 中文 7"
+        img = rasters.render_text(t, scale=2)
+        got, _ = rasters.ocr_decode_image(
+            img, ("eng", "ara", "kor", "jpn", "chi_sim")
+        )
+        assert got == "SCAN اب 서울 カナ 中? 7"  # 文 outside the core set
+
+    def test_pipeline_info_reports_chi(self):
+        info = ex.pipeline_info()
+        alt = {e["name"]: e for e in info["available_engines"]}["pixelocr-alt"]
+        assert "chi_sim" in alt["supported_languages"]
+        assert "chi_tra" in alt["supported_languages"]
