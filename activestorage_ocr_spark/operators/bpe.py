@@ -123,6 +123,21 @@ def bpe_tokens_table(spark: SparkSession, sf_dir: str,
     )
 
 
+def bpe_token_count_sql(merges: tuple[str, ...] = MERGES) -> str:
+    """The token-count column as one DuckDB SQL scalar expression — the
+    building block `bpe_oracle_sql` and the pack_sequences_bpe oracle
+    share, so the SQL mirror of the tokenizer exists in exactly one
+    place."""
+    chain = "trim(regexp_replace(trim(regexp_replace(coalesce(text,''), '[^A-Za-z0-9]+', ' ', 'g')), '(.)', '\\1 ', 'g'))"
+    for pair in merges:
+        chain = f"replace({chain}, '{pair}', '{pair.replace(' ', '')}')"
+    words = "trim(regexp_replace(coalesce(text,''), '[^A-Za-z0-9]+', ' ', 'g'))"
+    return (
+        f"(CASE WHEN length({words}) = 0 THEN 0 "
+        f"ELSE len(string_split_regex({chain}, ' +')) END)::BIGINT"
+    )
+
+
 def bpe_oracle_sql(merges: tuple[str, ...] = MERGES) -> str:
     """The identical tokenizer as one DuckDB SQL statement (over the
     pre-registered ``documents`` view, like the other ORACLES)."""

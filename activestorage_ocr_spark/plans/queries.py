@@ -1687,14 +1687,24 @@ def q_pack_sequences(spark, sf_dir):
     (lang, sub), which the output carries explicitly. Bins never
     materialize as a table."""
     docs = _t(spark, sf_dir, "documents")
-    sub = F.substring(
+    toks = docs.select(
+        "doc_id", "lang", _pack_sub().alias("sub"),
+        ts.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return _pack_bins(toks)
+
+
+def _pack_sub():
+    """16-way md5 subpartition key shared by the packing queries."""
+    return F.substring(
         F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")).cast("binary")),
         1, 1,
     )
-    toks = docs.select(
-        "doc_id", "lang", sub.alias("sub"),
-        ts.token_count(F.col("text")).alias("n_tokens"),
-    )
+
+
+def _pack_bins(toks):
+    """The shared contiguous-bin window over (doc_id, lang, sub, n_tokens):
+    ONE running-sum window partitioned (lang, sub), budget 2048/bin."""
     w = Window.partitionBy("lang", "sub").orderBy("doc_id")
     cum = F.sum("n_tokens").over(w)
     prev = cum - F.col("n_tokens")
@@ -1703,6 +1713,29 @@ def q_pack_sequences(spark, sf_dir):
         F.floor(prev / 2048).cast("long").alias("bin_id"),
         (prev - F.floor(prev / 2048) * 2048).cast("long").alias("bin_offset"),
     )
+
+
+def q_pack_sequences_bpe(spark, sf_dir):
+    """Tokenizer-faithful sequence packing: identical contiguous-bin
+    machinery to :func:`q_pack_sequences`, but budgeted in REAL subword
+    units — `operators/bpe.bpe_token_count`, the deterministic 64-merge
+    BPE chain. A production pipeline packs in tokenizer pieces, not
+    whitespace words: a heuristic-token budget over/under-fills every bin
+    by the words-to-pieces ratio, which varies per document, so the two
+    queries assign genuinely different bins.
+
+    100 TB posture unchanged: the merge chain is a fixed-depth stack of
+    map-only JVM `replace` expressions (no UDF, no extra shuffle), so the
+    only exchange remains the ONE running-sum window over
+    (lang, 16-way md5 sub)."""
+    from ..operators.bpe import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", _pack_sub().alias("sub"),
+        bpe_token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tokens"),
+    )
+    return _pack_bins(toks)
 
 
 def q_warc_ingest(spark, sf_dir):
@@ -2204,6 +2237,7 @@ def q_sitemap_urls(spark, sf_dir):
 QUERIES.update(
     {
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         "dedup_spans": q_dedup_spans,
         "warc_ingest": q_warc_ingest,
         "curation_sample_stratified": q_curation_sample_stratified,
@@ -2787,6 +2821,30 @@ QUERIES.update({"text_bpe_tokens": q_text_bpe_tokens})
 from ..operators.bpe import bpe_oracle_sql as _bpe_oracle_sql  # noqa: E402
 
 ORACLES["text_bpe_tokens"] = _bpe_oracle_sql()
+
+# pack_sequences_bpe: the pack_sequences oracle with the n_tokens column
+# swapped for the BPE tokenizer's SQL mirror (one source of truth for the
+# chain: operators/bpe.bpe_token_count_sql)
+from ..operators.bpe import bpe_token_count_sql as _bpe_count_sql  # noqa: E402
+
+ORACLES["pack_sequences_bpe"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1) AS sub,
+               {_bpe_count_sql()} AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, sub, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang, sub ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+        FROM toks
+    )
+    SELECT doc_id, lang, sub, n_tokens,
+           CAST(floor(prev_cum / 2048) AS BIGINT) AS bin_id,
+           CAST(prev_cum - floor(prev_cum / 2048) * 2048 AS BIGINT) AS bin_offset
+    FROM c
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -98,3 +98,36 @@ class TestRobotsRfc9309:
         # /admin still blocks everywhere
         admin = [b for (h, p), b in rows.items() if p.startswith("/admin")]
         assert admin and all(admin)
+
+
+class TestBpePacking:
+    # round 6: pack_sequences_bpe — same subpartitioned-window machinery,
+    # budgeted in real BPE subword units instead of whitespace tokens
+
+    def test_window_key_includes_hash_sub(self, spark):
+        df = QUERIES["pack_sequences_bpe"](spark, SF)
+        plan = _final_plan(df)
+        win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+        assert win_lines, "expected a Window node in the plan"
+        for ln in win_lines:
+            assert "lang" in ln and "sub" in ln, f"window not subpartitioned: {ln}"
+
+    def test_plan_stays_jvm_side_one_exchange(self, spark):
+        # the 64-merge chain must compile to JVM replace expressions: one
+        # scan, ONE exchange (the window), zero Python nodes
+        df = QUERIES["pack_sequences_bpe"](spark, SF)
+        plan = _final_plan(df)
+        assert plan.count("Exchange") == 1, plan
+        assert "Python" not in plan, "BPE chain fell out of the JVM"
+
+    def test_bpe_budget_differs_from_heuristic(self, spark):
+        # the whole point: pieces != words, so per-doc budgets differ (the
+        # words-to-pieces ratio varies by document)
+        b = {r.doc_id: r.n_tokens
+             for r in QUERIES["pack_sequences_bpe"](spark, SF).collect()}
+        h = {r.doc_id: r.n_tokens
+             for r in QUERIES["pack_sequences"](spark, SF).collect()}
+        assert set(b) == set(h)
+        differing = sum(1 for d in b if b[d] != h[d])
+        assert differing / len(b) > 0.9, f"only {differing}/{len(b)} differ"
+        assert all(b[d] >= h[d] for d in b), "BPE pieces can't undercut words"
