@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from activestorage_ocr_spark.fixtures.gen_media import media_oracles
+    from activestorage_ocr_spark.fixtures.gen_multilingual import multilingual_oracles
     from activestorage_ocr_spark.fixtures.gen_scanned import scanned_oracles
     from activestorage_ocr_spark.fixtures.gen_textlayer import textlayer_oracles
     from activestorage_ocr_spark.fixtures.gen_warc import warc_oracles
@@ -57,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(warc_oracles())
     out.update(scanned_oracles())
     out.update(textlayer_oracles())
+    out.update(multilingual_oracles())
     return out

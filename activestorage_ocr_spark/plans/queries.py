@@ -1998,6 +1998,45 @@ def q_extract_scanned(spark, sf_dir):
     )
 
 
+def q_extract_multilingual(spark, sf_dir):
+    """ALL 13 reference languages through the DISTRIBUTED pipeline
+    (r6: every language now carries a real glyph pack — incl. RTL Arabic
+    via the involutory run mirror, hangul recomposition, and the two
+    hanzi scripts): native-script pages with per-row ``lang`` extract via
+    the same ``extract_pages`` kernel under ``engine='pixelocr-alt'``
+    (the leptess analog that honors the language dimension). Payload
+    containers rotate through the round-6 codec surface (PNG, G4, JBIG2
+    symbol, JBIG2 Huffman-B.10, arithmetic JPEG), so language packs and
+    codecs are oracled TOGETHER. Oracled against single-node golden
+    parquet (fixtures/gen_multilingual.py).
+
+    100 TB posture: identical to extract_flagship (same Arrow batch
+    kernel); skew routing off because the table is tiny by
+    construction."""
+    import datetime as _dt
+
+    from ..fixtures.gen_multilingual import (
+        multilingual_counts, synthetic_multilingual_rows,
+    )
+    from ..operators.extraction import extract_pages
+
+    n = multilingual_counts(_corpus_docs_for(sf_dir))
+    rows = synthetic_multilingual_rows(n)
+    ts = _dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [(u, ts, p, lg) for u, lg, _k, p in rows],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    ex = extract_pages(pages, engine="pixelocr-alt", skew_handling="off")
+    kinds = spark.createDataFrame(
+        [(u, k) for u, _lg, k, _p in rows], "url string, kind string",
+    )
+    return ex.join(F.broadcast(kinds), "url").select(
+        "url", "lang", "kind", "status", "extracted_text",
+        F.size("warnings").cast("int").alias("n_warnings"),
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots.txt compliance filtering with REAL RFC 9309 semantics (r5
     upgrade from prefix-only): rules support ``*`` wildcards and ``$`` end
@@ -2251,6 +2290,7 @@ QUERIES.update(
         "robots_filter": q_robots_filter,
         "training_mix": q_training_mix,
         "extract_scanned": q_extract_scanned,
+        "extract_multilingual": q_extract_multilingual,
         "link_authority": q_link_authority,
         "sitemap_urls": q_sitemap_urls,
     }

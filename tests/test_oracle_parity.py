@@ -49,6 +49,7 @@ from activestorage_ocr_spark.plans.queries import ORACLES, extraction_oracles
 # extraction oracles embed corpus paths sized to the sf dir; rebuild them at
 # this test's scale (sf0.001 -> 500 docs) instead of the driver's 2000
 from activestorage_ocr_spark.fixtures.gen_media import media_oracles
+from activestorage_ocr_spark.fixtures.gen_multilingual import multilingual_oracles
 from activestorage_ocr_spark.fixtures.gen_scanned import scanned_oracles
 from activestorage_ocr_spark.fixtures.gen_textlayer import textlayer_oracles
 from activestorage_ocr_spark.fixtures.gen_warc import warc_oracles
@@ -58,6 +59,7 @@ _TEST_ORACLES.update(extraction_oracles(n_docs=500))
 _TEST_ORACLES.update(media_oracles(n_docs=500))
 _TEST_ORACLES.update(warc_oracles(n_docs=500))
 _TEST_ORACLES.update(scanned_oracles(n_docs=500))
+_TEST_ORACLES.update(multilingual_oracles(n_docs=500))
 _TEST_ORACLES.update(textlayer_oracles(n_docs=500))
 
 ORACLED = sorted(_TEST_ORACLES.keys())
@@ -129,6 +131,34 @@ def test_extract_textlayer_parity_both_scales(sf_dir, n_docs, spark):
     assert sorted(sdf.columns) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows) > 0
     assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
+
+
+@pytest.mark.parametrize("sf_dir,n_docs", [
+    ("/root/testdata/sf0.001", 500),
+    ("/root/testdata/sf0.01", 2000),
+])
+def test_extract_multilingual_parity_both_scales(sf_dir, n_docs, spark):
+    """Round 6: same two-scale treatment for the 13-language query —
+    `multilingual_oracles(n_docs=...)` rebuilds at the in-repo scale AND
+    the driver's sf0.01 so oracle-rebuild sizing can't drift."""
+    sdf = entry_mod.queries()["extract_multilingual"](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        res = con.execute(multilingual_oracles(n_docs=n_docs)["extract_multilingual"])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
+    # every language must appear, and every row must extract ok with the
+    # full native text (the pack integration is the point of the table)
+    langs = {r[1] for r in spark_rows}
+    assert len(langs) == 13, langs
+    statuses = {r[3] for r in spark_rows}
+    assert statuses == {"ok"}, statuses
 
 
 def test_every_query_listed(spark):
