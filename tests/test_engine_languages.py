@@ -3,6 +3,8 @@ multipart field, `rust/src/server.rs:157-181` + `leptess.rs:227-245`)."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from activestorage_ocr_spark.engine import extract as ex, pdfx, rasters
 
@@ -455,3 +457,36 @@ class TestChinesePacks:
         alt = {e["name"]: e for e in info["available_engines"]}["pixelocr-alt"]
         assert "chi_sim" in alt["supported_languages"]
         assert "chi_tra" in alt["supported_languages"]
+
+
+class TestPackFuzz:
+    # round-6 property pins over the full multi-pack surface
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=sorted(set("ابتثجحخدذرزسشصضطظعغفقكلمنهويء") | set("ABC 12")), max_size=40))
+    def test_mirror_rtl_runs_is_involution_on_arbitrary_text(self, s):
+        assert rasters.mirror_rtl_runs(rasters.mirror_rtl_runs(s)) == s
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.text(
+            alphabet=sorted(
+                set("AB9") | set("ابجد") | set("中国人") | set("學馬")
+                | set("카ナ") | set("ЖИ")
+            ),
+            min_size=1, max_size=8,
+        ).map(lambda w: w.strip()).filter(lambda w: w),
+        min_size=1, max_size=4,
+    ))
+    def test_all_pack_round_trip_on_random_words(self, words):
+        # random words drawn across every script family must round-trip
+        # byte-exact under the full language set (render normalizes first,
+        # so compare against the normalized + recomposed expectation)
+        langs = ("eng", "deu", "fra", "spa", "ita", "por", "nld", "rus",
+                 "jpn", "kor", "ara", "chi_sim", "chi_tra")
+        text = " ".join(words)
+        expect = rasters.normalize_renderable(text)
+        expect = rasters.compose_hangul(expect)
+        img = rasters.render_text(text, scale=2)
+        got, _ = rasters.ocr_decode_image(img, langs)
+        assert got == expect, (text, expect, got)
