@@ -718,14 +718,21 @@ def ocr_decode_image(
         runs = _segments(band.any(axis=0))
         if not runs:
             continue
+        scale, pad_top, pad_bot, exact = _band_geometry(
+            band, h, scale, runs, table
+        )
         words: list[list[str]] = [[]]
         prev_end: int | None = None
-        for c0, c1 in runs:
+        for j, (c0, c1) in enumerate(runs):
             if prev_end is not None and (c0 - prev_end) > 3 * scale:
                 words.append([])
             prev_end = c1
-            glyph = band[:, c0:c1]
-            ch = _match_glyph(glyph, scale, by_width, table)
+            ch = exact[j]
+            if ch is None:
+                glyph = band[:, c0:c1]
+                if pad_top or pad_bot:
+                    glyph = np.pad(glyph, ((pad_top, pad_bot), (0, 0)))
+                ch = _match_glyph(glyph, scale, by_width, table)
             if ch is None:
                 warnings.append("unrecognized glyph")
                 ch = "?"
@@ -741,6 +748,76 @@ def ocr_decode_image(
         # syllables the renderer decomposed (byte-identity round trip)
         text = compose_hangul(text)
     return text, warnings
+
+
+def _exact_lookup(glyph: np.ndarray, scale: int, table: dict) -> str | None:
+    """Exact-table fast-path lookup (the first branch of `_match_glyph`),
+    shared with `_band_geometry` so geometry scoring doubles as decode."""
+    h, w = glyph.shape
+    if GLYPH_H * scale != h:
+        return None
+    gw = max(1, round(w / scale))
+    if gw * scale == w:
+        cells = glyph.reshape(GLYPH_H, scale, gw, scale).mean(axis=(1, 3)) >= 0.5
+    else:
+        cells = _grid_cells(glyph.astype(np.int8), GLYPH_H, gw)
+    return table.get(cells.tobytes() + bytes([gw]))
+
+
+def _band_geometry(band, h, base_scale, runs, table):
+    """(scale, pad_top_rows, pad_bot_rows, per-run exact chars) for a band.
+
+    A line band crops blank glyph rows: when NO glyph on the line reaches
+    grid row 0 / row 6 (a line of only short glyphs — Chinese numerals,
+    hamza, punctuation), ``round(h / 7)`` misreads the scale and the
+    decode silently garbles (r6 review finding). Enumerate the integral
+    interpretations (scale s with s | h, span h/s <= 7, each top offset),
+    score each by exact-table hits over the line's glyphs, and keep the
+    best. The full-height interpretation is tried first and
+    short-circuits when every glyph hits, and the winning trial's lookups
+    are RETURNED for reuse, so the common path pays exactly one exact
+    lookup per glyph — the same work as before. Fractional-resize bands
+    (no integral interpretation, or zero exact hits anywhere) fall back
+    to the legacy estimate + per-glyph fuzzy matching unchanged."""
+    if h == GLYPH_H * base_scale:
+        chars = [_exact_lookup(band[:, c0:c1], base_scale, table)
+                 for c0, c1 in runs]
+        if any(c is not None for c in chars):
+            # at least one glyph confirms the full-height reading: trust
+            # it (misses go to fuzzy, the pre-r6 behavior) — enumerating
+            # here lets a heavily-downsampled alias outscore the truth
+            # (e.g. two unknown-script boxes both reading as apostrophes)
+            return base_scale, 0, 0, chars
+        full_chars = chars
+    else:
+        full_chars = [None] * len(runs)
+    best = None  # key (hits, span) maximized; first-found wins ties
+    for s in range(max(1, -(-h // GLYPH_H)), h + 1):
+        if h % s:
+            continue
+        span = h // s
+        if span > GLYPH_H:
+            continue
+        for off in range(GLYPH_H - span + 1):
+            pad_t, pad_b = off * s, (GLYPH_H - span - off) * s
+            if span == GLYPH_H and s == base_scale:
+                chars = full_chars  # already computed above
+            else:
+                chars = [
+                    _exact_lookup(
+                        np.pad(band[:, c0:c1], ((pad_t, pad_b), (0, 0))),
+                        s, table,
+                    )
+                    for c0, c1 in runs
+                ]
+            hits = sum(1 for c in chars if c is not None)
+            if hits and (best is None or (hits, span) > best[:2]):
+                best = (hits, span, s, pad_t, pad_b, chars)
+        if span == 1:
+            break
+    if best is not None:
+        return best[2], best[3], best[4], best[5]
+    return base_scale, 0, 0, full_chars
 
 
 def _grid_means(glyph: np.ndarray, gh: int, gw: int) -> np.ndarray:

@@ -140,18 +140,15 @@ def bpe_token_count_sql(merges: tuple[str, ...] = MERGES) -> str:
 
 def bpe_oracle_sql(merges: tuple[str, ...] = MERGES) -> str:
     """The identical tokenizer as one DuckDB SQL statement (over the
-    pre-registered ``documents`` view, like the other ORACLES)."""
-    chain = "trim(regexp_replace(trim(regexp_replace(coalesce(text,''), '[^A-Za-z0-9]+', ' ', 'g')), '(.)', '\\1 ', 'g'))"
-    for pair in merges:
-        chain = f"replace({chain}, '{pair}', '{pair.replace(' ', '')}')"
+    pre-registered ``documents`` view, like the other ORACLES); the
+    n_tokens_bpe column comes from `bpe_token_count_sql` so the SQL
+    mirror of the chain exists in exactly one place."""
     words = "trim(regexp_replace(coalesce(text,''), '[^A-Za-z0-9]+', ' ', 'g'))"
     return f"""
         SELECT doc_id,
                CASE WHEN length({words}) = 0 THEN 0
                     ELSE len(string_split({words}, ' ')) END::BIGINT AS n_words,
-               CASE WHEN length({words}) = 0 THEN 0
-                    ELSE len(string_split_regex({chain}, ' +')) END::BIGINT
-                   AS n_tokens_bpe,
+               {bpe_token_count_sql(merges)} AS n_tokens_bpe,
                length(coalesce(text,''))::BIGINT AS n_chars
         FROM documents
     """

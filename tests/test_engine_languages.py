@@ -490,3 +490,41 @@ class TestPackFuzz:
         img = rasters.render_text(text, scale=2)
         got, _ = rasters.ocr_decode_image(img, langs)
         assert got == expect, (text, expect, got)
+
+
+class TestShortGlyphLines:
+    # r6 review finding: a text line containing ONLY glyphs that don't
+    # span the full 7-row cell (Chinese numerals, hamza, 口) used to
+    # mis-infer the band scale (round(h/7) assumes full-height glyphs)
+    # and silently garble with zero warnings. _band_geometry now
+    # enumerates the integral (scale, offset) interpretations and scores
+    # them by exact-table hits.
+
+    @pytest.mark.parametrize("text,langs", [
+        ("一二三", ("chi_sim",)),
+        ("十三", ("chi_sim",)),
+        ("一二三四五六七八九十", ("chi_sim",)),
+        ("口", ("chi_sim",)),
+        ("ء", ("ara",)),
+    ])
+    def test_short_glyph_only_lines_round_trip(self, text, langs):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(text, scale=scale)
+            got, _ = rasters.ocr_decode_image(img, langs)
+            assert got == text, (scale, got)
+
+    def test_mixed_height_lines_unchanged(self):
+        # full-height neighbors anchor the band; the pre-fix behavior for
+        # these is preserved (short-circuit path)
+        img = rasters.render_text("中国 一 人口", scale=2)
+        got, _ = rasters.ocr_decode_image(img, ("chi_sim",))
+        assert got == "中国 一 人口"
+
+    def test_full_height_line_with_unknown_glyph_not_aliased(self):
+        # the enumeration must NOT outscore a confirmed full-height
+        # reading: one known + one foreign-script glyph keeps the
+        # full-height interpretation (foreign glyph goes to fuzzy),
+        # instead of both aliasing to some heavily-downsampled glyph
+        img = rasters.render_text("国 國", scale=2)
+        sim, _ = rasters.ocr_decode_image(img, ("chi_sim",))
+        assert sim == "国 国"

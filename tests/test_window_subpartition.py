@@ -130,4 +130,6 @@ class TestBpePacking:
         assert set(b) == set(h)
         differing = sum(1 for d in b if b[d] != h[d])
         assert differing / len(b) > 0.9, f"only {differing}/{len(b)} differ"
-        assert all(b[d] >= h[d] for d in b), "BPE pieces can't undercut words"
+        # NOTE: no b >= h invariant — the BPE normalizer deletes
+        # punctuation-only tokens the whitespace heuristic counts, so BPE
+        # CAN undercut the heuristic on punctuation-heavy text
