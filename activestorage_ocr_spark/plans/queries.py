@@ -1593,6 +1593,68 @@ def q_quality_repetition(spark, sf_dir):
     )
 
 
+def q_quality_lm_score(spark, sf_dir):
+    """Language-model familiarity scoring — the KenLM-style
+    perplexity-filter analog a webtext pipeline runs per document: a
+    character-trigram model is trained on the corpus ITSELF (counts of
+    each trigram and of its 2-char prefix over normalized text), then
+    every document is scored by the sum of its trigrams' scaled
+    corpus-wide frequencies. INTEGER-exact by design: the per-trigram
+    contribution is ``(1_000_000_000 * c_tri) DIV n_total`` (integer
+    division of integer counts), not a float log-likelihood — log/exp
+    round differently across engines' libm, which would break the
+    bit-exact oracle gate; the integer score is monotone in the same
+    familiarity signal. ABSOLUTE frequency, deliberately not the
+    conditional p(c3|c1c2): an unsmoothed self-trained conditional
+    assigns p=1 to junk trigrams whose prefix is unique to the junk
+    itself, so repeated garbage self-certifies — absolute frequency is
+    the form the junk cannot inflate. ``keep`` applies the RELATIVE cut
+    a perplexity filter uses (drop outliers): at least half the
+    corpus-wide average familiarity, computed from integer global
+    sums.
+
+    100 TB posture: normalization maps text onto [a-z0-9 ], so the model
+    cardinality is BOUNDED at <= 37^3 trigrams regardless of corpus size
+    — the training aggregation partial-aggregates map-side down to that
+    tiny relation and the scoring join broadcasts it; the only
+    data-sized exchange is the per-doc partial sum. The documents table
+    is scanned twice (one training pass, one scoring pass) — inherent to
+    self-training, and the pass a real pipeline replaces with a sampled
+    or pre-trained model. The corpus threshold is a 1-row broadcast.
+    No window, no skew ceiling."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                                   "[^a-z0-9]+", " "))
+    tris = docs.select("doc_id", norm.alias("t")).filter(F.length("t") >= 3).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
+        )).alias("tri"),
+    )
+    model = tris.groupBy("tri").agg(F.count("*").alias("c_tri"))
+    total = model.agg(F.sum("c_tri").alias("n_total"))
+    model = model.crossJoin(F.broadcast(total)).select(
+        "tri", F.expr("(1000000000 * c_tri) div n_total").alias("tri_score_e9")
+    )
+    scored = tris.join(F.broadcast(model), "tri").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("tri_score_e9").cast("long").alias("familiarity_e9"),
+    )
+    # keep = at least half the corpus-wide average familiarity — the
+    # relative cut a perplexity filter applies (drop outliers, not a
+    # corpus-overfit absolute); integer arithmetic end-to-end
+    corpus = scored.agg(
+        F.expr("sum(familiarity_e9) div sum(n_trigrams)").alias("corpus_avg_e9")
+    )
+    return scored.crossJoin(F.broadcast(corpus)).select(
+        "doc_id", "n_trigrams", "familiarity_e9",
+        F.expr("familiarity_e9 div n_trigrams").cast("long")
+         .alias("avg_familiarity_e9"),
+        (F.expr("familiarity_e9 div n_trigrams")
+         >= F.expr("corpus_avg_e9 div 2")).alias("keep"),
+    )
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII scrubbing — redact emails and dashed phone numbers before
     training, reporting per-doc redaction counts. The corpus carries no PII,
@@ -2282,6 +2344,7 @@ QUERIES.update(
         "curation_sample_stratified": q_curation_sample_stratified,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "quality_repetition": q_quality_repetition,
+        "quality_lm_score": q_quality_lm_score,
         "text_pii_scrub": q_text_pii_scrub,
         "url_canonical_dedup": q_url_canonical_dedup,
         "curation_domain_stats": q_curation_domain_stats,
@@ -2697,6 +2760,39 @@ ORACLES.update(
                    (dup_word_frac <= 0.85 AND top_word_frac <= 0.30
                     AND top_bigram_char_frac <= 0.20) AS keep
             FROM m
+        """,
+        "quality_lm_score": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            tris AS (
+                SELECT doc_id,
+                       substring(t, unnest(generate_series(1, length(t) - 2)), 3) AS tri
+                FROM d
+                WHERE length(t) >= 3
+            ),
+            model AS (
+                SELECT tri,
+                       (1000000000 * count(*)::BIGINT)
+                           // (SELECT count(*)::BIGINT FROM tris) AS tri_score_e9
+                FROM tris GROUP BY tri
+            ),
+            s AS (
+                SELECT t.doc_id,
+                       count(*)::BIGINT AS n_trigrams,
+                       sum(m.tri_score_e9)::BIGINT AS familiarity_e9
+                FROM tris t JOIN model m USING (tri)
+                GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_trigrams, familiarity_e9,
+                   (familiarity_e9 // n_trigrams)::BIGINT AS avg_familiarity_e9,
+                   (familiarity_e9 // n_trigrams >=
+                    (SELECT sum(familiarity_e9) // sum(n_trigrams) FROM s) // 2)
+                       AS keep
+            FROM s
         """,
         "text_pii_scrub": r"""
             WITH injected AS (
