@@ -222,6 +222,14 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "ヲ": ("XXXXX","....X","....X","XXXXX","...X.","..X..",".X..."),
         "ン": ("XX..X","....X","....X","....X","...X.","..X..","XX..."),
         "ー": (".....",".....",".....","XXXX.",".....",".....","....."),
+        # round 6: the two voicing marks render as their own cells —
+        # voiced kana DECOMPOSE to base + mark for rendering (a 5x7 cell
+        # cannot stack the mark into the glyph corner) and recognition
+        # RE-COMPOSES mark runs when jpn is requested, the same
+        # decompose-on-render / recompose-on-recognize treatment as
+        # hangul jamo. ゛ = dakuten (ka->ga row), ゜ = handakuten (pa row).
+        "゛": (".X.X.","X.X..",".....",".....",".....",".....","....."),
+        "゜": (".XXX.",".X.X.",".XXX.",".....",".....",".....","....."),
     },
     # round 6: Korean — the third non-latin pack, and the first that
     # exercises ALGORITHMIC composition: hangul syllables (U+AC00..U+D7A3)
@@ -471,6 +479,45 @@ def compose_hangul(text: str) -> str:
     return "".join(out)
 
 # ---------------------------------------------------------------------------
+# katakana voicing (de)composition — the Unicode NFD/NFC pairs for the
+# dakuten (U+3099-composed, rendered via the spacing mark ゛) and
+# handakuten (゜) rows, as an explicit table so behavior can't drift with
+# the stdlib's Unicode version. Voiced kana decompose to base + mark for
+# rendering and re-compose on recognition when jpn is requested (the
+# katakana analog of the hangul jamo treatment).
+# ---------------------------------------------------------------------------
+_KANA_VOICED = {
+    "ガ": "カ゛", "ギ": "キ゛", "グ": "ク゛", "ゲ": "ケ゛", "ゴ": "コ゛",
+    "ザ": "サ゛", "ジ": "シ゛", "ズ": "ス゛", "ゼ": "セ゛", "ゾ": "ソ゛",
+    "ダ": "タ゛", "ヂ": "チ゛", "ヅ": "ツ゛", "デ": "テ゛", "ド": "ト゛",
+    "バ": "ハ゛", "ビ": "ヒ゛", "ブ": "フ゛", "ベ": "ヘ゛", "ボ": "ホ゛",
+    "ヴ": "ウ゛",
+    "パ": "ハ゜", "ピ": "ヒ゜", "プ": "フ゜", "ペ": "ヘ゜", "ポ": "ホ゜",
+}
+_KANA_COMPOSE = {v: k for k, v in _KANA_VOICED.items()}
+
+
+def decompose_kana(text: str) -> str:
+    """Voiced katakana -> base + spacing voicing mark (other chars pass)."""
+    return "".join(_KANA_VOICED.get(ch, ch) for ch in text)
+
+
+def compose_kana(text: str) -> str:
+    """Inverse of `decompose_kana`: base+mark pairs re-compose; orphan
+    marks (no voiceable base before them) pass through unchanged, so the
+    function is safe on arbitrary OCR output."""
+    out: list[str] = []
+    for ch in text:
+        if out and ch in ("゛", "゜"):
+            composed = _KANA_COMPOSE.get(out[-1] + ch)
+            if composed is not None:
+                out[-1] = composed
+                continue
+        out.append(ch)
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
 # RTL handling for the ara pack — a minimal, involutory bidi stand-in.
 # Full UAX#9 is out of scope for a pixel font; the rule here: within each
 # line, every MAXIMAL run of Arabic letters (including interior spaces
@@ -623,7 +670,7 @@ def normalize_renderable(text: str) -> str:
     chars -> '?'). The corpus generator emits renderable text already; this is
     a guard for ad-hoc use."""
     out = []
-    for raw in decompose_hangul(text):
+    for raw in decompose_kana(decompose_hangul(text)):
         # ß survives as itself (str.upper would expand it to 'SS')
         ch = raw if raw == "ß" else raw.upper()
         if ch in ALL_FONT_CHARS or ch in (" ", "\n"):
@@ -747,6 +794,9 @@ def ocr_decode_image(
         # jamo only decode out of the kor pack; recompose them into the
         # syllables the renderer decomposed (byte-identity round trip)
         text = compose_hangul(text)
+    if "jpn" in languages:
+        # voicing marks re-compose onto their base kana (same treatment)
+        text = compose_kana(text)
     return text, warnings
 
 

@@ -238,9 +238,34 @@ class TestJapanesePack:
         both, _ = rasters.ocr_decode_image(img, ("rus", "jpn"))
         assert both == "ЖИВ カナ"
 
-    def test_voiced_forms_degrade_to_question_marks(self):
-        # ガ (dakuten) has no glyph: renders as '?' and reads back as '?'
-        assert rasters.normalize_renderable("ガギ") == "??"
+    # r6 upgrade: voiced kana no longer degrade — they decompose to
+    # base + spacing voicing mark for rendering and re-compose on
+    # recognition (the katakana analog of the hangul jamo treatment)
+
+    def test_voiced_forms_round_trip_three_scales(self):
+        t = "ガギグゲゴ ザジズゼゾ ダヂヅデド バビブベボ パピプペポ ヴ"
+        for scale in (1, 2, 3):
+            img = rasters.render_text(t, scale=scale)
+            jpn, warn = rasters.ocr_decode_image(img, ("jpn",))
+            assert jpn == t, f"scale {scale}: {jpn!r}"
+            assert warn == []
+
+    def test_voiced_and_unvoiced_mix(self):
+        t = "トーキヨー デンキ 100 パーセント"
+        got, _ = rasters.ocr_decode_image(
+            rasters.render_text(t, scale=2), ("eng", "jpn")
+        )
+        assert got == t
+
+    def test_orphan_voicing_mark_passes_through(self):
+        # a mark with no voiceable base stays a mark (safe on arbitrary
+        # OCR output, same posture as compose_hangul)
+        assert rasters.compose_kana("゛A") == "゛A"
+        assert rasters.compose_kana("ン゜") == "ン゜"  # n has no voiced form
+
+    def test_voiced_forms_still_degrade_without_pack(self):
+        eng, _ = rasters.ocr_decode_image(rasters.render_text("ガ", scale=2))
+        assert "ガ" not in eng and "カ" not in eng
 
 
 class TestKoreanPack:
