@@ -34,7 +34,7 @@ MULTI_LANGS: tuple[tuple[str, str], ...] = (
     ("por", "AÇÃO VÕES VÊ"),
     ("nld", "RĲST ÉÉN IDEEËN"),
     ("rus", "СЪЕШЬ ЕЩЕ ЭТИХ БУЛОК"),
-    ("jpn", "トーキヨー テキスト"),
+    ("jpn", "デンキ パワー ガス"),
     ("kor", "한국어 텍스트 추출"),
     ("ara", "اختبار النص العربي"),
     ("chi_sim", "中国 人口 十三 大国"),
@@ -93,7 +93,9 @@ def ensure_multilingual_goldens(
     from ..engine.extract import extract_document
 
     n = multilingual_counts(n_docs)
-    d = os.path.join(base, f"multilingual_goldens_n{n}_v1")
+    # _v2: jpn sample carries voiced kana (dakuten/handakuten composition
+    # landed r6) — payload bytes changed, so the cache key must change too
+    d = os.path.join(base, f"multilingual_goldens_n{n}_v2")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
