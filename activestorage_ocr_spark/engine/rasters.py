@@ -171,9 +171,11 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
     # round 5 (second non-latin pack): Japanese — the base 46 katakana
     # plus the long-vowel mark. 5x7 simplified letterforms, every glyph
     # column-connected and byte-distinct from all other packs (import-time
-    # collision check). Hiragana/kanji and the dakuten/handakuten voiced
-    # forms are outside the pixel font and read as '?' — documented
-    # degradation, the same posture as unloaded accent packs.
+    # collision check). Round 6 adds the voicing marks (voiced kana
+    # decompose to base + mark and re-compose on recognition — see
+    # compose_kana below) and the nine small kana as sub-cell glyphs.
+    # Hiragana and kanji remain outside the pixel font and read as '?' —
+    # documented degradation, the same posture as unloaded accent packs.
     "jpn": {
         "ア": ("XXXXX","....X","...X.","..XX.",".X.X.","...X.","..X.."),
         "イ": ("....X","...X.","..XX.",".X.X.","X..X.","...X.","...X."),
@@ -230,6 +232,20 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         # hangul jamo. ゛ = dakuten (ka->ga row), ゜ = handakuten (pa row).
         "゛": (".X.X.","X.X..",".....",".....",".....",".....","....."),
         "゜": (".XXX.",".X.X.",".XXX.",".....",".....",".....","....."),
+        # round 6: the nine small kana as bottom-aligned sub-cell glyphs
+        # (rows 2-6, mostly 4 cols) — the short-glyph band geometry
+        # (`_band_geometry`) makes sub-cell letterforms first-class, so
+        # トーキョー / ラッパ-class words round-trip. Literal codepoints,
+        # no composition needed.
+        "ァ": (".....",".....","XXXX.","...X.","..XX.",".X.X.","..X.."),
+        "ィ": (".....",".....","...X.","..XX.",".X.X.","..X..","..X.."),
+        "ゥ": (".....",".....",".X...","XXXX.","X..X.","...X.","..X.."),
+        "ェ": (".....",".....","XXXX.","..X..","..X..","..X..","XXXX."),
+        "ォ": (".....",".....","..X..","XXXX.","..X..",".XX..","..X.."),
+        "ッ": (".....",".....","X.X.X","....X","...X.","..X..",".X..."),
+        "ャ": (".....",".....","X.X..","XXXX.","..X..","..X..","..X.."),
+        "ュ": (".....",".....",".XXX.","...X.","...X.","XXXXX","....."),
+        "ョ": (".....",".....","XXXX.","...X.","XXXX.","...X.","XXXX."),
     },
     # round 6: Korean — the third non-latin pack, and the first that
     # exercises ALGORITHMIC composition: hangul syllables (U+AC00..U+D7A3)

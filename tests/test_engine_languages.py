@@ -553,3 +553,40 @@ class TestShortGlyphLines:
         img = rasters.render_text("国 國", scale=2)
         sim, _ = rasters.ocr_decode_image(img, ("chi_sim",))
         assert sim == "国 国"
+
+
+class TestSmallKana:
+    # round 6: the nine small kana as bottom-aligned sub-cell glyphs —
+    # the short-glyph band geometry makes them first-class, so real
+    # words with yoon/sokuon round-trip
+
+    @pytest.mark.parametrize("t", [
+        "トーキョー", "ラッパ", "ジュース", "チョコ", "キャベツ",
+        "フィルム", "ウィスキー", "ファン",
+    ])
+    def test_yoon_sokuon_words_round_trip(self, t):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(t, scale=scale)
+            got, warn = rasters.ocr_decode_image(img, ("jpn",))
+            assert got == t, f"scale {scale}: {got!r}"
+            assert warn == []
+
+    def test_small_kana_only_line(self):
+        # a line of only sub-cell glyphs exercises the band-geometry path
+        got, _ = rasters.ocr_decode_image(
+            rasters.render_text("ョッャ", scale=2), ("jpn",)
+        )
+        assert got == "ョッャ"
+
+    def test_small_vs_big_distinct(self):
+        got, _ = rasters.ocr_decode_image(
+            rasters.render_text("ヨョ ツッ ヤャ ユュ", scale=2), ("jpn",)
+        )
+        assert got == "ヨョ ツッ ヤャ ユュ"
+
+    def test_e2e_pdf(self):
+        gray = rasters.render_text("トーキョー ジュース", scale=2)
+        pdf = pdfx.build_image_pdf([(gray, "JBIG2S")])
+        r = ex.extract_document(pdf, engine="pixelocr-alt", languages="jpn")
+        assert r["status"] == "ok"
+        assert r["extracted_text"] == "トーキョー ジュース"
