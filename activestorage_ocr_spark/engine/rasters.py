@@ -237,12 +237,71 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         # (`_band_geometry`) makes sub-cell letterforms first-class, so
         # トーキョー / ラッパ-class words round-trip. Literal codepoints,
         # no composition needed.
+        # round 6 (second jpn batch): the base 46 HIRAGANA — real
+        # Japanese text is hiragana-heavy, so the katakana-only pack read
+        # most of a sentence as '?'. 5x7 skeletons of the cursive forms,
+        # byte-distinct from the katakana set (import-time collision
+        # check); voiced forms ride the same ゛/゜ mark composition via
+        # the hiragana rows of _KANA_VOICED.
+        "あ": ("..X..","XXXXX","..X..",".XXXX","X.X.X","X.X.X",".XX.X"),
+        "い": ("X..X.","X...X","X...X","X...X","X...X",".X...","..X.."),
+        "う": ("..XX.","..X..","XXXX.","....X","....X","...X.","XX..."),
+        "え": ("..X..","XXXXX","...X.","..X..",".XX..","X.X.X","X..XX"),
+        "お": ("X.X..","XXXXX","X..X.","X.X.X","XX..X","X...X","XXXX."),
+        "か": ("..X..","XXXXX","X.X.X","X.X.X","X.X.X","X.X..","..X.."),
+        "き": ("..X..","XXXXX","..X..","XXXXX",".X...","..XXX","....X"),
+        "く": ("...X.","..X..",".X...","X....",".X...","..X..","...X."),
+        "け": ("X..X.","XXXXX","X..X.","X..X.","X..X.","X..X.","X.X.."),
+        "こ": ("XXXX.","....X","....X","....X","X....","X....",".XXXX"),
+        "さ": ("..X..","XXXXX","...X.","...X.",".XX..","X....",".XXX."),
+        "し": ("X....","X....","X....","X....","X....","X...X",".XXX."),
+        "す": ("XXXXX","..X..","..XX.","..X.X","..XX.","..X..",".X..."),
+        "せ": ("X..X.","XXXXX","X..X.","X..X.","X.XX.","X....",".XXX."),
+        "そ": (".XXX.","..X..",".XXXX","..X..",".X...","X....",".XXXX"),
+        "た": ("..X..","XXXXX","..X..",".X.XX",".X...",".X..X",".X.XX"),
+        "ち": ("..X..","XXXXX","..X..",".XXX.","....X","....X","XXXX."),
+        "つ": ("XXXX.","....X","....X","....X","....X","...X.","XX..."),
+        "て": ("XXXXX","...X.","..X..","..X..","..X..","..X..","...XX"),
+        "と": ("..X..","..X.X","...X.","..X..",".X...","X....",".XXXX"),
+        "な": ("..X.X","XXX.X","..X..",".X.X.",".X.XX","X..X.","...X."),
+        "に": ("X.XXX","X....","XX...","X....","X....","X....","X.XXX"),
+        "ぬ": (".X.X.",".X.X.","XXXX.","X.XX.","X.X.X","XXX.X","...XX"),
+        "ね": ("X....","XXXX.","X..X.","XX.X.","X.XX.","XX.XX","X..XX"),
+        "の": ("..XX.",".X.X.","X..X.","X..X.","X.X.X","X.X.X",".X.X."),
+        "は": ("X..X.","X..X.","X.XXX","X..X.","X.XX.","XX.X.","X.XX."),
+        "ひ": ("XX.X.","..X.X","..X.X",".XX.X","X...X","X...X",".XXX."),
+        "ふ": ("..XX.","...X.","..XX.",".X.X.","X.X.X","X.X.X","..X.X"),
+        # へ sits one row lower than katakana ヘ — the pair is a true
+        # typographic homoglyph; the offset keeps the bitmaps distinct so
+        # both round-trip byte-exact
+        "へ": (".....",".....",".X...","X.X..","...X.","....X","....."),
+        "ほ": ("X.XXX","X..X.","X.XXX","X..X.","X.XX.","XX.X.","X.XX."),
+        "ま": ("XXXXX","..X..","XXXXX","..X..",".XXX.","..X.X",".XXX."),
+        "み": (".XX..","..X..","..X.X","XXXXX","..X.X",".X.XX","X..X."),
+        "む": (".X...","XXXXX",".X..X",".XX..",".X.X.",".X.XX",".XXX."),
+        "め": (".X.X.",".X.X.","XXXX.","X.XX.","X.X.X",".XX.X","..XX."),
+        "も": (".X...",".XXXX",".X...","XXXXX",".X..X",".X..X","..XX."),
+        "や": (".X...",".X.XX","XXXX.","..X.X","..X..",".X...",".X..."),
+        "ゆ": ("X.X..","X.XX.","X.X.X","XXX.X","X.X.X","..XX.","..X.."),
+        "よ": ("...X.","...X.","..XXX","...X.","..XX.",".X.X.","..X.."),
+        "ら": (".X...","..X..","X....","XXXX.","X...X","....X","XXXX."),
+        "り": (".X.X.","X..X.","X..X.","X..X.","X..X.","...X.","..X.."),
+        "る": ("XXXX.","...X.","..X..",".XXX.","X...X","X.X.X",".XX.X"),
+        "れ": ("X....","XXXX.","X..X.","XX.X.","X.X..","XX.X.","X..XX"),
+        "ろ": ("XXXX.","...X.","..X..",".XXX.","X...X","X...X",".XXX."),
+        "わ": ("X....","XXXX.","X...X","XX..X","X.XX.","XX...","X...."),
+        "を": ("..X..","XXXXX","..XX.",".XX..","..XXX",".X...","..XXX"),
+        "ん": ("..X..","..X..",".X...",".XX..",".X.X.","X..XX","X...X"),
         "ァ": (".....",".....","XXXX.","...X.","..XX.",".X.X.","..X.."),
         "ィ": (".....",".....","...X.","..XX.",".X.X.","..X..","..X.."),
         "ゥ": (".....",".....",".X...","XXXX.","X..X.","...X.","..X.."),
         "ェ": (".....",".....","XXXX.","..X..","..X..","..X..","XXXX."),
         "ォ": (".....",".....","..X..","XXXX.","..X..",".XX..","..X.."),
         "ッ": (".....",".....","X.X.X","....X","...X.","..X..",".X..."),
+        "ゃ": (".....",".....","X.XX.","XXXX.","..X..",".X...",".X..."),
+        "ゅ": (".....",".....","X.X..","XXXXX","X.X.X",".XX..","..X.."),
+        "ょ": (".....",".....","...X.","..XXX","...X.","..XX.",".X.X."),
+        "っ": (".....",".....","XXXX.","....X","....X","...X.","XX..."),
         "ャ": (".....",".....","X.X..","XXXX.","..X..","..X..","..X.."),
         "ュ": (".....",".....",".XXX.","...X.","...X.","XXXXX","....."),
         "ョ": (".....",".....","XXXX.","...X.","XXXX.","...X.","XXXX."),
@@ -509,6 +568,12 @@ _KANA_VOICED = {
     "バ": "ハ゛", "ビ": "ヒ゛", "ブ": "フ゛", "ベ": "ヘ゛", "ボ": "ホ゛",
     "ヴ": "ウ゛",
     "パ": "ハ゜", "ピ": "ヒ゜", "プ": "フ゜", "ペ": "ヘ゜", "ポ": "ホ゜",
+    # hiragana rows (r6 second batch) — same marks, same composition
+    "が": "か゛", "ぎ": "き゛", "ぐ": "く゛", "げ": "け゛", "ご": "こ゛",
+    "ざ": "さ゛", "じ": "し゛", "ず": "す゛", "ぜ": "せ゛", "ぞ": "そ゛",
+    "だ": "た゛", "ぢ": "ち゛", "づ": "つ゛", "で": "て゛", "ど": "と゛",
+    "ば": "は゛", "び": "ひ゛", "ぶ": "ふ゛", "べ": "へ゛", "ぼ": "ほ゛",
+    "ぱ": "は゜", "ぴ": "ひ゜", "ぷ": "ふ゜", "ぺ": "へ゜", "ぽ": "ほ゜",
 }
 _KANA_COMPOSE = {v: k for k, v in _KANA_VOICED.items()}
 

@@ -590,3 +590,45 @@ class TestSmallKana:
         r = ex.extract_document(pdf, engine="pixelocr-alt", languages="jpn")
         assert r["status"] == "ok"
         assert r["extracted_text"] == "トーキョー ジュース"
+
+
+class TestHiragana:
+    # round 6 (second jpn batch): the base 46 hiragana + voiced forms via
+    # the shared ゛/゜ mark composition + the four common small hiragana
+    # (ゃゅょっ). Real Japanese text is hiragana-heavy — the katakana-only
+    # pack read most of a sentence as '?'.
+
+    GOJUON = ("あいうえお かきくけこ さしすせそ たちつてと なにぬねの\n"
+              "はひふへほ まみむめも やゆよ らりるれろ わをん")
+
+    def test_full_gojuon_round_trip_three_scales(self):
+        for scale in (1, 2, 3):
+            img = rasters.render_text(self.GOJUON, scale=scale)
+            got, warn = rasters.ocr_decode_image(img, ("jpn",))
+            assert got == self.GOJUON, f"scale {scale}: {got!r}"
+            assert warn == []
+
+    def test_voiced_rows_round_trip(self):
+        t = "がぎぐげご ざじずぜぞ だぢづでど ばびぶべぼ ぱぴぷぺぽ"
+        got, _ = rasters.ocr_decode_image(rasters.render_text(t, scale=2), ("jpn",))
+        assert got == t
+
+    @pytest.mark.parametrize("t", [
+        "ちょっと まって", "きょう は いい てんき", "じゅぎょう",
+        "コンピュータ と こんぴゅーた",  # both scripts, voiced + small
+    ])
+    def test_real_words(self, t):
+        got, _ = rasters.ocr_decode_image(rasters.render_text(t, scale=2), ("jpn",))
+        assert got == t
+
+    def test_homoglyph_he_pair_stays_distinct(self):
+        # へ/ヘ are true typographic homoglyphs; the one-row offset keeps
+        # both byte-exact
+        got, _ = rasters.ocr_decode_image(
+            rasters.render_text("へ ヘ", scale=2), ("jpn",)
+        )
+        assert got == "へ ヘ"
+
+    def test_unloaded_pack_degrades(self):
+        eng, _ = rasters.ocr_decode_image(rasters.render_text("にほん", scale=2))
+        assert not set(eng) & set("にほん")
