@@ -586,7 +586,18 @@ def decompose_kana(text: str) -> str:
 def compose_kana(text: str) -> str:
     """Inverse of `decompose_kana`: base+mark pairs re-compose; orphan
     marks (no voiceable base before them) pass through unchanged, so the
-    function is safe on arbitrary OCR output."""
+    function is safe on arbitrary OCR output.
+
+    Deliberate NFC normalization, not an involution: literal source text
+    "base + spacing mark" (e.g. カ U+30AB followed by ゛ U+309B) renders
+    pixel-identically to the precomposed kana — the renderer DECOMPOSES
+    ガ to exactly those cells — so the two spellings are indistinguishable
+    in the raster and a jpn-context decode resolves the shared shape to
+    the PRECOMPOSED codepoint. This is the same deterministic
+    one-winner rule as the Cyrillic homoglyph resolution (and the reason
+    the hangul pack made doubled jamo atomic: there BOTH readings were
+    common words; here the spacing-mark spelling is the rare legacy
+    form, so NFC wins)."""
     out: list[str] = []
     for ch in text:
         if out and ch in ("゛", "゜"):

@@ -632,3 +632,16 @@ class TestHiragana:
     def test_unloaded_pack_degrades(self):
         eng, _ = rasters.ocr_decode_image(rasters.render_text("にほん", scale=2))
         assert not set(eng) & set("にほん")
+
+
+class TestKanaNfcCarveOut:
+    def test_spacing_mark_spelling_resolves_to_precomposed(self):
+        # documented NFC carve-out: カ + spacing ゛ renders pixel-identical
+        # to ガ (the renderer decomposes ガ to exactly those cells), so a
+        # jpn-context decode resolves the shared shape to the PRECOMPOSED
+        # codepoint — the same one-winner rule as Cyrillic homoglyphs
+        a = rasters.render_text("カ゛", scale=2)
+        b = rasters.render_text("ガ", scale=2)
+        assert np.array_equal(a, b)
+        got, _ = rasters.ocr_decode_image(a, ("jpn",))
+        assert got == "ガ"

@@ -20,11 +20,14 @@ class TestQualityLmScore:
             "== Initial Plan =="
         )[0]
         # model + corpus threshold reach the scoring side as broadcasts;
-        # nothing sort-merges and nothing falls out of the JVM
+        # nothing sort-merges and nothing falls out of the JVM. Exact
+        # counts (the PLANS.md evidence row): ONE broadcast-hash join (the
+        # tri-score join) and TWO broadcast-nested-loop joins (the 1-row
+        # n_total and corpus-threshold cross joins)
         assert "SortMergeJoin" not in plan
         assert "Python" not in plan
-        assert plan.count("BroadcastHashJoin") >= 1
-        assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert plan.count("BroadcastNestedLoopJoin") == 2, plan
 
     def test_gibberish_outlier_dropped(self, spark, tmp_path):
         # append one high-entropy doc to a copied corpus: the relative cut
@@ -55,5 +58,5 @@ class TestQualityLmScore:
         assert rows
         for r in rows[:50]:
             assert isinstance(r.familiarity_e9, int)
-            # avg per-trigram probability can't exceed 1.0 (1e6 scaled)
+            # avg per-trigram probability can't exceed 1.0 (1e9 scaled)
             assert 0 <= r.avg_familiarity_e9 <= 1_000_000_000
