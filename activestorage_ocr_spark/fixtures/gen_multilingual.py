@@ -34,7 +34,7 @@ MULTI_LANGS: tuple[tuple[str, str], ...] = (
     ("por", "AÇÃO VÕES VÊ"),
     ("nld", "RĲST ÉÉN IDEEËN"),
     ("rus", "СЪЕШЬ ЕЩЕ ЭТИХ БУЛОК"),
-    ("jpn", "デンキ パワー ガス"),
+    ("jpn", "でんき パワー ちょっと"),
     ("kor", "한국어 텍스트 추출"),
     ("ara", "اختبار النص العربي"),
     ("chi_sim", "中国 人口 十三 大国"),
@@ -94,8 +94,9 @@ def ensure_multilingual_goldens(
 
     n = multilingual_counts(n_docs)
     # _v2: jpn sample carries voiced kana (dakuten/handakuten composition
-    # landed r6) — payload bytes changed, so the cache key must change too
-    d = os.path.join(base, f"multilingual_goldens_n{n}_v2")
+    # landed r6); _v3: hiragana + small kana join the sample — payload
+    # bytes changed, so the cache key must change too
+    d = os.path.join(base, f"multilingual_goldens_n{n}_v3")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
