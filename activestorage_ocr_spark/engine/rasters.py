@@ -298,6 +298,11 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "ェ": (".....",".....","XXXX.","..X..","..X..","..X..","XXXX."),
         "ォ": (".....",".....","..X..","XXXX.","..X..",".XX..","..X.."),
         "ッ": (".....",".....","X.X.X","....X","...X.","..X..",".X..."),
+        "ぁ": (".....",".....",".X...","XXXX.",".XXX.","X.X.X",".XX.X"),
+        "ぃ": (".....",".....","X.X..","X..X.","X..X.","X....",".X..."),
+        "ぅ": (".....",".....",".XX..","X.XX.","...X.","..X..",".X..."),
+        "ぇ": (".....",".....",".X...","XXXX.","..X..",".XX.X",".X.XX"),
+        "ぉ": (".....",".....","X.X..","XXXX.","XX.X.","X..X.","XXXX."),
         "ゃ": (".....",".....","X.XX.","XXXX.","..X..",".X...",".X..."),
         "ゅ": (".....",".....","X.X..","XXXXX","X.X.X",".XX..","..X.."),
         "ょ": (".....",".....","...X.","..XXX","...X.","..XX.",".X.X."),
@@ -934,12 +939,12 @@ def _band_geometry(band, h, base_scale, runs, table):
     else:
         full_chars = [None] * len(runs)
     best = None  # key (hits, span) maximized; first-found wins ties
-    for s in range(max(1, -(-h // GLYPH_H)), h + 1):
-        if h % s:
+    # enumerate by span (<= 7 candidates), not by scale — a pathological
+    # 10^5-row band would otherwise spin a 10^5-iteration divisor loop
+    for span in range(GLYPH_H, 0, -1):
+        if h % span:
             continue
-        span = h // s
-        if span > GLYPH_H:
-            continue
+        s = h // span
         for off in range(GLYPH_H - span + 1):
             pad_t, pad_b = off * s, (GLYPH_H - span - off) * s
             if span == GLYPH_H and s == base_scale:
@@ -955,8 +960,6 @@ def _band_geometry(band, h, base_scale, runs, table):
             hits = sum(1 for c in chars if c is not None)
             if hits and (best is None or (hits, span) > best[:2]):
                 best = (hits, span, s, pad_t, pad_b, chars)
-        if span == 1:
-            break
     if best is not None:
         return best[2], best[3], best[4], best[5]
     return base_scale, 0, 0, full_chars

@@ -645,3 +645,24 @@ class TestKanaNfcCarveOut:
         assert np.array_equal(a, b)
         got, _ = rasters.ocr_decode_image(a, ("jpn",))
         assert got == "ガ"
+
+
+class TestSmallHiragana:
+    def test_small_vowels_round_trip(self):
+        for t in ("ぁぃぅぇぉ", "ふぁん", "うぃすきー"):
+            for scale in (1, 2, 3):
+                img = rasters.render_text(t, scale=scale)
+                got, _ = rasters.ocr_decode_image(img, ("jpn",))
+                assert got == t, (t, scale, got)
+
+    def test_noise_rasters_never_raise_and_stay_deterministic(self):
+        # adversarial input through the band-geometry path: random noise
+        # must decode without exception, identically across calls
+        rng = np.random.RandomState(7)
+        langs = ("eng", "jpn", "ara", "kor", "chi_sim")
+        for _ in range(15):
+            img = (rng.rand(rng.randint(3, 90), rng.randint(3, 90)) * 255
+                   ).astype(np.uint8)
+            a, _ = rasters.ocr_decode_image(img, langs)
+            b, _ = rasters.ocr_decode_image(img, langs)
+            assert a == b
