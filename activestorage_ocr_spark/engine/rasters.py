@@ -400,6 +400,22 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "و": ("..XX.","..X.X","..XX.","....X","...X.","..X..","XX..."),
         "ي": ("X...X","X...X",".XXXX","....X","X...X",".XXX.",".X.X."),
         "ء": ("..XX.",".X...",".XXX.","...X.","..XX.",".....","....."),
+        # round 6 (second ara batch): the Eastern Arabic-Indic digits —
+        # real Arabic crawl text numbers with these, not 0-9. Bidi class
+        # AN: they travel INSIDE mirrored Arabic runs but read
+        # left-to-right internally (`mirror_rtl_runs` re-reverses maximal
+        # digit sub-runs after mirroring each run; the fix-up commutes
+        # with reversal, so the mirror stays an involution).
+        "٠": (".....",".....",".....",".XXX.",".XXX.",".....","....."),
+        "١": ("..XX.","..X..","..X..","..X..","..X..",".X...",".X..."),
+        "٢": ("XXXX.","..X..","..X..","..X..",".X...",".X...","X...."),
+        "٣": ("X.X.X","XX.XX","..X..","..X..","..X..",".X...","X...."),
+        "٤": (".XXX.","X....",".XX..","X....","X....",".X...","..XXX"),
+        "٥": ("..X..",".XXX.",".XXX.",".XXX.","..X..",".....","....."),
+        "٦": ("...X.","...X.","..X..","XXX..","X....","X....","X...."),
+        "٧": ("X...X","X...X",".X.X.",".X.X.","..X..","..X..","..X.."),
+        "٨": ("..X..",".X.X.",".X.X.","X...X","X...X","X...X","X...."),
+        "٩": ("..XX.",".X.X.",".X.X.",".XX..","...X.","..X..","..X.."),
     },
     # round 6: Chinese — the last two pack-less languages get real packs,
     # completing 13/13. Hanzi are open-class (thousands of characters);
@@ -626,10 +642,33 @@ def compose_kana(text: str) -> str:
 # the recognizer share one function for the two directions.
 # ---------------------------------------------------------------------------
 _ARA_CHARS = frozenset(_LANG_FONT_ROWS["ara"])
+_ARA_DIGITS = frozenset("٠١٢٣٤٥٦٧٨٩")
+
+
+def _fix_digit_subruns(seg: str) -> str:
+    """Re-reverse maximal Arabic-Indic digit sub-runs inside a mirrored
+    segment (bidi class AN: numbers read left-to-right within RTL text).
+    Reversal maps digit runs to digit runs, so this fix-up commutes with
+    the segment reversal and the overall mirror stays an involution."""
+    out: list[str] = []
+    i, n = 0, len(seg)
+    while i < n:
+        if seg[i] in _ARA_DIGITS:
+            j = i
+            while j + 1 < n and seg[j + 1] in _ARA_DIGITS:
+                j += 1
+            out.append(seg[i : j + 1][::-1])
+            i = j + 1
+        else:
+            out.append(seg[i])
+            i += 1
+    return "".join(out)
 
 
 def mirror_rtl_runs(line: str) -> str:
-    """Mirror maximal Arabic runs (logical <-> visual order); involution."""
+    """Mirror maximal Arabic runs (logical <-> visual order); involution.
+    Arabic-Indic digits travel inside the run but stay left-to-right
+    internally (`_fix_digit_subruns`)."""
     out = list(line)
     n = len(line)
     i = 0
@@ -651,7 +690,7 @@ def mirror_rtl_runs(line: str) -> str:
                     break
             else:
                 break
-        out[i : k + 1] = line[i : k + 1][::-1]
+        out[i : k + 1] = _fix_digit_subruns(line[i : k + 1][::-1])
         i = k + 1
     return "".join(out)
 

@@ -666,3 +666,39 @@ class TestSmallHiragana:
             a, _ = rasters.ocr_decode_image(img, langs)
             b, _ = rasters.ocr_decode_image(img, langs)
             assert a == b
+
+
+class TestArabicIndicDigits:
+    # round 6 (second ara batch): ٠-٩ — bidi class AN: digits travel
+    # inside mirrored Arabic runs but read left-to-right internally; the
+    # digit-sub-run fix-up commutes with reversal so the mirror stays an
+    # involution
+
+    def test_digits_round_trip_three_scales(self):
+        for t in ("٠١٢٣٤٥٦٧٨٩", "سنه ٢٠٢٤ اختبار", "عدد ٤٥٦ نص",
+                  "اب١٢تث"):
+            for scale in (1, 2, 3):
+                img = rasters.render_text(t, scale=scale)
+                got, warn = rasters.ocr_decode_image(img, ("ara",))
+                assert got == t, (t, scale, got)
+                assert warn == []
+
+    def test_digit_blocks_keep_internal_order_in_visual_layout(self):
+        # "سنه ٢٠٢٤" mirrors to "٢٠٢٤ هنس": the number block moves to the
+        # run's left edge but its digits do NOT reverse
+        assert rasters.mirror_rtl_runs("سنه ٢٠٢٤") == "٢٠٢٤ هنس"
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=sorted(set("ابتث ٠١٢٣٤٥") | set("AB9")),
+                   max_size=30))
+    def test_mirror_still_involution_with_digits(self, s):
+        assert rasters.mirror_rtl_runs(rasters.mirror_rtl_runs(s)) == s
+
+    def test_latin_digits_still_terminate_runs(self):
+        # western digits keep bidi class EN-as-neutral in the simplified
+        # model: they break runs and keep logical positions (pinned r6a)
+        t = "اب 12 تث"
+        got, _ = rasters.ocr_decode_image(
+            rasters.render_text(t, scale=2), ("eng", "ara")
+        )
+        assert got == t
