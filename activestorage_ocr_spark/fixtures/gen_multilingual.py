@@ -36,7 +36,7 @@ MULTI_LANGS: tuple[tuple[str, str], ...] = (
     ("rus", "СЪЕШЬ ЕЩЕ ЭТИХ БУЛОК"),
     ("jpn", "でんき パワー ちょっと"),
     ("kor", "한국어 텍스트 추출"),
-    ("ara", "اختبار النص العربي"),
+    ("ara", "اختبار النص ٢٠٢٤"),
     ("chi_sim", "中国 人口 十三 大国"),
     ("chi_tra", "學生 愛 馬車 見長"),
 )
@@ -94,9 +94,9 @@ def ensure_multilingual_goldens(
 
     n = multilingual_counts(n_docs)
     # _v2: jpn sample carries voiced kana (dakuten/handakuten composition
-    # landed r6); _v3: hiragana + small kana join the sample — payload
-    # bytes changed, so the cache key must change too
-    d = os.path.join(base, f"multilingual_goldens_n{n}_v3")
+    # landed r6); _v3: hiragana + small kana; _v4: Arabic-Indic digits —
+    # payload bytes changed, so the cache key must change too
+    d = os.path.join(base, f"multilingual_goldens_n{n}_v4")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
