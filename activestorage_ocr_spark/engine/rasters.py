@@ -400,6 +400,11 @@ _LANG_FONT_ROWS: dict[str, dict[str, tuple[str, ...]]] = {
         "و": ("..XX.","..X.X","..XX.","....X","...X.","..X..","XX..."),
         "ي": ("X...X","X...X",".XXXX","....X","X...X",".XXX.",".X.X."),
         "ء": ("..XX.",".X...",".XXX.","...X.","..XX.",".....","....."),
+        # the two common word-final forms beyond the base 28 (a review of
+        # real text tripped on their absence): ta marbuta = heh + two
+        # dots above, alef maksula = yeh without its dots
+        "ة": ("X...X",".XXX.","X...X","X.X.X","X.X.X","X...X",".XXX."),
+        "ى": ("X...X","X...X",".XXXX","....X","X...X",".XXX.","....."),
         # round 6 (second ara batch): the Eastern Arabic-Indic digits —
         # real Arabic crawl text numbers with these, not 0-9. Bidi class
         # AN: they travel INSIDE mirrored Arabic runs but read

@@ -702,3 +702,14 @@ class TestArabicIndicDigits:
             rasters.render_text(t, scale=2), ("eng", "ara")
         )
         assert got == t
+
+
+class TestArabicFinalForms:
+    def test_ta_marbuta_and_alef_maksura_round_trip(self):
+        # the two common word-final forms beyond the base 28
+        for t in ("سنة ٢٠٢٤ اختبار", "مدينة كبيرة", "المستشفى", "ة ى ه ي"):
+            for scale in (1, 2, 3):
+                img = rasters.render_text(t, scale=scale)
+                got, warn = rasters.ocr_decode_image(img, ("ara",))
+                assert got == t, (t, scale, got)
+                assert warn == []
