@@ -75,13 +75,30 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 3, n_h
     """Per-doc MinHash signature: for seed s, min over shingles of
     md5(s || ':' || shingle) — the lexicographic min of an md5 hex string is a
     valid uniform min-hash and is engine-portable. Returns
-    (id, mh_0..mh_{n-1})."""
-    sh = exploded_shingles(df, id_col, text_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"mh_{s}")
-        for s in range(n_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    (id, mh_0..mh_{n-1}).
+
+    MAP-ONLY since r7 (optimization guide §2.4 "remove shuffles outright"):
+    the per-doc min is an ``array_min`` over the shingle ARRAY, not a
+    ``groupBy(id).min`` over exploded shingle ROWS — the shingles of one
+    document are already co-located in its row, so the explode + hash
+    aggregation + exchange bought nothing but a corpus×shingles-sized
+    shuffle-input stage. Value-identical: ``array_min`` and ``min`` are the
+    same lexicographic min over the same per-doc shingle set (arrays are
+    never empty — ``word_shingles`` always yields >= 1 element — and md5
+    hex strings are never null)."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("_shingles"))
+
+    def _mh(s: int) -> Column:
+        # closure (not a default arg): pyspark infers the lambda's arity to
+        # decide whether to pass the element index as a second argument
+        return F.array_min(
+            F.transform(
+                F.col("_shingles"),
+                lambda sg: F.md5(F.concat(F.lit(f"{s}:"), sg).cast("binary")),
+            )
+        ).alias(f"mh_{s}")
+
+    return sh.select(F.col(id_col), *[_mh(s) for s in range(n_hashes)])
 
 
 def lsh_candidate_pairs(

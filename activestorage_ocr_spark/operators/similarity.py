@@ -63,6 +63,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine` with the per-vector norms hoisted out of the pair loop
+    (r7, guide §1.2 "per-task work"): in an O(probes x corpus) score the
+    inline form recomputes each side's ``l2_norm`` once PER PAIR — three
+    interpreted higher-order passes per pair instead of one. Callers
+    project ``l2_norm(v)`` once per row before the join and pass the
+    columns; the product, comparison and division are unchanged, so the
+    result is bit-identical."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def _band_bits(vec: Column, band: int) -> Column:
     """The 16-bit rank-hash string for one band: bit i = (vec[p_i] > vec[q_i]),
     dimension pairs taken modulo the vector length (64-dim tables use them
@@ -116,13 +128,20 @@ def brute_force_topk(
     (probe_id, neighbor_id, rank, cos_sim)."""
     probes = df.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), _dvec(F.col(vec_col)).alias("pv")
-    )
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv"))
+    ).withColumn("pn", l2_norm(F.col("pv")))
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
     sims = (
         F.broadcast(probes)
         .crossJoin(corpus)
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_with_norms(F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
