@@ -22,16 +22,42 @@ LETTERS_RE = "[^A-Za-z]"
 NON_SPECIAL_RE = r"[A-Za-z0-9\s!-/:-@\[-`{-~]"
 WS_RE = r"\s"
 
+# r7 (optimization guide §1.2 "per-task work"): the hot char-class COUNTS are
+# computed with `translate` (a per-char dictionary pass) instead of
+# `regexp_replace` + length (a Java-regex matcher building a new string) —
+# measured 4x on the documents corpus. The regex classes above are all
+# finite ASCII sets, so deleting the enumerated characters removes exactly
+# the same characters the class matches and every count is integer-identical
+# for ANY input (non-ASCII characters are in neither set). The *_RE
+# constants remain the documented contract shared with the DuckDB oracle
+# SQL, which keeps its regex spelling.
+_ASCII_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+#: the characters Java-regex `\s` matches: space, tab, LF, VT, FF, CR
+_WS_CHARS = " \t\n\x0b\x0c\r"
+#: every character NON_SPECIAL_RE matches: printable ASCII 0x21-0x7e + \s
+_NON_SPECIAL_CHARS = "".join(chr(c) for c in range(0x21, 0x7F)) + _WS_CHARS
+
 
 def _total(col: Column) -> Column:
     return F.length(col).cast("double")
 
 
+def _n_letters(text: Column) -> Column:
+    """Count of [A-Za-z] chars == length(regexp_replace(text, LETTERS_RE, ''))."""
+    return F.length(text) - F.length(F.translate(text, _ASCII_LETTERS, ""))
+
+
+def _n_whitespace(text: Column) -> Column:
+    """Count of `\\s` chars == length(text) - length(regexp_replace(text, WS_RE, ''))."""
+    return F.length(text) - F.length(F.translate(text, _WS_CHARS, ""))
+
+
 def char_frequency_score(text: Column) -> Column:
     """C2 (`ocrs.rs:306-327`) as a Catalyst expression."""
     total = _total(text)
-    letters = F.length(F.regexp_replace(text, LETTERS_RE, "")).cast("double")
-    specials = F.length(F.regexp_replace(text, NON_SPECIAL_RE, "")).cast("double")
+    letters = _n_letters(text).cast("double")
+    # chars surviving removal of the NON_SPECIAL class == the "special" count
+    specials = F.length(F.translate(text, _NON_SPECIAL_CHARS, "")).cast("double")
     special_penalty = F.lit(1.0) - F.least(specials / total * 10.0, F.lit(1.0))
     letter_score = F.least(letters / total * 1.5, F.lit(1.0))
     return F.when(F.length(text) == 0, 0.0).otherwise(
@@ -47,9 +73,11 @@ def word_lengths_score(text: Column) -> Column:
     """C3 (`ocrs.rs:332-356`) as a Catalyst expression."""
     words = _words(text)
     n = F.size(words).cast("double")
-    total_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
-    ).cast("double")
+    # sum of split-element lengths == count of non-\s chars in the trimmed
+    # text (split elements are exactly the non-\s runs; empty edge elements
+    # contribute 0 either way) — one translate pass instead of two
+    # interpreted higher-order passes (r7, guide §1.2)
+    total_len = F.length(F.translate(F.trim(text), _WS_CHARS, "")).cast("double")
     avg_bucket = F.floor(total_len / n)
     base = (
         F.when(avg_bucket <= 1, 0.3)
@@ -66,7 +94,7 @@ def word_lengths_score(text: Column) -> Column:
 def whitespace_score(text: Column) -> Column:
     """C4 (`ocrs.rs:361-377`) as a Catalyst expression."""
     total = _total(text)
-    ws = (F.length(text) - F.length(F.regexp_replace(text, WS_RE, ""))).cast("double")
+    ws = _n_whitespace(text).cast("double")
     pct = F.floor(ws / total * 100.0)
     return (
         F.when(F.length(text) == 0, 0.0)
@@ -152,19 +180,33 @@ LANG_MARKERS = {
 }
 
 
-def occurrence_count(text: Column, token: str) -> Column:
-    """Count of ``token`` as a space-delimited word, via the
-    length-difference trick (identical semantics in Spark and DuckDB —
-    regexp-free so both engines agree bytewise). Internal spaces are doubled
-    first so adjacent occurrences ("the the the") don't share a delimiter
-    and get undercounted by non-overlapping replace."""
+def padded_for_counts(text: Column) -> Column:
+    """The doubled-and-padded form every `occurrence_count` probes: internal
+    spaces doubled so adjacent occurrences ("the the the") don't share a
+    delimiter and get undercounted by non-overlapping replace, then one
+    space of padding each side. Hoist this into its own projected column
+    when counting MANY tokens over the same text (langid + quality run 25
+    counts): inline, each count rebuilds the doubled string — 2 extra
+    string passes per token per row (r7, guide §1.2)."""
     doubled = F.replace(text, F.lit(" "), F.lit("  "))
-    padded = F.concat(F.lit(" "), doubled, F.lit(" "))
+    return F.concat(F.lit(" "), doubled, F.lit(" "))
+
+
+def occurrence_count_padded(padded: Column, token: str) -> Column:
+    """Count of ``token`` inside an already `padded_for_counts` column via
+    the length-difference trick (identical semantics in Spark and DuckDB —
+    regexp-free so both engines agree bytewise)."""
     needle = f" {token} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
         / len(needle)
     ).cast("long")
+
+
+def occurrence_count(text: Column, token: str) -> Column:
+    """Count of ``token`` as a space-delimited word (see
+    `padded_for_counts` / `occurrence_count_padded`)."""
+    return occurrence_count_padded(padded_for_counts(text), token)
 
 
 def token_count(text: Column) -> Column:
@@ -188,13 +230,19 @@ def bpe_ish_piece_count(text: Column) -> Column:
     return (alnum + punct).cast("long")
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, padded_lower: Column | None = None) -> Column:
     """Document quality heuristic: mean of three [0,1] components —
     length score (min(len/500, 1)), alpha ratio, stopword hit score
-    (min(stopword_hits/10, 1)). Deterministic and SQL-expressible."""
+    (min(stopword_hits/10, 1)). Deterministic and SQL-expressible.
+    ``padded_lower`` — an already-projected `padded_for_counts(lower(text))`
+    column — lets callers that also run langid share the padded pass."""
+    if padded_lower is None:
+        padded_lower = padded_for_counts(F.lower(text))
     length_score = F.least(F.length(text) / 500.0, F.lit(1.0))
-    alpha_ratio = F.length(F.regexp_replace(text, LETTERS_RE, "")) / _total(text)
-    stop_hits = sum(occurrence_count(F.lower(text), t) for t in LANG_MARKERS["en"])
+    alpha_ratio = _n_letters(text) / _total(text)
+    stop_hits = sum(
+        occurrence_count_padded(padded_lower, t) for t in LANG_MARKERS["en"]
+    )
     stop_score = F.least(stop_hits / 10.0, F.lit(1.0))
     return F.when(F.length(text) == 0, 0.0).otherwise(
         (length_score + alpha_ratio + stop_score) / 3.0
@@ -207,15 +255,18 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")).cast("binary"))
 
 
-def langid_scores(text: Column) -> dict[str, Column]:
-    lowered = F.lower(text)
+def langid_scores(
+    text: Column, padded_lower: Column | None = None
+) -> dict[str, Column]:
+    if padded_lower is None:
+        padded_lower = padded_for_counts(F.lower(text))
     return {
-        lang: sum(occurrence_count(lowered, t) for t in toks).cast("long")
+        lang: sum(occurrence_count_padded(padded_lower, t) for t in toks).cast("long")
         for lang, toks in LANG_MARKERS.items()
     }
 
 
-def langid_label(text: Column) -> Column:
+def langid_label(text: Column, padded_lower: Column | None = None) -> Column:
     """argmax language by stopword hits; ties -> lexicographic language order;
     zero hits -> 'und'.
 
@@ -229,7 +280,7 @@ def langid_label(text: Column) -> Column:
     "no hits" branch — scores are counts, so the sentinel wins iff every
     real score is 0, and ties between real languages still resolve to the
     lexicographically-first one."""
-    scores = langid_scores(text)
+    scores = langid_scores(text, padded_lower)
     langs = sorted(scores)
     n = len(langs)
     entries = [
@@ -265,17 +316,32 @@ def documents_with_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < width:
         docs = docs.repartition(width)
     t = F.col("text")
-    joined = docs.withColumn("longest_run", longest_run_expr(t))
-    char_s = char_frequency_score(t)
-    word_s = word_lengths_score(t)
-    ws_s = whitespace_score(t)
-    rep_s = repetition_score_from_run(F.col("longest_run"))
-    return joined.select(
+    # r7: materialize each RAW component into a column first, then round and
+    # combine from the COLUMNS — passing the expression trees into
+    # combined_confidence evaluated every component twice (codegen
+    # subexpression elimination does not cover the higher-order/translate
+    # mix; measured ~0.9s of the 2.3s wall at sf1.0). CollapseProject keeps
+    # the boundary because each alias is referenced more than once.
+    raw = docs.select(
         "doc_id",
-        F.round(char_s, 9).alias("char_score"),
-        F.round(word_s, 9).alias("word_score"),
-        F.round(ws_s, 9).alias("ws_score"),
+        t.alias("text"),
+        char_frequency_score(t).alias("_char"),
+        word_lengths_score(t).alias("_word"),
+        whitespace_score(t).alias("_ws"),
+        longest_run_expr(t).alias("longest_run"),
+    )
+    rep_s = repetition_score_from_run(F.col("longest_run"))
+    return raw.select(
+        "doc_id",
+        F.round(F.col("_char"), 9).alias("char_score"),
+        F.round(F.col("_word"), 9).alias("word_score"),
+        F.round(F.col("_ws"), 9).alias("ws_score"),
         F.col("longest_run"),
         F.round(rep_s, 9).alias("rep_score"),
-        F.round(combined_confidence(char_s, word_s, ws_s, rep_s, t), 9).alias("confidence"),
+        F.round(
+            combined_confidence(
+                F.col("_char"), F.col("_word"), F.col("_ws"), rep_s, t
+            ),
+            9,
+        ).alias("confidence"),
     )

@@ -169,28 +169,28 @@ def _stop_count_sql(token: str, expr: str = "lower(text)") -> str:
 
 
 def q_conf_char_frequency(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.round(ts.char_frequency_score(F.col("text")), 9).alias("char_score")
     )
 
 
 def q_conf_word_lengths(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.round(ts.word_lengths_score(F.col("text")), 9).alias("word_score")
     )
 
 
 def q_conf_whitespace(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.round(ts.whitespace_score(F.col("text")), 9).alias("ws_score")
     )
 
 
 def q_conf_repetition(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     runs = ts.repetition_run_lengths(docs, "doc_id", "text")
     return runs.select(
         "doc_id",
@@ -209,7 +209,7 @@ def q_conf_full(spark, sf_dir):
 
 
 def q_text_tokens(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         ts.token_count(F.col("text")).alias("n_tokens"),
@@ -219,23 +219,34 @@ def q_text_tokens(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.round(ts.quality_score(F.col("text")), 9).alias("quality")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "text",
+        ts.padded_for_counts(F.lower(F.col("text"))).alias("_pad"),
+    )
+    return base.select(
+        "doc_id",
+        F.round(ts.quality_score(F.col("text"), F.col("_pad")), 9).alias("quality"),
     )
 
 
 def q_text_langid(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    scores = ts.langid_scores(F.col("text"))
-    return docs.select(
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "text",
+        ts.padded_for_counts(F.lower(F.col("text"))).alias("_pad"),
+    )
+    scores = ts.langid_scores(F.col("text"), F.col("_pad"))
+    return base.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
-        ts.langid_label(F.col("text")).alias("lang_pred"),
+        ts.langid_label(F.col("text"), F.col("_pad")).alias("lang_pred"),
     )
 
 
 def q_text_fingerprint(spark, sf_dir):
+    # NOT spread (r7): the map work is one md5 pass — measured at sf1.0 the
+    # round-robin exchange costs more than it parallelizes (0.52s -> 0.76s)
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
 
@@ -818,7 +829,7 @@ def q_dedup_lsh_pairs(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     """Per-doc 64-bit SimHash signature."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     return dd.simhash_bits(docs, "doc_id", "text")
 
 
@@ -891,11 +902,17 @@ def q_curation_keep_list(spark, sf_dir):
     rare, so the extra metric evaluations on non-keeper rows are noise next
     to shuffling the text column."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    with_fp = docs.select(
+    # one shared padded-lower pass feeds all 25 stopword counts (langid +
+    # quality) instead of each count rebuilding it (guide §1.2)
+    base = docs.select(
+        "doc_id", "text",
+        ts.padded_for_counts(F.lower(F.col("text"))).alias("_pad"),
+    )
+    with_fp = base.select(
         "doc_id",
         ts.fingerprint(F.col("text")).alias("fp"),
-        ts.langid_label(F.col("text")).alias("lang_pred"),
-        F.round(ts.quality_score(F.col("text")), 9).alias("quality"),
+        ts.langid_label(F.col("text"), F.col("_pad")).alias("lang_pred"),
+        F.round(ts.quality_score(F.col("text"), F.col("_pad")), 9).alias("quality"),
         ts.token_count(F.col("text")).alias("n_tokens"),
     )
     kept = with_fp.withColumn(
@@ -1599,7 +1616,7 @@ def q_quality_repetition(spark, sf_dir):
     bigram counts) rolled up per doc and equi-joined on doc_id — no
     cartesian work, no windows over the corpus; every count is
     map-side-combinable. Thresholds mirror the published Gopher ranges."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", "n_chars",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
@@ -1672,7 +1689,7 @@ def q_quality_lm_score(spark, sf_dir):
     self-training, and the pass a real pipeline replaces with a sampled
     or pre-trained model. The corpus threshold is a 1-row broadcast.
     No window, no skew ceiling."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
                                    "[^a-z0-9]+", " "))
     tris = docs.select("doc_id", norm.alias("t")).filter(F.length("t") >= 3).select(
