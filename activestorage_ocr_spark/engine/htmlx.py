@@ -138,9 +138,15 @@ class Block:
     parts: list[str]
     link_chars: int = 0
     total_chars: int = 0
+    _text: str | None = None  # normalize-once cache (r7: flush() computes
+    # the joined/collapsed text to apply the keep thresholds, and the
+    # serializer needs the same string — without the cache every kept
+    # block paid the join + regex + strip twice)
 
     def text(self) -> str:
-        return _WS_RE.sub(" ", "".join(self.parts)).strip()
+        if self._text is None:
+            self._text = _WS_RE.sub(" ", "".join(self.parts)).strip()
+        return self._text
 
     def link_density(self) -> float:
         return self.link_chars / self.total_chars if self.total_chars else 0.0
@@ -222,7 +228,8 @@ def extract_blocks(html: str) -> list[Block]:
             emit_text(html[pos:])
             break
         emit_text(html[pos : m.start()])
-        closing, tag, rawattrs = m.group(1), m.group(2).lower(), m.group(3)
+        closing, tag, rawattrs = m.group(1, 2, 3)  # one C call, not three
+        tag = tag.lower()
         pos = m.end()
         self_closing = rawattrs.rstrip().endswith("/") or tag in ("br", "hr", "img", "input", "meta", "link")
 

@@ -949,7 +949,13 @@ def _exact_lookup(glyph: np.ndarray, scale: int, table: dict) -> str | None:
         return None
     gw = max(1, round(w / scale))
     if gw * scale == w:
-        cells = glyph.reshape(GLYPH_H, scale, gw, scale).mean(axis=(1, 3)) >= 0.5
+        # mean(axis) >= 0.5 over a 0/1 glyph == 2*sum >= cell area, in
+        # integers — one C-level sum instead of numpy's mean wrapper
+        # (this lookup runs once per glyph per band trial; r7 profile)
+        cells = (
+            glyph.reshape(GLYPH_H, scale, gw, scale).sum(axis=(1, 3), dtype=np.int32)
+            * 2 >= scale * scale
+        )
     else:
         cells = _grid_cells(glyph.astype(np.int8), GLYPH_H, gw)
     return table.get(cells.tobytes() + bytes([gw]))
@@ -1043,8 +1049,12 @@ def _match_glyph(
     if gh * scale == h:
         gw = max(1, round(w / scale))
         if gw * scale == w:
-            # exact-multiple fast path: one vectorized block-mean
-            cells = glyph.reshape(gh, scale, gw, scale).mean(axis=(1, 3)) >= 0.5
+            # exact-multiple fast path: 2*sum >= cell area == mean >= 0.5
+            # on the 0/1 glyph, without numpy's mean wrapper (r7 profile)
+            cells = (
+                glyph.reshape(gh, scale, gw, scale).sum(axis=(1, 3), dtype=np.int32)
+                * 2 >= scale * scale
+            )
         else:
             cells = _grid_cells(glyph.astype(np.int8), gh, gw)
         got = table.get(cells.tobytes() + bytes([gw]))
@@ -1557,8 +1567,45 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return gray.copy()
 
 
+def _gif_lzw_decode_fast9(data: bytes) -> bytes | None:
+    """Vectorized fast path for min_code_size=8 streams that stay at 9-bit
+    root codes — the "uncompressed-style" LZW many writers (including
+    `encode_gif`) emit: a CLEAR at least every 254 data codes keeps the
+    table under 512 so the code width never grows, and data codes are all
+    literals. Decoding is then just bit-unpacking: output == the data
+    codes as bytes, byte-identical to the general loop (each entry is its
+    root byte; table appends never alter literal entries). Returns None —
+    falling back to the general decoder — the moment any condition fails
+    (a code >= 258, a run between CLEARs longer than 254). ~40x over the
+    per-byte Python loop (21 ms -> sub-ms per image, r7 profile)."""
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    total = bits.size // 9
+    if total == 0:
+        return b""
+    codes = bits[: total * 9].reshape(total, 9).astype(np.int32) @ (
+        1 << np.arange(9, dtype=np.int32)
+    )
+    ends = np.nonzero(codes == 257)[0]
+    if ends.size:
+        codes = codes[: ends[0]]
+    if codes.size == 0:
+        return b""
+    is_clear = codes == 256
+    data_codes = codes[~is_clear]
+    if data_codes.size and int(data_codes.max()) > 255:
+        return None
+    run_bounds = np.concatenate(([-1], np.nonzero(is_clear)[0], [codes.size]))
+    if int(np.diff(run_bounds).max()) - 1 > 254:
+        return None  # table would reach 512 entries -> 10-bit codes
+    return data_codes.astype(np.uint8).tobytes()
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
     """Full GIF LZW decoder."""
+    if min_code_size == 8:
+        fast = _gif_lzw_decode_fast9(data)
+        if fast is not None:
+            return fast
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()

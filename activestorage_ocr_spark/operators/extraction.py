@@ -25,6 +25,7 @@ from typing import Any
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 SPANS_TYPE = "array<struct<start:bigint,end:bigint,kind:string>>"
 STEPS_TYPE = "array<struct<name:string,time_ms:bigint>>"
@@ -500,6 +501,15 @@ def extract_pages(
         default_language=default_language, forced_languages=languages,
         timeout_ms=doc_timeout_ms,
     )
+    # r7 note (guide §4.1): two split alternatives were measured at sf1.0
+    # and REJECTED — (a) filtering the exchange output into a JVM-only
+    # finished branch + a Python giants branch runs pass 1 twice
+    # (ReuseExchange does not fire across the deduplicated self-union:
+    # 9.0s -> 18.2s), and (b) persisting pass 1 and shuffling only the
+    # giants pays more to build/read the columnar cache of the wide output
+    # than the forwarding it saves (9.0s -> 11.1s). The zero-copy
+    # batch-level forward inside the finish kernel remains the cheapest
+    # realization of "finished rows ride along".
     pass1 = proj.mapInArrow(pass1_kernel, DEFERRED_SCHEMA)
     redistributed = _repart(pass1, F.col("url"))
     return redistributed.mapInArrow(
