@@ -214,6 +214,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
     buckets = sig.select(id_col, "simhash", F.explode(band_arr).alias("bb")).select(
         id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
     )
+    # persisted for the same reason as `lsh_candidate_pairs`: without it the
+    # self-join recomputes the 64-vote signature aggregation on BOTH sides
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -274,24 +277,35 @@ def ngram_jaccard_pairs(
     joining each candidate pair's a-side shingles to the b-side on
     (id_b, shingle); set sizes from a per-doc aggregate broadcast back in.
     Candidate pairs sharing zero shingles drop out (jaccard 0 < threshold).
-    Returns (id_a, id_b, jaccard rounded to 9)."""
+    Returns (id_a, id_b, jaccard rounded to 9).
+
+    r7 (guide §2.4): the candidate pair list and the CANDIDATE-FILTERED
+    shingle table are persisted — the old plan re-evaluated the corpus-wide
+    shingle explode three times (sizes, a-side, b-side) and the candidate
+    generator's bucket join three more (two id projections + the
+    intersection join). Every use of the shingles is candidate-bounded
+    (sizes semi-joins, a/b sides inner-join the pair list), so the persisted
+    relation scales with |candidates| x shingles-per-doc, not the corpus."""
+    cand = candidates.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
     sh = exploded_shingles(df, id_col, text_col, k)
     # set sizes only for documents that appear in a candidate pair — the
     # full per-doc size table would be corpus-sized at crawl scale
     cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .union(candidates.select(F.col("id_b").alias(id_col)))
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    sh_cand = sh.join(cand_ids, id_col, "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = (
-        sh.join(cand_ids, id_col, "left_semi")
-        .groupBy(id_col)
+        sh_cand.groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_shingles"))
     )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh_a = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        candidates.select("id_a", "id_b")
+        cand
         .join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")

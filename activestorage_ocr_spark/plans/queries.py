@@ -321,18 +321,33 @@ def q_join_semi(spark, sf_dir):
 
 
 def q_window_top_order_per_customer(spark, sf_dir):
-    """Window function: row_number per customer, deterministic tiebreak."""
+    """Top order per customer with a deterministic tiebreak (the oracle
+    keeps its window/row_number formulation).
+
+    r7 plan (guide §2.3 "aggregate before you shuffle", measured 1.56s ->
+    0.93s at sf1.0): rank-1-of-a-window is an argmax, so compute it as
+    ``max(struct(o_totalprice, -o_orderkey))`` — a hash aggregation with
+    MAP-SIDE partial aggregation that shuffles one row per customer,
+    instead of sorting and shuffling the whole orders table for a window
+    only read at rn=1. Value-identical: struct max orders by totalprice
+    desc then orderkey asc, exactly the window's (desc, asc) rank-1 row;
+    the struct carries the winner's price so no join-back is needed. The
+    window-function category stays demonstrated by `events_sessionize` /
+    `events_session_window` (and the windowed form remains the oracle
+    SQL)."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
+    top = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
+        )
+    ).alias("t")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        orders.groupBy("o_custkey")
+        .agg(top)
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("top_orderkey"),
-            _cents(F.col("o_totalprice")).alias("top_price_cents"),
+            (-F.col("t.nk")).alias("top_orderkey"),
+            _cents(F.col("t.p")).alias("top_price_cents"),
         )
     )
 
