@@ -46,7 +46,13 @@ def _dvec(col: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-order dot product (matches the oracle's list_transform sum)."""
+    """Sequential-order dot product (matches the oracle's list_transform sum).
+
+    r7 note: unrolling the 64-dim sum into a flat ``element_at`` chain was
+    measured and REJECTED — the 129-node tree blows past whole-stage
+    codegen's limits and re-evaluates unprojected vector expressions per
+    element (sim_topk 0.79s -> 2.47s at sf1.0). The higher-order fold plus
+    hoisted per-row norms (`cosine_with_norms`) is the fast realization."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -177,12 +183,21 @@ def lsh_bucketed_topk(
         .select("probe_id", "neighbor_id")
         .distinct()
     )
-    pv = df.select(F.col(id_col).alias("probe_id"), _dvec(F.col(vec_col)).alias("pv"))
-    cv = df.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv"))
+    pv = df.select(
+        F.col(id_col).alias("probe_id"), _dvec(F.col(vec_col)).alias("pv")
+    ).withColumn("pn", l2_norm(F.col("pv")))
+    cv = df.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
     sims = (
         cand_ids.join(pv, "probe_id")
         .join(cv, "neighbor_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_with_norms(F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -211,12 +226,18 @@ def ivf_assign(
     assignment is a broadcast nested-loop score (O(n*K) map-side, K small)
     followed by one partial-aggregable max_by groupBy — at production scale
     the assignment column is written once at ingest, not recomputed."""
-    vecs = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+    vecs = df.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v")).withColumn(
+        "vn", l2_norm(F.col("v"))
+    )
     cents = vecs.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == centroid_rem).select(
-        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv"),
+        F.col("vn").alias("cvn"),
     )
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "cs", F.round(cosine(F.col("v"), F.col("cv")), 6)
+        "cs",
+        F.round(
+            cosine_with_norms(F.col("v"), F.col("cv"), F.col("vn"), F.col("cvn")), 6
+        ),
     )
     # max cosine, then smallest cent_id: max_by on (cs, -cent_id) struct.
     # carry_vec rides the vector through the agg (v is functionally
@@ -255,23 +276,31 @@ def ivf_topk(
     )
     probes = vecs.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), F.col("v").alias("pv")
-    )
+    ).withColumn("pn", l2_norm(F.col("pv")))
     pc = probes.crossJoin(F.broadcast(cents)).withColumn(
-        "cs", F.round(cosine(F.col("pv"), F.col("cv")), 6)
+        "cs",
+        F.round(
+            cosine_with_norms(F.col("pv"), F.col("cv"), F.col("pn"), F.col("cvn")), 6
+        ),
     )
     wp = Window.partitionBy("probe_id").orderBy(F.col("cs").desc(), F.col("cent_id").asc())
     probe_cells = (
         pc.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
-        .select("probe_id", "pv", "cent_id")
+        .select("probe_id", "pv", "pn", "cent_id")
     )
     members = assign.select(
         F.col(id_col).alias("neighbor_id"), "cent_id", F.col("v").alias("nv")
-    )
+    ).withColumn("nn", l2_norm(F.col("nv")))
     cand = (
         probe_cells.join(members, "cent_id")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("nv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_with_norms(F.col("pv"), F.col("nv"), F.col("pn"), F.col("nn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -314,13 +343,22 @@ def cosine_verify_pairs(
     (id_a, id_b) pairs — normally from `lsh_bucket_pairs`. The bound is part
     of the API (VERDICT r1): the bare crossJoin verifier is quadratic and
     must never be the registered plan. Cost is O(|candidates| * dim)."""
-    va = df.select(F.col(id_col).alias("id_a"), _dvec(F.col(vec_col)).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), _dvec(F.col(vec_col)).alias("vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"), _dvec(F.col(vec_col)).alias("va")
+    ).withColumn("na", l2_norm(F.col("va")))
+    vb = df.select(
+        F.col(id_col).alias("id_b"), _dvec(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", l2_norm(F.col("vb")))
     return (
         candidates.select("id_a", "id_b")
         .join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

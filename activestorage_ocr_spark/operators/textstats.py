@@ -226,7 +226,11 @@ def bpe_ish_piece_count(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("long")
+    # chars surviving removal of [A-Za-z0-9\s] == length after deleting the
+    # enumerated alnum+\s set via translate (r7: 4x cheaper than the regex)
+    punct = F.length(
+        F.translate(text, _ASCII_LETTERS + "0123456789" + _WS_CHARS, "")
+    ).cast("long")
     return (alnum + punct).cast("long")
 
 
